@@ -1,0 +1,179 @@
+"""Deduplication operators: exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+Scale design (100 TB):
+
+- exact/fingerprint dedup is a hash groupBy — one shuffle on the hash,
+  map-side partial aggregation, no skew (hashes are uniform).
+- MinHash-LSH finds near-dup *candidates* without any cross join: the
+  only shuffles are the signature groupBy and the band-bucket groupBy;
+  pair blowup is bounded by bucket sizes, and buckets are uniform by
+  construction.
+- exact Jaccard is reserved for verifying candidate pairs (or small
+  blocked domains), never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+
+def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Exact dedup (hash groupBy under the hood)."""
+    return df.dropDuplicates(cols)
+
+
+def exact_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by exact text: keeper id + multiplicity."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def fingerprint_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup via normalized-text fingerprint."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(c, n: int = 3) -> F.Column:
+    """Word n-gram shingle set (distinct) as array<string>."""
+    toks = tokens(c)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+        .otherwise(F.array())
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+) -> DataFrame:
+    """Exact token-set Jaccard for every pair *within a block*.
+
+    Blocking keeps the pair count tractable (all-pairs Jaccard at 100 TB
+    is impossible; within a block — source, domain, LSH bucket — it is a
+    self-equi-join on token). Output: id_a < id_b, jaccard.
+    """
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+                  F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: min over shingle xxhash64 for
+    ``num_hashes`` seeded hash functions. One explode + one groupBy —
+    shuffle size is O(docs × num_hashes), independent of pair count."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}") for seed in range(num_hashes)]
+    )
+    return mins.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Signature is cut into ``bands`` bands of ``num_hashes // bands``
+    rows; documents sharing any band hash become a candidate pair.
+    Output: id_a < id_b, n_bands (how many bands matched).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
+               & (F.col("x.id") < F.col("y.id")))
+        .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64s.
+
+    Explodes tokens once, then computes one signed-sum per bit position
+    as 64 map-side-combinable aggregates — no per-pair work; Hamming
+    distance between signatures is a cheap post-join ``bit_count(a ^ b)``.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
+    ).select("id", F.xxhash64("tok").alias("h"))
+    aggs = [
+        F.sum(
+            (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy("id").agg(*aggs)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))

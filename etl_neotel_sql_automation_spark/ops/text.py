@@ -1,0 +1,137 @@
+"""Text-analysis operators over a document table: tokenization, token
+counting (whitespace + BPE-ish regex), quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure column expressions — at 100 TB these run inside whole-stage
+codegen on the scan projection, no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization; empty/blank text -> empty array (split of ''
+# yields [''], which we filter).
+_WS = r"\s+"
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the classic GPT-2-style pre-split shape.
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("a", "an", "the", "of", "and", "to", "in", "is", "it")
+
+# Characteristic function words per language for the n-gram/stopword
+# language-ID heuristic. Scores are hit-counts; argmax wins, English
+# default on ties/no-hits.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "los", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "de": ("der", "die", "das", "und", "ist"),
+}
+
+
+def tokens(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.trim(c), _WS), lambda t: t != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c)).cast("int")
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), 0)).cast("int")
+
+
+def stopword_count(c: Column | str) -> Column:
+    return F.size(F.filter(tokens(c), lambda t: F.lower(t).isin(*STOPWORDS))).cast("int")
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    n = token_count(c)
+    return F.when(n > 0, stopword_count(c) / n).otherwise(F.lit(0.0))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    n = F.length(c)
+    npunct = n - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return F.when(n > 0, npunct.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation
+    soup, has some stopword glue — the standard pretraining-filter trio
+    (length/punct/stopword ratios)."""
+    n = token_count(c)
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    return (len_score * 0.4 + punct_penalty * 0.3 + stop_score * 0.3).cast("double")
+
+
+def lang_id(c: Column | str) -> Column:
+    """n-gram (function-word) language-ID heuristic: hit-count argmax
+    over LANG_MARKERS, 'en' on ties — deterministic and expressible in
+    plain SQL for the oracle."""
+    toks = tokens(c)
+
+    def _hits(markers: tuple[str, ...]):
+        # closure factory, not a default-arg lambda: PySpark derives HOF
+        # arity from the lambda's parameter count, so an extra default
+        # parameter would receive a Column.
+        return lambda t: F.lower(t).isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, _hits(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("en")
+    # iterate in fixed order; earlier languages win ties after 'en'
+    for lang in ("de", "fr", "es", "en"):
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best <= 0, F.lit("en")).otherwise(out)
+
+
+def normalize_text(c: Column | str) -> Column:
+    """Canonical form for fingerprinting: collapse whitespace, lowercase."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.lower(F.trim(F.regexp_replace(c, _WS, " ")))
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Deterministic document fingerprint over normalized text."""
+    return F.md5(normalize_text(c))
+
+
+def rolling_hashes(c: Column | str, window: int = 8) -> Column:
+    """Rolling token-window fingerprints: xxhash64 of each ``window``
+    consecutive tokens (winnowing-style building block). Returns
+    array<bigint>; at scale this is one codegen'd projection."""
+    toks = tokens(c)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i + 1, window))),
+    )
+
+
+def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass text-analysis projection: token counts, ratios, quality,
+    language, fingerprint."""
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).cast("int").alias("n_chars"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(quality_score(text_col), 6).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint_md5(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,92 @@
+"""Query workload registry — the driver-facing surface.
+
+Each workload entry pairs a PySpark implementation (DataFrame/SQL,
+Catalyst-optimized) with the ANSI-SQL oracle string the driver runs on
+DuckDB over the same parquet tables. Registering both together keeps
+names, aliases and semantics in lock-step (the driver hash-compares
+column names and values).
+
+Determinism rules every entry follows:
+
+- Every computed column is aliased identically in Spark and SQL.
+- Floating-point aggregates are ``round()``-ed identically on both
+  sides, so engine-specific summation order cannot flip the value hash.
+- Every ORDER BY used for top-k carries a full unique-key tiebreak.
+- Timestamp semantics are pinned to UTC (the loader sets the session
+  timezone) so Spark's session-TZ timestamps collect identically to
+  DuckDB's naive UTC timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+@dataclass(frozen=True)
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => not SQL-expressible; driver does rows-only check
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator registering a (spark_fn, oracle_sql) workload pair."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate workload name: {name}")
+        REGISTRY[name] = Workload(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one testdata table; pins session TZ to UTC
+    so timestamp collection matches the UTC-naive oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
+        # Spark parquet reader rejects. Read nanos as long, then floor-
+        # divide to micros ("div", not "/": ns-since-epoch exceeds 2^53,
+        # so double division would lose precision). DuckDB's ns->us
+        # conversion floors identically.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {n: w.fn for n, w in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {n: w.oracle for n, w in REGISTRY.items() if w.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all workload modules so their decorators populate REGISTRY."""
+    global _LOADED
+    if not _LOADED:
+        from . import etl_surface, llm_ops, relational  # noqa: F401
+
+        _LOADED = True

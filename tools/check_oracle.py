@@ -1,0 +1,132 @@
+"""Local mirror of the driver's t2 differential-correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet, then compares:
+
+- row count
+- sorted column names
+- values, order-insensitively and column-name-sorted, with EXACT
+  equality required (the driver hashes values; anything non-bitwise
+  would hash differently). Floats are compared bit-for-bit; a near-miss
+  is reported with the max abs diff so rounding bugs are localizable.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and "/" in sys.argv[1] else "/root/testdata/sf0.01"
+ONLY = [a for a in sys.argv[1:] if "/" not in a]
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def canon(v):
+    """Canonical comparable form for one cell."""
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, date):
+        return ("d", v.isoformat())
+    if isinstance(v, float) and math.isnan(v):
+        return ("nan",)
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(
+        (tuple(canon(r[i]) for i in order) for r in rows),
+        key=repr,
+    )
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from pyspark.sql import SparkSession
+
+    # Driver-like session: defaults (ANSI on in Spark 4), modest parallelism
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("check_oracle")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = ONLY or list(qs)
+    failures = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
+        if not problems:
+            sr, dr = rowset(s_cols, s_rows), rowset(d_cols, d_rows)
+            if sr != dr:
+                # find first differing row + max float diff for diagnosis
+                bad = sum(1 for a, b in zip(sr, dr) if a != b)
+                maxd = 0.0
+                for a, b in zip(sr, dr):
+                    for x, y in zip(a, b):
+                        if isinstance(x, float) and isinstance(y, float):
+                            maxd = max(maxd, abs(x - y))
+                first = next(((a, b) for a, b in zip(sr, dr) if a != b), None)
+                problems.append(
+                    f"values: {bad} differing rows, max float diff {maxd:.3e}; first: {first}"
+                )
+        if problems:
+            failures += 1
+            print(f"FAIL  {name}: " + " | ".join(problems))
+        else:
+            print(f"ok    {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{len(names) - failures}/{len(names)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
