@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collection cost skewing the numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_neotel_sql_automation_spark import workload
+from etl_neotel_sql_automation_spark.session import get_spark
+
+# Headline set: scan+agg, star joins, windows, set ops, JSON, dedup,
+# text analysis, similarity — the operators whose cost scales with data.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_volume",
+    "flagship_region_revenue",
+    "agg_distinct_priority",
+    "agg_rollup_flags",
+    "window_running_supplier",
+    "window_topk_per_priority",
+    "sort_topk_orders",
+    "set_intersect_repeat_buyers",
+    "json_events_extract",
+    "events_hourly_tumbling",
+    "etl_conform_conducta",
+    "dedup_fingerprint_docs",
+    "dedup_minhash_candidates",
+    "text_analyze_docs",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="bench")
+    qs = workload.queries()
+
+    # Warm the JVM/session on a tiny query so startup cost isn't charged
+    # to the first headline entry.
+    qs["sort_topk_orders"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,18 @@ from pyspark.sql import functions as F
 from .text import normalize_text, tokens
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism when the input scan
+    has too few partitions (e.g. one small parquet file) — the
+    explode-heavy stages below would otherwise run on one core. A
+    well-partitioned large input passes through untouched, so this adds
+    no shuffle at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Exact dedup (hash groupBy under the hood)."""
     return df.dropDuplicates(cols)
@@ -68,7 +80,7 @@ def token_jaccard_pairs(
     self-equi-join on token). Output: id_a < id_b, jaccard.
     """
     tok = (
-        df.select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
+        _fan_out(df).select(F.col(id_col).alias("id"), F.col(block_col).alias("blk"),
                   F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     )
     sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
@@ -105,7 +117,7 @@ def minhash_signatures(
     """MinHash signature per document: min over shingle xxhash64 for
     ``num_hashes`` seeded hash functions. One explode + one groupBy —
     shuffle size is O(docs × num_hashes), independent of pair count."""
-    sh = df.select(
+    sh = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
     )
     mins = sh.groupBy("id").agg(
@@ -161,7 +173,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     as 64 map-side-combinable aggregates — no per-pair work; Hamming
     distance between signatures is a cheap post-join ``bit_count(a ^ b)``.
     """
-    tok = df.select(
+    tok = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
     ).select("id", F.xxhash64("tok").alias("h"))
     aggs = [

@@ -21,6 +21,15 @@ def _to_double(c: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Parallelize a corpus scan that arrived as too few partitions
+    (small parquet). No-op for well-partitioned inputs at scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -48,7 +57,7 @@ def brute_force_topk(
     ties broken by neighbor id so results are deterministic.
     """
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = _fan_out(corpus).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
         .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("sim"))
@@ -116,7 +125,7 @@ def lsh_topk(
     """ANN top-k: hyperplane-LSH bucket equi-join, then exact re-rank
     inside the bucket. Recall < 1.0 by construction; bucket join replaces
     the cross join, which is the move that survives 100 TB."""
-    cb = hyperplane_lsh_buckets(corpus, id_col, vec_col, planes).select(
+    cb = hyperplane_lsh_buckets(_fan_out(corpus), id_col, vec_col, planes).select(
         F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "bucket"
     )
     qb = hyperplane_lsh_buckets(queries, id_col, vec_col, planes).select(
