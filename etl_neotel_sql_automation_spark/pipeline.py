@@ -1,0 +1,106 @@
+"""End-to-end ETL orchestration: landing dir -> conform -> idempotent
+partitioned sink.
+
+Parity target: ``main()`` (main.py:1639-1708) minus the browser
+extractor (an out-of-engine producer feeding the landing directory —
+SURVEY.md §2.1 S-3). Reproduces the guards and exit-code contract:
+2 = config error, 1 = nothing extracted / nothing transformed / runtime
+error (R-8, main.py:1667-1708); per-report failures don't kill sibling
+reports (R-9, main.py:1154-1167).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .conform import conform, drop_all_null_rows
+from .io_sinks import add_audit_column, write_partitioned_idempotent
+from .io_sources import read_landing_dir
+from .schema import SPECS, TABLE_FOR_SPEC
+
+logger = logging.getLogger(__name__)
+
+EXIT_OK = 0
+EXIT_RUNTIME = 1
+EXIT_CONFIG = 2
+
+
+def transform_all(raw: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Conform every recognized report; a failing report is skipped, not
+    fatal (R-9)."""
+    out: dict[str, DataFrame] = {}
+    for kind, df in raw.items():
+        spec = SPECS.get(kind)
+        if spec is None:
+            continue
+        try:
+            out[kind] = conform(drop_all_null_rows(df), spec)
+        except Exception:  # noqa: BLE001
+            logger.exception("transform failed for %s; skipping", kind)
+    return out
+
+
+def run_etl(
+    spark: SparkSession,
+    landing_dir: str | Path,
+    output_base: str | Path,
+) -> dict[str, int]:
+    """Landing dir -> conformed, audited, date-partitioned parquet
+    tables. Returns per-table row counts. Raises on the reference's
+    abort conditions (no input files / nothing transformed)."""
+    t0 = time.time()
+    raw = read_landing_dir(spark, landing_dir)
+    if not raw:
+        raise FileNotFoundError(f"no report files recognized in {landing_dir}")
+
+    transformed = transform_all(raw)
+    nonempty = {k: df for k, df in transformed.items() if not df.isEmpty()}
+    if not nonempty:
+        raise ValueError("all transforms produced empty outputs; aborting load")
+
+    counts: dict[str, int] = {}
+    for kind, df in nonempty.items():
+        table = TABLE_FOR_SPEC[kind]
+        target = str(Path(output_base) / table)
+        audited = add_audit_column(df)
+        write_partitioned_idempotent(audited, target, partition_col="fecha")
+        counts[table] = df.count()
+        logger.info("loaded %s rows into %s", counts[table], target)
+    logger.info("ETL complete in %.1fs: %s", time.time() - t0, counts)
+    return counts
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Landing-dir ETL (Spark)")
+    parser.add_argument("--landing", required=True)
+    parser.add_argument("--out", required=True)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s %(message)s",
+    )
+    if not Path(args.landing).is_dir():
+        logger.error("landing dir %s does not exist", args.landing)
+        return EXIT_CONFIG
+    from .session import get_spark
+
+    spark = get_spark(app_name="etl_pipeline")
+    try:
+        run_etl(spark, args.landing, args.out)
+        return EXIT_OK
+    except Exception:  # noqa: BLE001
+        logger.exception("pipeline failed")
+        return EXIT_RUNTIME
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

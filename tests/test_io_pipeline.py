@@ -1,0 +1,174 @@
+"""Sources/sinks/pipeline tests: dialect sniffing across encodings and
+separators, landing-dir dispatch, idempotent partition overwrite, JDBC
+staging writer transaction plan, end-to-end ETL goldens."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from etl_neotel_sql_automation_spark.io_sinks import (
+    JdbcStagingWriter,
+    validate_table_name,
+    write_partitioned_idempotent,
+)
+from etl_neotel_sql_automation_spark.io_sources import (
+    identify_report_type,
+    read_csv_robust,
+    read_landing_dir,
+    sniff_csv_dialect,
+)
+from etl_neotel_sql_automation_spark.pipeline import run_etl
+
+CONDUCTA_CSV = (
+    "Agente{d}Fecha{d}ID{d}Campaña{d}In{d}% In{d}Tiempo medio de respuesta IN\n"
+    "ana{d}13/08/2026{d}7{d}ventas{d}12{d}55.5{d}01:30:00\n"
+    "bob{d}13/08/2026{d}8{d}soporte{d}bad{d}-{d}02:15\n"
+)
+ESTADOS_CSV = (
+    "Fecha{d}Intervalo{d}ID{d}Agente{d}ID Campaña{d}Campaña{d}T Login\n"
+    "13/08/2026{d}09:00 - 09:30{d}1{d}ana{d}5{d}v{d}00:30:00\n"
+)
+
+
+@pytest.mark.parametrize("encoding", ["utf-8", "latin-1", "cp1252"])
+@pytest.mark.parametrize("sep", [",", ";", "\t"])
+def test_sniff_and_read(spark, tmp_path, encoding, sep):
+    p = tmp_path / "conducta.csv"
+    p.write_bytes(CONDUCTA_CSV.format(d=sep).encode(encoding))
+    enc, got_sep = sniff_csv_dialect(p)
+    assert got_sep == sep
+    df = read_csv_robust(spark, p)
+    assert df.count() == 2
+    # accented header survived the encoding round-trip
+    assert any("Campa" in c for c in df.columns)
+
+
+def test_identify_report_type():
+    assert identify_report_type("Conducta - Agentes 2026.csv") == "conducta"
+    assert identify_report_type("estados_operativos.csv") == "estados_operativos"
+    assert identify_report_type("REPORTE_OPERATIVO.csv") == "estados_operativos"
+    assert identify_report_type("otra_cosa.csv") is None
+
+
+def test_read_landing_dir_dispatch_and_union(spark, tmp_path):
+    (tmp_path / "conducta_a.csv").write_text(CONDUCTA_CSV.format(d=";"))
+    (tmp_path / "conducta_b.csv").write_text(CONDUCTA_CSV.format(d=","))
+    (tmp_path / "estados.csv").write_text(ESTADOS_CSV.format(d=";"))
+    (tmp_path / "ignored.txt").write_text("nope")
+    (tmp_path / "estados.csv.crdownload").write_text("partial")
+    out = read_landing_dir(spark, tmp_path)
+    assert set(out) == {"conducta", "estados_operativos"}
+    assert out["conducta"].count() == 4  # two files unioned
+    assert out["estados_operativos"].count() == 1
+
+
+def test_partitioned_idempotent_overwrite(spark, tmp_path):
+    """S-6 golden: re-writing the same date replaces it; other dates
+    survive (FIXTURES.md §A3 'same date loaded twice')."""
+    out = str(tmp_path / "t")
+    df1 = spark.createDataFrame(
+        [("a", "2026-08-12"), ("b", "2026-08-13")], ["v", "fecha"]
+    )
+    write_partitioned_idempotent(df1, out)
+    # second run: new data for the 13th only — must replace, not append
+    df2 = spark.createDataFrame(
+        [("c", "2026-08-13"), ("d", "2026-08-13")], ["v", "fecha"]
+    )
+    write_partitioned_idempotent(df2, out)
+    back = spark.read.parquet(out)
+    # partition values are type-inferred on read -> dates
+    rows = {(r.v, str(r.fecha)) for r in back.collect()}
+    assert rows == {("a", "2026-08-12"), ("c", "2026-08-13"), ("d", "2026-08-13")}
+
+
+def test_validate_table_name():
+    assert validate_table_name("tbl_neotel_conducta") == "tbl_neotel_conducta"
+    with pytest.raises(ValueError):
+        validate_table_name("users; DROP TABLE x--")
+    with pytest.raises(ValueError):
+        validate_table_name("tbl_other")
+
+
+class _FakeConn:
+    def __init__(self, log):
+        self.log = log
+
+    def cursor(self):
+        return self
+
+    def execute(self, sql, params=()):
+        self.log.append(("exec", " ".join(sql.split()), params))
+
+    def commit(self):
+        self.log.append(("commit",))
+
+    def rollback(self):
+        self.log.append(("rollback",))
+
+    def close(self):
+        self.log.append(("close",))
+
+
+def test_jdbc_staging_writer_transaction_plan(spark):
+    """The writer must: append to staging via Spark, then in ONE driver
+    transaction delete the date, move staging into the target, and clear
+    staging (R-3 parity with main.py:1534-1572)."""
+    log: list = []
+    staged: list = []
+    w = JdbcStagingWriter(
+        url="jdbc:fake",
+        connect=lambda: _FakeConn(log),
+        spark_jdbc_write=lambda df, tbl: staged.append((tbl, df.count())),
+    )
+    df = spark.createDataFrame([(1, "2026-08-13")], ["id", "fecha"])
+    n = w.write(df, "tbl_neotel_conducta", "2026-08-13")
+    assert n == 1
+    assert staged == [("tbl_neotel_conducta__stg", 1)]
+    sqls = [e[1] for e in log if e[0] == "exec"]
+    assert sqls == [
+        "DELETE FROM tbl_neotel_conducta WHERE CAST(fecha AS DATE) = ?",
+        "INSERT INTO tbl_neotel_conducta SELECT * FROM tbl_neotel_conducta__stg",
+        "DELETE FROM tbl_neotel_conducta__stg",
+    ]
+    assert ("commit",) in log and ("rollback",) not in log
+    # whitelist enforced before any SQL
+    with pytest.raises(ValueError):
+        w.write(df, "evil_table", "2026-08-13")
+
+
+def test_jdbc_staging_writer_empty_skip(spark):
+    w = JdbcStagingWriter(
+        url="jdbc:fake",
+        connect=lambda: pytest.fail("must not connect for empty df"),
+        spark_jdbc_write=lambda df, tbl: pytest.fail("must not write empty df"),
+    )
+    empty = spark.createDataFrame([], "id int, fecha string")
+    assert w.write(empty, "tbl_neotel_conducta", "2026-08-13") == 0
+
+
+def test_run_etl_end_to_end(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "conducta.csv").write_text(CONDUCTA_CSV.format(d=";"))
+    (landing / "estados operativos.csv").write_text(ESTADOS_CSV.format(d=","))
+    out = tmp_path / "warehouse"
+    counts = run_etl(spark, landing, out)
+    assert counts == {"tbl_neotel_conducta": 2, "tbl_neotel_estados_operativos": 1}
+    conducta = spark.read.parquet(str(out / "tbl_neotel_conducta"))
+    assert conducta.count() == 2
+    assert "load_date" in conducta.columns
+    # partitioned layout on disk
+    assert any(p.name.startswith("fecha=") for p in (out / "tbl_neotel_conducta").iterdir())
+    # re-run: same counts, no duplicates (idempotency end-to-end)
+    counts2 = run_etl(spark, landing, out)
+    assert counts2 == counts
+    assert spark.read.parquet(str(out / "tbl_neotel_conducta")).count() == 2
+
+
+def test_run_etl_empty_landing(spark, tmp_path):
+    empty = tmp_path / "vacant"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        run_etl(spark, empty, tmp_path / "o")
