@@ -1,0 +1,146 @@
+"""Streaming landing-dir ingestion and windowed event aggregation.
+
+Parity map (reference -> Structured Streaming):
+
+- ST-1 adaptive polling loop w/ temp-file filtering (main.py:295-347)
+  -> file source discovers *complete* files per micro-batch;
+  ``pathGlobFilter`` excludes in-flight ``.crdownload``/``.part``.
+- ST-2 new-file detection by directory-listing set difference
+  (main.py:280-292) -> the checkpoint's seen-files log, exactly-once.
+- ST-3 late data handled by full-date delete+insert re-run
+  (main.py:1534-1537) -> ``withWatermark`` + idempotent
+  ``foreachBatch`` date overwrite: a late row re-emits its date
+  partition; the overwrite keeps the sink correct.
+- ST-4 landing-dir hygiene (main.py:212-232) -> ``cleanSource`` option
+  / checkpoint retention.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..conform import conform
+from ..io_sinks import add_audit_column, write_partitioned_idempotent
+from ..io_sources import sniff_csv_dialect
+from ..schema import ConformSpec
+
+
+def infer_landing_schema(spark: SparkSession, landing_dir: str | Path) -> tuple[T.StructType, str, str]:
+    """Streaming file sources need a schema up front. Sample one
+    existing file driver-side: sniff dialect, take its header as an
+    all-string schema (conformance owns typing downstream)."""
+    files = [p for p in sorted(Path(landing_dir).glob("*.csv")) if p.is_file()]
+    if not files:
+        raise FileNotFoundError(f"no csv in {landing_dir} to infer header from")
+    encoding, sep = sniff_csv_dialect(files[0])
+    header = (
+        Path(files[0]).read_bytes().split(b"\n", 1)[0].decode(encoding.lower(), "replace")
+    ).rstrip("\r")
+    cols = [c.strip() for c in header.split(sep)]
+    return T.StructType([T.StructField(c, T.StringType(), True) for c in cols]), encoding, sep
+
+
+def stream_landing_csv(
+    spark: SparkSession,
+    landing_dir: str | Path,
+    spec: ConformSpec,
+    output_path: str | Path,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+):
+    """Continuously conform + load every completed CSV that appears in
+    ``landing_dir``. Idempotent per date partition via foreachBatch ->
+    dynamic partition overwrite, so re-delivered or late files converge
+    instead of duplicating.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    schema, encoding, sep = infer_landing_schema(spark, landing_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("encoding", encoding)
+        .option("sep", sep)
+        .option("pathGlobFilter", "*.csv")  # ST-1: never read in-flight temp files
+        .option("maxFilesPerTrigger", 16)
+        .csv(str(landing_dir))
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = add_audit_column(conform(batch_df, spec))
+        if not out.isEmpty():
+            write_partitioned_idempotent(out, str(output_path), partition_col="fecha")
+
+    writer = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(checkpoint_dir))  # ST-2 seen-file log
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "30 seconds"}
+    return writer.trigger(**trigger).start()
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # INT64 TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums with a watermark bounding state.
+
+    The watermark is the streaming twin of the reference's "re-run
+    yesterday wholesale" policy: rows later than ``watermark`` stop
+    updating state (batch parity: none dropped on finite availableNow
+    input emitted in complete mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the windowed aggregation as a real streaming query over the
+    events parquet (availableNow -> finite), returning the final result
+    from the memory sink. Registered as a driver query: its output must
+    match the batch/DuckDB tumbling-window oracle exactly."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_agg(events)
+    name = f"events_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

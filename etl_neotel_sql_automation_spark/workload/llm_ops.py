@@ -174,3 +174,21 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
+
+
+@query(
+    "streaming_events_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming query (file source -> watermark ->
+    tumbling window -> memory sink, availableNow) whose final result
+    must equal the batch tumbling-window SQL."""
+    from ..streaming.landing import stream_events_hourly
+
+    return stream_events_hourly(spark, sf_dir)

@@ -1,0 +1,69 @@
+"""Streaming parity tests: landing-dir file-source ingestion with
+checkpointed exactly-once file tracking and idempotent date overwrite;
+windowed aggregation equal to its batch twin."""
+
+from __future__ import annotations
+
+import time
+
+from etl_neotel_sql_automation_spark.streaming.landing import (
+    stream_events_hourly,
+    stream_landing_csv,
+)
+from etl_neotel_sql_automation_spark.schema import CONDUCTA_SPEC
+from etl_neotel_sql_automation_spark.workload import queries
+
+CSV_DAY1 = (
+    "Agente;Fecha;ID;Campaña;In;% In;Tiempo medio de respuesta IN\n"
+    "ana;12/08/2026;7;ventas;12;55.5;01:30:00\n"
+)
+CSV_DAY2 = (
+    "Agente;Fecha;ID;Campaña;In;% In;Tiempo medio de respuesta IN\n"
+    "bob;13/08/2026;8;soporte;3;44.5;02:15\n"
+)
+CSV_DAY2_FIX = (
+    "Agente;Fecha;ID;Campaña;In;% In;Tiempo medio de respuesta IN\n"
+    "eve;13/08/2026;9;ventas;5;66.0;00:30\n"
+)
+
+
+def _run_stream(spark, landing, out, ckpt):
+    q = stream_landing_csv(spark, landing, CONDUCTA_SPEC, out, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive or q.stop() is None
+
+
+def test_stream_landing_incremental_and_idempotent(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    (landing / "conducta_day1.csv").write_text(CSV_DAY1)
+    # in-flight download must be invisible to the stream
+    (landing / "conducta_tmp.csv.crdownload").write_text("partial")
+
+    _run_stream(spark, landing, out, ckpt)
+    rows = {(r.agente, str(r.fecha)) for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {("ana", "2026-08-12")}
+
+    # second trigger: only the NEW file is processed (checkpoint seen-file
+    # log); its date partition is added
+    (landing / "conducta_day2.csv").write_text(CSV_DAY2)
+    _run_stream(spark, landing, out, ckpt)
+    rows = {(r.agente, str(r.fecha)) for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {("ana", "2026-08-12"), ("bob", "2026-08-13")}
+
+    # corrected re-delivery for day 2 -> date partition replaced, day 1 kept
+    (landing / "conducta_day2_fix.csv").write_text(CSV_DAY2_FIX)
+    _run_stream(spark, landing, out, ckpt)
+    rows = {(r.agente, str(r.fecha)) for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {("ana", "2026-08-12"), ("eve", "2026-08-13")}
+
+
+def test_streaming_matches_batch_twin(spark):
+    sf = "/root/testdata/sf0.001"
+    streamed = stream_events_hourly(spark, sf)
+    batch = queries()["events_hourly_tumbling"](spark, sf)
+    s = {tuple(map(str, r)) for r in streamed.collect()}
+    b = {tuple(map(str, r)) for r in batch.collect()}
+    assert s == b and len(s) > 0
