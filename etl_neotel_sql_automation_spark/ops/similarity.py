@@ -70,6 +70,29 @@ def brute_force_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: id_a < id_b with
+    round(cosine, 6) >= threshold.
+
+    The demo shape self-joins with one side broadcast — right for a
+    dimension-sized corpus. At 100 TB the candidate generation must go
+    through :func:`hyperplane_lsh_buckets` first (bucket equi-join),
+    with this exact scoring applied only inside buckets.
+    """
+    a = _fan_out(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -177,6 +177,45 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the fifth dedup modality (exact,
+    fingerprint, Jaccard, MinHash, embedding)."""
+    return S.cosine_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+           CAST(ascii(substr(text, 1, 1)) % 480 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the real mapInPandas
+    plumbing (Arrow-batched Pandas UDF over opaque bytes). The oracle
+    recomputes the deterministic fake-decoder features from the text the
+    bytes were derived from. checksum (crc32) is not SQL-expressible in
+    DuckDB and is dropped from the compared projection."""
+    from ..ops import multimodal as M
+
+    docs = table(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_binary(docs))
+    return feats.select("doc_id", "n_bytes", "width", "height")
+
+
+@query(
     "streaming_events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
