@@ -38,6 +38,10 @@ HEADLINE = [
     "dedup_minhash_candidates",
     "text_analyze_docs",
     "sim_cosine_topk",
+    "asof_events_orders",
+    "sessionize_events",
+    "join_salted_skew",
+    "agg_percentiles",
 ]
 
 

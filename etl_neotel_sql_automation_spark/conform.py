@@ -94,3 +94,35 @@ def conform(df: DataFrame, spec: ConformSpec, *, add_load_date: bool = False) ->
         # S-7 audit column (DDL DEFAULT GETDATE(), main.py:1400, 1439)
         df = df.withColumn("load_date", F.current_timestamp())
     return df
+
+
+def conform_with_quarantine(
+    df: DataFrame, spec: ConformSpec
+) -> tuple[DataFrame, DataFrame]:
+    """Conform, routing rejected rows to a quarantine DataFrame instead
+    of silently dropping them.
+
+    Replaces the reference's per-row salvage (R-2, main.py:1555-1569 —
+    failed inserts silently discarded): with Spark-side ``try_*``
+    coercion the only reject class left is a null key, and those rows
+    are *kept*, tagged with ``reject_reason``, for a quarantine sink
+    (the ``badRecordsPath`` pattern applied to semantic rejects).
+
+    Returns ``(good, quarantined)``; ``good`` equals :func:`conform`'s
+    output; ``quarantined`` has the same schema plus ``reject_reason``.
+    """
+    unfiltered = conform(df, spec.no_key_filter())
+    reason = F.concat_ws(
+        ",",
+        *[
+            F.when(F.col(c).isNull(), F.lit(f"null_key:{c}"))
+            for c in spec.key_cols
+            if c in spec.final_cols
+        ],
+    )
+    tagged = unfiltered.withColumn(
+        "reject_reason", F.when(reason != "", reason)
+    )
+    good = tagged.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+    bad = tagged.filter(F.col("reject_reason").isNotNull())
+    return good, bad

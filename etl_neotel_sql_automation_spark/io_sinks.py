@@ -112,6 +112,28 @@ class JdbcStagingWriter:
         return n
 
 
+def ensure_partitioned_table(
+    spark, table: str, schema_ddl: str, partition_col: str = "fecha"
+) -> None:
+    """S-5: DDL bootstrap — ``CREATE TABLE IF NOT EXISTS`` as a managed
+    parquet table partitioned by date (main.py:1466-1478's
+    ``crear_tablas_si_no_existen``). Idempotent per run."""
+    validate_table_name(table)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {table} ({schema_ddl}) "
+        f"USING parquet PARTITIONED BY ({partition_col})"
+    )
+
+
+def insert_overwrite_date(spark, df: DataFrame, table: str) -> None:
+    """S-6 against a managed table: dynamic partition overwrite via
+    ``INSERT OVERWRITE`` semantics (``insertInto`` with overwrite under
+    dynamic mode replaces only the partitions present in ``df``)."""
+    validate_table_name(table)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").insertInto(table, overwrite=True)
+
+
 def add_audit_column(df: DataFrame) -> DataFrame:
     """S-7: ``load_date`` audit timestamp (DDL DEFAULT GETDATE(),
     main.py:1400, 1439)."""

@@ -75,6 +75,12 @@ class ConformSpec:
     # (dates, strings) can drop rows. Order is preserved here.
     key_cols: list[str] = field(default_factory=list)
 
+    def no_key_filter(self) -> "ConformSpec":
+        """Variant that skips the key-null row filter (quarantine flow)."""
+        from dataclasses import replace
+
+        return replace(self, key_cols=[])
+
     def target_schema(self) -> T.StructType:
         fields = []
         for c in self.final_cols:
