@@ -107,6 +107,24 @@ def token_jaccard_pairs(
     )
 
 
+_MERSENNE_P = (1 << 31) - 1  # prime modulus for the permutation family
+
+
+def _minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the permutation family
+    h_i(x) = (a_i*x + b_i) mod p. Kept under 2^31 so a*x stays below
+    2^62: no 64-bit overflow, hence ANSI-mode safe (overflow *throws*
+    under ANSI, and without the mod the map would be order-preserving
+    and every h_i would pick the same min shingle)."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_P), rng.randrange(0, _MERSENNE_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -114,16 +132,35 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: min over shingle xxhash64 for
-    ``num_hashes`` seeded hash functions. One explode + one groupBy —
-    shuffle size is O(docs × num_hashes), independent of pair count."""
+    """MinHash signature per document. One explode + one groupBy —
+    shuffle size is O(docs × num_hashes), independent of pair count.
+
+    Each shingle is hashed ONCE (xxhash64); the ``num_hashes`` hash
+    family is the standard linear-permutation trick h_i(x) = a_i*x + b_i
+    (wrapping 64-bit arithmetic) — 32 multiply-adds per shingle instead
+    of 32 string hashes. Duplicate shingles are left in (min is
+    duplicate-insensitive), saving the per-row array_distinct.
+    """
+    coeffs = _minhash_coeffs(num_hashes)
+    toks = tokens(F.col(text_col))
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (shingle_n - 1), F.lit(0)))
+    raw_shingles = F.when(
+        cnt >= shingle_n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n))),
+    ).otherwise(F.array())
     sh = _fan_out(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, shingle_n)).alias("sh")
-    )
+        F.col(id_col).alias("id"), F.explode(raw_shingles).alias("sh")
+    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE_P)).alias("h"))
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("sh", F.lit(seed))).alias(f"h{seed}") for seed in range(num_hashes)]
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
     )
-    return mins.select("id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature"))
+    return mins.select(
+        "id", F.array(*[f"h{s}" for s in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
