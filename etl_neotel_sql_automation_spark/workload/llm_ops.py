@@ -176,6 +176,25 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
 
 
+@query("sim_ivf_topk")  # ANN (k-means quantizer): rows-only check
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query("agg_approx_stats")  # sketches are engine-specific: rows-only check
+def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale variants of distinct-count and percentile:
+    HyperLogLog++ and GK-sketch. Not oracle-comparable by construction
+    (approximation algorithms differ per engine)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("approx_p"),
+        F.count("*").alias("n"),
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     oracle="""

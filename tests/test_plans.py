@@ -1,0 +1,63 @@
+"""Plan-shape regression tests: the scale properties claimed in the
+docstrings must be visible in the physical plans — conformance stays
+narrow, dims broadcast, as-of does not join, hot paths stay JVM-side.
+
+These guard against quiet plan regressions (a lost broadcast hint, an
+accidental Python UDF) that correctness tests cannot see.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_neotel_sql_automation_spark.workload import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    return queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_conform_is_single_projection(spark):
+    plan = _plan(spark, "etl_conform_conducta")
+    # the conformance itself adds no shuffle beyond the source join's
+    assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q3_top_unshipped", "q5_region_volume", "flagship_region_revenue",
+     "scalar_string_funcs", "join_anti_no_recent_orders"],
+)
+def test_dimension_joins_are_broadcast(spark, name):
+    assert "BroadcastHashJoin" in _plan(spark, name)
+
+
+def test_asof_join_has_no_join_node(spark):
+    plan = _plan(spark, "asof_events_orders")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_no_python_in_relational_paths(spark):
+    for name in [
+        "q1_pricing_summary", "etl_time_to_minutes", "dedup_minhash_candidates",
+        "text_analyze_docs", "sim_cosine_topk", "sessionize_events",
+    ]:
+        assert "EvalPython" not in _plan(spark, name), name
+
+
+def test_multimodal_is_arrow_not_rowudf(spark):
+    plan = _plan(spark, "multimodal_features")
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time would be the bug
+
+
+def test_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    scan = plan[plan.index("FileScan") :]
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan or "PushedFilters: [" in scan
+    # column pruning: the 4 unused lineitem columns must not be read
+    read_schema = scan[scan.index("ReadSchema") :][:400]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
