@@ -487,6 +487,61 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "subquery_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+)
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery via the SQL API — Catalyst
+    decorrelates it into an aggregate + join; no per-row re-execution."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal
+        FROM customer_sq c
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sq c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)              AS y,
+           CAST(month(o_orderdate) AS INTEGER)             AS m,
+           CAST(day(o_orderdate) AS INTEGER)               AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE)  AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE)     AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                AS INTEGER)                                AS days_since_epoch_start
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    od = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.date_add(od.cast("date"), 90).alias("due_date"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
     "json_events_extract",
     oracle="""
     SELECT event_type,

@@ -45,6 +45,30 @@ def test_sniff_and_read(spark, tmp_path, encoding, sep):
     assert any("Campa" in c for c in df.columns)
 
 
+def test_excel_bridge_gated_without_libs(spark, tmp_path):
+    """Without openpyxl/xlrd the bridge must fail with the explicit
+    NotImplementedError, not a raw ImportError mid-pipeline."""
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gate not exercised")
+    except ImportError:
+        pass
+    from etl_neotel_sql_automation_spark.io_sources import read_excel_bridge
+
+    # structurally-valid zip: pandas' engine detection passes and the
+    # openpyxl import gate is what fires (a corrupt zip would fail
+    # earlier, in detection, and never reach the gate)
+    import zipfile
+
+    fake = tmp_path / "conducta.xlsx"
+    with zipfile.ZipFile(fake, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", "<workbook/>")  # format inference -> xlsx
+    with pytest.raises(NotImplementedError):
+        read_excel_bridge(spark, fake)
+
+
 def test_identify_report_type():
     assert identify_report_type("Conducta - Agentes 2026.csv") == "conducta"
     assert identify_report_type("estados_operativos.csv") == "estados_operativos"
