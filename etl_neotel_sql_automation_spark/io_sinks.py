@@ -134,6 +134,29 @@ def insert_overwrite_date(spark, df: DataFrame, table: str) -> None:
     df.write.mode("overwrite").insertInto(table, overwrite=True)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    allowed: frozenset[str] | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Joins/aggregations on ``bucket_col`` between tables bucketed the
+    same way need NO shuffle — at 100 TB this converts every recurring
+    fact-to-fact join on the bucket key from a full network shuffle
+    into a local zip of co-located buckets (sort-merge without the
+    sort when ``sort_col`` matches)."""
+    if allowed is not None:
+        validate_table_name(table, allowed)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def add_audit_column(df: DataFrame) -> DataFrame:
     """S-7: ``load_date`` audit timestamp (DDL DEFAULT GETDATE(),
     main.py:1400, 1439)."""
