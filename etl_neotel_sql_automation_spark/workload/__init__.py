@@ -87,6 +87,6 @@ def _ensure_loaded() -> None:
     """Import all workload modules so their decorators populate REGISTRY."""
     global _LOADED
     if not _LOADED:
-        from . import advanced, etl_surface, llm_ops, relational  # noqa: F401
+        from . import advanced, advanced2, etl_surface, llm_ops, relational  # noqa: F401
 
         _LOADED = True

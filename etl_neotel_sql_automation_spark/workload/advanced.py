@@ -192,7 +192,7 @@ def set_union_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_salted_skew",
     oracle="""
-    SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT s_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            count(*) AS n
     FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
     GROUP BY s_name
@@ -205,7 +205,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
     joined = salted_join(li, supp, key="l_suppkey", n_salt=8)
     return joined.groupBy("s_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
             "revenue"
         ),
         F.count("*").alias("n"),

@@ -27,8 +27,13 @@ from . import query, table
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2)                                   AS sum_qty,
            round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4))
+                                                                       AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DECIMAL(38,6))
+                                                                       AS sum_charge,
            round(avg(l_quantity), 6)                                   AS avg_qty,
            round(avg(l_extendedprice), 6)                              AS avg_price,
            round(avg(l_discount), 6)                                   AS avg_disc,
@@ -40,15 +45,21 @@ from . import query, table
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact decimal arithmetic for the high-magnitude product sums:
+    # sum_charge needs 19 significant digits at sf0.1+ — beyond double —
+    # so both engines must sum exactly to agree (monetary inputs are on
+    # a 2-decimal grid, making the decimal cast lossless)
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_d = F.lit(1) - F.col("l_discount").cast("decimal(18,2)")
+    tax_d = F.lit(1) + F.col("l_tax").cast("decimal(18,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.sum(ep * disc_d).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(ep * disc_d * tax_d).cast("decimal(38,6)").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -66,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_top_unshipped",
     oracle="""
     SELECT o_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            CAST(o_orderdate AS DATE)                         AS o_orderdate,
            o_orderpriority
     FROM customer
@@ -92,7 +103,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -107,7 +118,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -141,7 +152,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -152,7 +163,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship_region_revenue",
     oracle="""
     SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
            count(*) AS n_lineitems
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -177,7 +188,7 @@ def flagship_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             ),
             F.count("*").alias("n_lineitems"),
