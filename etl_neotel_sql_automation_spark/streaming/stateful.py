@@ -1,0 +1,115 @@
+"""Custom stateful streaming operator: session aggregation via
+``applyInPandasWithState`` (GroupState), the Structured Streaming
+mechanism for operators the built-in windowed aggregations can't
+express.
+
+The operator keeps one open session per key in state; an event extends
+the session if it arrives within ``gap`` of the session's end,
+otherwise the closed session is EMITTED and a fresh one opens. State is
+bounded: O(1) per key (start, end, count), with a processing-time
+timeout closing idle sessions.
+
+Scale: state lives in the state store, partitioned by key — the
+streaming twin of the batch ``sessionize`` shuffle. The batch operator
+(ops/asof.py) is the semantic reference; the test drives both over the
+same finite input and compares CLOSED sessions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+GAP_US = 30 * 60 * 1_000_000  # 30 minutes, matching ops.asof.sessionize
+
+
+def _make_session_fn(timeout_ms: int | None):
+    """Closure factory: the returned function is cloudpickled BY VALUE,
+    so ``timeout_ms`` travels to the Python workers (a module global
+    would re-import to its default there)."""
+
+    def _session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Fold this micro-batch's events (sorted by time) into the
+        open session; emit every session that closes."""
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                start, end, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [[user_id, start, end, n]],
+                    columns=[f.name for f in SESSION_SCHEMA],
+                )
+            return
+
+        times: list[int] = []
+        for pdf in pdfs:
+            times.extend(int(t) for t in pdf["us"])
+        times.sort()
+
+        closed: list[list[int]] = []
+        if state.exists:
+            start, end, n = state.get
+        else:
+            start = end = n = None  # type: ignore[assignment]
+        for t in times:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= GAP_US:
+                end, n = t, n + 1
+            else:
+                closed.append([user_id, start, end, n])
+                start, end, n = t, t, 1
+        if start is not None:
+            state.update((start, end, n))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA])
+
+    return _session_fn
+
+
+def sessionize_stream(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """events(user_id, us) stream -> closed-session stream.
+
+    ``timeout_ms``: idle-flush — close a key's open session after this
+    much processing-time silence. Leave None for deterministic finite
+    (availableNow) runs: open sessions then stay in state, exactly like
+    the batch operator's trailing sessions.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(timeout_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms is not None
+        else GroupStateTimeout.NoTimeout,
+    )
