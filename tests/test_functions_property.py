@@ -55,6 +55,27 @@ def test_time_to_minutes_fuzz_parity(spark):
             assert abs(g - want) < 1e-9, f"{v!r}: spark={g} python={want}"
 
 
+def _py_int0(v):
+    """Python model of pd.to_numeric(errors='coerce').fillna(0).astype(int)."""
+    try:
+        f = float(str(v).strip()) if v is not None and str(v).strip() != "" else 0.0
+    except (ValueError, TypeError):
+        f = 0.0
+    if f != f or f in (float("inf"), float("-inf")):
+        f = 0.0
+    return int(f)
+
+
+def test_numeric_coercion_fuzz_parity(spark):
+    vals = _fuzz_values(n=2000, seed=7)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        ef.int0("v").alias("i"), ef.float0("v").alias("f")
+    ).collect()
+    for v, r in zip(vals, got):
+        assert r.i == _py_int0(v), f"int0({v!r}) = {r.i} != {_py_int0(v)}"
+
+
 @settings(max_examples=500, deadline=None)
 @given(st.text(max_size=40))
 def test_clean_name_total_and_idempotent(s):
