@@ -87,6 +87,13 @@ def _ensure_loaded() -> None:
     """Import all workload modules so their decorators populate REGISTRY."""
     global _LOADED
     if not _LOADED:
-        from . import advanced, advanced2, etl_surface, llm_ops, relational  # noqa: F401
+        from . import (  # noqa: F401
+            advanced,
+            advanced2,
+            breadth,
+            etl_surface,
+            llm_ops,
+            relational,
+        )
 
         _LOADED = True

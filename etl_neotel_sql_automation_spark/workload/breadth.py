@@ -1,0 +1,236 @@
+"""Third wave: estados conformance differential, remaining join types
+(full outer, cross), rank-family windows, range frames, ordered string
+aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..conform import conform
+from ..schema import ESTADOS_FINAL_COLS, ESTADOS_SPEC
+from . import query, table
+from .etl_surface import _SQL_INT0, _SQL_TIME_TO_MIN
+
+# --- estados conformance, differentially --------------------------------
+# Source synthesized from lineitem: 4 of the 26 t_* columns provided
+# (one per raw format class), id/id_campana dirty, the other 22 t_*
+# columns missing -> null-pad -> coerce to 0.0.
+
+_PROVIDED_T = {
+    "t_login": "lpad(CAST(l_partkey % 24 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(l_suppkey % 60 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(l_linenumber * 11 % 60 AS VARCHAR), 2, '0')",
+    "t_available": "lpad(CAST(l_suppkey % 24 AS VARCHAR), 2, '0') || ':' || "
+    "lpad(CAST(l_partkey % 60 AS VARCHAR), 2, '0')",
+    "t_diario_login": "CAST(l_partkey % 300 AS VARCHAR) || '.' || CAST(l_suppkey % 10 AS VARCHAR)",
+    "t_diario_pause": "CASE WHEN l_linenumber % 2 = 0 THEN '-' ELSE 'ab:cd' END",
+}
+
+
+def _estados_oracle() -> str:
+    cols = ["CAST(try_strptime(raw_fecha, '%d/%m/%Y') AS DATE) AS fecha",
+            "intervalo",
+            _SQL_INT0.format(c="raw_id") + " AS id",
+            "agente",
+            _SQL_INT0.format(c="raw_idc") + " AS id_campana",
+            "campana"]
+    for c in ESTADOS_FINAL_COLS:
+        if not c.startswith("t_"):
+            continue
+        if c in _PROVIDED_T:
+            cols.append(_SQL_TIME_TO_MIN.format(c=f"raw_{c}") + f" AS {c}")
+        else:
+            cols.append(f"CAST(0.0 AS DOUBLE) AS {c}")
+    provided = ",\n             ".join(
+        f"{sql} AS raw_{name}" for name, sql in _PROVIDED_T.items()
+    )
+    return f"""
+    SELECT {', '.join(cols)}
+    FROM (
+      SELECT strftime(l_shipdate, '%d/%m/%Y') AS raw_fecha,
+             lpad(CAST(l_linenumber * 30 % 1440 // 60 AS VARCHAR), 2, '0')
+               || ':00 - slot' AS intervalo,
+             CASE WHEN l_orderkey % 9 = 0 THEN ''
+                  ELSE CAST(l_suppkey AS VARCHAR) END AS raw_id,
+             'agent_' || CAST(l_suppkey AS VARCHAR) AS agente,
+             CAST(l_partkey % 50 AS VARCHAR) AS raw_idc,
+             'camp_' || CAST(l_partkey % 5 AS VARCHAR) AS campana,
+             {provided}
+      FROM lineitem WHERE l_orderkey % 19 = 0
+    )
+    """
+
+
+@query("etl_conform_estados", oracle=_estados_oracle())
+def etl_conform_estados(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full estados conformance differentially: 26 t_* time coercions,
+    null-padding of 22 missing columns, dirty int keys — the reference's
+    second pipeline (main.py:1264-1308) end-to-end."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 19 == 0)
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    raw = li.select(
+        F.date_format("l_shipdate", "dd/MM/yyyy").alias("Fecha"),
+        F.concat(
+            two((F.col("l_linenumber") * 30 % 1440 / 60).cast("long")), F.lit(":00 - slot")
+        ).alias("Intervalo"),
+        F.when(F.col("l_orderkey") % 9 == 0, F.lit(""))
+        .otherwise(F.col("l_suppkey").cast("string"))
+        .alias("ID"),
+        F.concat(F.lit("agent_"), F.col("l_suppkey").cast("string")).alias("Agente"),
+        (F.col("l_partkey") % 50).cast("string").alias("ID Campaña"),
+        F.concat(F.lit("camp_"), (F.col("l_partkey") % 5).cast("string")).alias("Campaña"),
+        F.concat_ws(
+            ":",
+            two(F.col("l_partkey") % 24),
+            two(F.col("l_suppkey") % 60),
+            two(F.col("l_linenumber") * 11 % 60),
+        ).alias("T Login"),
+        F.concat_ws(":", two(F.col("l_suppkey") % 24), two(F.col("l_partkey") % 60)).alias(
+            "T Available"
+        ),
+        F.concat(
+            (F.col("l_partkey") % 300).cast("string"),
+            F.lit("."),
+            (F.col("l_suppkey") % 10).cast("string"),
+        ).alias("T Diario Login"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit("-"))
+        .otherwise(F.lit("ab:cd"))
+        .alias("T Diario Pause"),
+    )
+    return conform(raw, ESTADOS_SPEC)
+
+
+# --- remaining join types ------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS custkey,
+           a.n_orders_95, b.n_orders_98
+    FROM (SELECT o_custkey AS k, count(*) AS n_orders_95 FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1) a
+    FULL OUTER JOIN
+         (SELECT o_custkey AS k, count(*) AS n_orders_98 FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00' GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+
+    def year_counts(y: int, alias: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count("*").alias(alias))
+        )
+
+    a = year_counts(1995, "n_orders_95")
+    b = year_counts(1998, "n_orders_98")
+    return a.join(b, a.k == b.k, "full_outer").select(
+        F.coalesce(a.k, b.k).alias("custkey"), "n_orders_95", "n_orders_98"
+    )
+
+
+@query(
+    "join_cross_dims",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reg = table(spark, sf_dir, "region")
+    nat = table(spark, sf_dir, "nation")
+    return reg.crossJoin(nat).select("r_name", "n_name")
+
+
+# --- window rank family + range frame ------------------------------------
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank()         OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank()   OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4)       OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6)        AS prank,
+           round(cume_dist()    OVER w, 6)        AS cdist
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(count(*) OVER (ORDER BY o_totalprice
+                RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_within_10k
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a value-ordered window (peers by value distance,
+    not row position)."""
+    w = W.orderBy("o_totalprice").rangeBetween(-10000, 0)
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 40 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.count("*").over(w).alias("n_within_10k"),
+        )
+    )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_name, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+    FROM (SELECT DISTINCT n_name, c_mktsegment
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    GROUP BY n_name
+    """,
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (deterministic: distinct + sorted)."""
+    cust = table(spark, sf_dir, "customer")
+    nat = table(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name", "c_mktsegment")
+        .distinct()
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_mktsegment")), ",").alias(
+                "segments"
+            )
+        )
+    )
