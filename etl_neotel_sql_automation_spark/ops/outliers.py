@@ -1,0 +1,59 @@
+"""Grouped-map outlier scoring via ``applyInPandas`` — the per-group
+pandas-DataFrame flavor of the Pandas-UDF surface (mapInPandas covers
+the per-partition flavor in ops/multimodal.py).
+
+Semantics chosen to be SQL-mirrorable so the operator is
+differentially testable: population z-score per group, flag |z| above
+a threshold. At scale this is one shuffle on the group key; each
+group's frame must fit in one task's memory (fine for per-user event
+groups; for giant groups use the window-function formulation instead —
+same SQL as the oracle)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_outlier", T.BooleanType()),
+    ]
+)
+
+
+def zscore_outliers(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Per-key population z-scores with an outlier flag."""
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col]
+        mean = v.mean()
+        std = v.std(ddof=0)  # population std, mirrors stddev_pop
+        z = (v - mean) / std if std > 0 else v * 0.0
+        return pd.DataFrame(
+            {
+                "user_id": pdf[key_col],
+                "event_id": pdf[id_col],
+                "value": v,
+                "zscore": z.round(6),
+                "is_outlier": z.abs().round(6) > threshold,
+            }
+        )
+
+    return (
+        events.select(key_col, id_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(per_group, OUT_SCHEMA)
+    )

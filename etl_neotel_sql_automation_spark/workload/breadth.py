@@ -211,6 +211,80 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)                          AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6)                   AS first_el,
+           round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                         x -> x * x)), 6)           AS sq_norm,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)            AS max_el,
+           CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                x -> x > 0)) AS INTEGER)            AS n_positive
+    FROM embeddings WHERE vec_id % 5 = 0
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions over the embedding column: size,
+    indexing, transform+aggregate (dot with itself), max, filter."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.get(F.col("embedding"), 0).cast("double"), 6).alias("first_el"),
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+            ),
+            6,
+        ).alias("sq_norm"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_el"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "json_struct_parse",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events WHERE event_id % 25 = 0
+    """,
+)
+def json_struct_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON: from_json into a typed struct, then field
+    access (vs the stringly get_json_object in json_events_extract)."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 25 == 0)
+    parsed = F.from_json("props", "k INT")
+    return ev.select("event_id", parsed.getField("k").alias("k"))
+
+
+@query(
+    "pandas_grouped_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, value,
+             avg(value)       OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma
+      FROM events
+    )
+    SELECT user_id, event_id, value,
+           round(CASE WHEN sigma = 0 THEN 0.0 ELSE (value - mu) / sigma END, 6) AS zscore,
+           round(abs(CASE WHEN sigma = 0 THEN 0.0 ELSE (value - mu) / sigma END), 6) > 2.0
+               AS is_outlier
+    FROM s
+    """,
+)
+def pandas_grouped_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map operator, differentially checked
+    against the equivalent window SQL."""
+    from ..ops.outliers import zscore_outliers
+
+    return zscore_outliers(table(spark, sf_dir, "events"))
+
+
+@query(
     "agg_string_concat",
     oracle="""
     SELECT n_name, string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
