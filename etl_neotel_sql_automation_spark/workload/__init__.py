@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
             etl_surface,
             llm_ops,
             relational,
+            tpch_extra,
         )
 
         _LOADED = True
