@@ -42,6 +42,11 @@ HEADLINE = [
     "sessionize_events",
     "join_salted_skew",
     "agg_percentiles",
+    "etl_conform_estados",
+    "range_join_events",
+    "pandas_grouped_outliers",
+    "merge_upsert_orders",
+    "q7_nation_volume",
 ]
 
 

@@ -99,6 +99,40 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "merge_upsert_orders",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, 'X' AS o_orderstatus, round(o_totalprice * 1.1, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    survivors AS (
+      SELECT o_orderkey, o_orderstatus, round(o_totalprice, 4) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    )
+    SELECT * FROM survivors UNION ALL SELECT * FROM updates
+    """,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation (anti-join + union) applied to a CDC-style update
+    batch; the oracle computes the expected post-merge table directly."""
+    from ..ops.merge import upsert
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+    updates = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        )
+    )
+    return upsert(orders, updates, "o_orderkey")
+
+
+@query(
     "scalar_null_funcs",
     oracle="""
     SELECT c_custkey,
