@@ -62,8 +62,17 @@ def main() -> None:
     qs = workload.queries()
 
     # Warm the JVM/session on a tiny query so startup cost isn't charged
-    # to the first headline entry.
+    # to the first headline entry, and spin up the Python worker pool so
+    # the Pandas-UDF entries measure steady state rather than fork cost.
     qs["sort_topk_orders"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    warm = F.pandas_udf(lambda s: s * 1.0, returnType=T.DoubleType())
+    spark.range(1000).select(warm(F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -54,6 +54,24 @@ def test_multimodal_is_arrow_not_rowudf(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time would be the bug
 
 
+def test_range_join_is_equi_not_nlj(spark):
+    """The banded range join must plan as an equi-join on (type, bucket);
+    a BroadcastNestedLoopJoin would mean the banding got lost and the
+    O(n^2) theta join came back."""
+    plan = _plan(spark, "range_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bench_headline_subset_of_registry(spark):
+    import bench
+
+    from etl_neotel_sql_automation_spark.workload import queries as qreg
+
+    assert set(bench.HEADLINE) <= set(qreg())
+    assert len(qreg()) >= 67
+
+
 def test_pushdown_reaches_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     scan = plan[plan.index("FileScan") :]
