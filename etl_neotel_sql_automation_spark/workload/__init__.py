@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
             advanced2,
             breadth,
             etl_surface,
+            final_wave,
             llm_ops,
             relational,
             tpch_extra,
