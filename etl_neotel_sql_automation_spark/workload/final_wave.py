@@ -114,6 +114,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_argmax_order",
+    oracle="""
+    WITH m AS (SELECT o_orderpriority, max(o_totalprice) AS max_price
+               FROM orders GROUP BY o_orderpriority)
+    SELECT m.o_orderpriority, round(m.max_price, 2) AS max_price,
+           max(o.o_orderkey) AS max_orderkey
+    FROM m JOIN orders o
+      ON o.o_orderpriority = m.o_orderpriority AND o.o_totalprice = m.max_price
+    GROUP BY m.o_orderpriority, m.max_price
+    """,
+)
+def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax per group via the struct-max trick: one
+    aggregation, no join — ``max(struct(price, key))`` orders
+    lexicographically so ties resolve to the max key. (Plain
+    ``max_by`` breaks ties arbitrarily; the oracle uses the join
+    formulation with the same tiebreak.)"""
+    orders = table(spark, sf_dir, "orders")
+    best = F.max(F.struct(F.col("o_totalprice"), F.col("o_orderkey"))).alias("b")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(best)
+        .select(
+            "o_orderpriority",
+            F.round(F.col("b.o_totalprice"), 2).alias("max_price"),
+            F.col("b.o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@query(
+    "explode_with_ordinality",
+    oracle="""
+    SELECT vec_id,
+           CAST(unnest(range(len(embedding))) AS INTEGER) AS pos,
+           round(CAST(unnest(embedding) AS DOUBLE), 6)    AS val
+    FROM embeddings WHERE vec_id % 25 = 0
+    """,
+)
+def explode_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode == UNNEST WITH ORDINALITY (0-based here)."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 25 == 0)
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
