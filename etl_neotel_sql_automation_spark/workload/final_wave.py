@@ -162,6 +162,65 @@ def explode_with_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_value_funcs",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(first_value(o_totalprice) OVER w, 2) AS cheapest,
+           round(last_value(o_totalprice) OVER
+               (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS priciest,
+           round(nth_value(o_totalprice, 2) OVER
+               (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+               AS second_cheapest,
+           round(lead(o_totalprice, 1, 0.0) OVER w, 2) AS next_price
+    FROM orders
+    WHERE o_orderkey % 60 = 0
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_value_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with explicit frames (the default running
+    frame makes last_value a footgun — the full frame is spelled out),
+    plus lead with a default."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 60 == 0)
+    run = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    full = run.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.first("o_totalprice").over(run), 2).alias("cheapest"),
+        F.round(F.last("o_totalprice").over(full), 2).alias("priciest"),
+        F.round(F.nth_value("o_totalprice", 2).over(full), 2).alias("second_cheapest"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(run), 2).alias("next_price"),
+    )
+
+
+@query(
+    "scalar_regexp_extract",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS name_id,
+           regexp_extract(c_name, '^([A-Za-z]+)#', 1)             AS name_prefix,
+           CAST(regexp_matches(c_name, '#0{3,}') AS BOOLEAN)      AS has_zero_pad
+    FROM customer WHERE c_custkey % 6 = 0
+    """,
+)
+def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/matching parity (group capture + boolean match).
+    Engine-vs-oracle consistency also validates that the ID encoded in
+    c_name equals c_custkey on this data."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 6 == 0)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("name_id"),
+        F.regexp_extract("c_name", r"^([A-Za-z]+)#", 1).alias("name_prefix"),
+        F.col("c_name").rlike("#0{3,}").alias("has_zero_pad"),
+    )
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
