@@ -221,6 +221,71 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect_set",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation into a sorted array (sorted => deterministic,
+    collect_set order is not)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.countDistinct("o_orderstatus").cast("int").alias("n_statuses"),
+        )
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(floor((epoch_us(e.ts) - epoch_us(CAST(f.cohort AS TIMESTAMP)))
+                  / 604800000000.0) AS INTEGER) AS week_n
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort, week_n, count(*) AS n_active
+    FROM activity GROUP BY cohort, week_n
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted per week-offset of later activity. Two aggregations + one
+    user-keyed join (first_seen is user-sized -> broadcastable)."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros(F.col("cohort").cast("timestamp")))
+                / F.lit(float(week_us))
+            )
+            .cast("int")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "week_n").agg(F.count("*").alias("n_active"))
+
+
+@query(
     "q6_forecast_revenue",
     oracle="""
     SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue

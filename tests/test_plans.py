@@ -69,7 +69,7 @@ def test_bench_headline_subset_of_registry(spark):
     from etl_neotel_sql_automation_spark.workload import queries as qreg
 
     assert set(bench.HEADLINE) <= set(qreg())
-    assert len(qreg()) >= 75
+    assert len(qreg()) >= 77
 
 
 def test_pushdown_reaches_scan(spark):
