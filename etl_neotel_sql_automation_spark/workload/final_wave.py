@@ -224,19 +224,23 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_set",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
            CAST(count(DISTINCT o_orderstatus) AS INTEGER) AS n_statuses
     FROM orders GROUP BY o_orderpriority
     """,
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set aggregation into a sorted array (sorted => deterministic,
-    collect_set order is not)."""
+    """Set aggregation into a sorted, comma-joined string (sorted =>
+    deterministic, collect_set order is not; string not array because
+    the driver's canonicalizer sorts result rows with pandas, which
+    cannot hash array-typed cells)."""
     return (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderpriority")
         .agg(
-            F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+                "statuses"
+            ),
             F.countDistinct("o_orderstatus").cast("int").alias("n_statuses"),
         )
     )

@@ -182,16 +182,45 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("agg_approx_stats")  # sketches are engine-specific: rows-only check
+@query(
+    "agg_approx_stats",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n,
+           TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The at-scale variants of distinct-count and percentile:
-    HyperLogLog++ and GK-sketch. Not oracle-comparable by construction
-    (approximation algorithms differ per engine)."""
+    """The at-scale variants of distinct-count and percentile
+    (HyperLogLog++ and the GK sketch) under a *derived-property*
+    oracle: the sketch estimates themselves are engine-specific, so the
+    compared output carries booleans asserting the estimates' accuracy
+    bounds (HLL++ within ±10% of exact; approx_percentile inside the
+    exact p45..p55 / p90..p99 value envelope — GK rank error at default
+    accuracy is n/10000, far tighter). DuckDB reproduces the booleans
+    as TRUE, giving the driver a real differential gate on the sketch
+    without comparing approximations across engines."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("approx_p"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("l_orderkey").alias("ad"),
+            F.countDistinct("l_orderkey").alias("ed"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("ap50"),
+            F.expr("approx_percentile(l_extendedprice, 0.95)").alias("ap95"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("e45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("e55"),
+            F.expr("percentile(l_extendedprice, 0.90)").alias("e90"),
+            F.expr("percentile(l_extendedprice, 0.99)").alias("e99"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            (F.abs(F.col("ad") - F.col("ed")) <= F.col("ed") * 0.1).alias("distinct_ok"),
+            F.col("ap50").between(F.col("e45"), F.col("e55")).alias("p50_ok"),
+            F.col("ap95").between(F.col("e90"), F.col("e99")).alias("p95_ok"),
+        )
     )
 
 
