@@ -75,7 +75,7 @@ def etl_quarantine_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     unparseable date)."""
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     cust = table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     raw = j.select(
         F.col("c_name").alias("Agente"),
         F.when(F.col("o_orderkey") % 11 == 0, F.lit("bad"))
@@ -136,8 +136,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
         .filter(F.col("cust_nation") < F.col("supp_nation"))
@@ -172,7 +172,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = table(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

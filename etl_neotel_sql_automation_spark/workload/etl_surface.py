@@ -264,7 +264,7 @@ def etl_drop_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def etl_conform_conducta(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == 0)
     cust = table(spark, sf_dir, "customer")
-    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
     two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
     raw = j.select(
         # Raw headers as the CRM would emit them -> exercises P-1 + P-2

@@ -50,7 +50,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # scalar; driver-side count is fine (metadata-sized)
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    scored = tf.join(dfreq, "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
@@ -273,7 +273,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     week_us = 7 * 24 * 3600 * 1_000_000
     activity = (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .select(
             "user_id",
             "cohort",
@@ -327,7 +327,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-join, letting the broadcast hash join survive."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") < 20))

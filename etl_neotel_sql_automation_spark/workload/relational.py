@@ -1,11 +1,16 @@
 """Relational operator workloads (SURVEY.md §2.3-2.8): joins of every
 flavor, aggregations, windows, sorts/top-k, set ops, scalar functions.
 
-Scale notes: dimension sides are explicitly ``broadcast()`` so the fact
-scan never shuffles for them; aggregations rely on Spark's partial
-(map-side) aggregation; windows partition on their natural key. Every
-top-k ORDER BY carries a unique tiebreak so LIMIT boundaries are
-deterministic across engines.
+Scale notes: only FIXED-cardinality dimensions (``region``: 5 rows,
+``nation``: 25 — constant at every scale factor) carry an explicit
+``broadcast()`` hint. Tables that grow with the scale factor
+(``customer``/``supplier``/``part``) are left unhinted: at bench scale
+Catalyst's size statistics (and AQE at runtime) still choose a
+broadcast join, but at 100 TB the optimizer keeps the freedom to fall
+back to a shuffled join instead of OOMing on a pinned broadcast.
+Aggregations rely on Spark's partial (map-side) aggregation; windows
+partition on their natural key. Every top-k ORDER BY carries a unique
+tiebreak so LIMIT boundaries are deterministic across engines.
 """
 
 from __future__ import annotations
@@ -101,7 +106,7 @@ def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -143,9 +148,9 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -183,7 +188,7 @@ def flagship_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     reg = table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .groupBy("r_name", "n_name")

@@ -72,6 +72,35 @@ def test_bench_headline_subset_of_registry(spark):
     assert len(qreg()) >= 77
 
 
+@pytest.mark.parametrize(
+    ("name", "n_pinned_dims"),
+    [
+        ("q3_top_unshipped", 0),          # no fixed dim in the query
+        ("q5_region_volume", 2),          # nation + region
+        ("q7_nation_volume", 2),          # nation x2
+        ("q10_returned_items", 1),        # nation
+        ("flagship_region_revenue", 2),   # nation + region
+        ("q19_disjunctive_join", 0),      # part scales with SF -> unpinned
+        ("q14_promo_share", 0),           # part scales with SF -> unpinned
+        ("text_tfidf_top_terms", 0),      # vocab table grows at web scale
+        ("events_retention_cohorts", 0),  # first_seen is user-sized
+    ],
+)
+def test_no_forced_broadcast_of_scaling_tables(spark, name, n_pinned_dims):
+    """With autoBroadcastJoinThreshold=-1 the optimizer never broadcasts
+    on size, so any BroadcastExchange left in the initial plan is a
+    pinned hint. Only fixed-cardinality dims (nation: 25 rows, region:
+    5) may be pinned — customer/supplier/part grow with the scale
+    factor and a pinned broadcast of them OOMs at 100 TB."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("BroadcastExchange") == n_pinned_dims, plan
+
+
 def test_pushdown_reaches_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     scan = plan[plan.index("FileScan") :]
