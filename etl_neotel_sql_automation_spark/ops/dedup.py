@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .hashing import HashFn, hash64
 from .text import normalize_text, tokens
 
 
@@ -131,15 +132,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_n: int = 3,
+    hash_fn: HashFn = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document. One explode + one groupBy —
     shuffle size is O(docs × num_hashes), independent of pair count.
 
-    Each shingle is hashed ONCE (xxhash64); the ``num_hashes`` hash
-    family is the standard linear-permutation trick h_i(x) = a_i*x + b_i
-    (wrapping 64-bit arithmetic) — 32 multiply-adds per shingle instead
-    of 32 string hashes. Duplicate shingles are left in (min is
+    Each shingle is hashed ONCE; the ``num_hashes`` hash family is the
+    standard linear-permutation trick h_i(x) = a_i*x + b_i over a 2^31
+    prime modulus — 32 multiply-adds per shingle instead of 32 string
+    hashes. Duplicate shingles are left in (min is
     duplicate-insensitive), saving the per-row array_distinct.
+
+    ``hash_fn="md5"`` makes every signature bit-identical to the
+    DuckDB oracle (see ops.hashing); ``xxhash64`` is the faster
+    Spark-only production default.
     """
     coeffs = _minhash_coeffs(num_hashes)
     toks = tokens(F.col(text_col))
@@ -151,7 +157,7 @@ def minhash_signatures(
     ).otherwise(F.array())
     sh = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(raw_shingles).alias("sh")
-    ).select("id", F.pmod(F.xxhash64("sh"), F.lit(_MERSENNE_P)).alias("h"))
+    ).select("id", F.pmod(hash64("sh", hash_fn), F.lit(_MERSENNE_P)).alias("h"))
     mins = sh.groupBy("id").agg(
         *[
             F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE_P))).alias(f"h{i}")
@@ -170,6 +176,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    hash_fn: HashFn = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -178,7 +185,7 @@ def minhash_lsh_candidates(
     Output: id_a < id_b, n_bands (how many bands matched).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
     banded = sig.select(
         "id",
         F.explode(
@@ -186,8 +193,9 @@ def minhash_lsh_candidates(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                    hash64(
+                        F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+                        hash_fn,
                     ).alias("bucket"),
                 ),
             )
@@ -203,16 +211,18 @@ def minhash_lsh_candidates(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64s.
+            bits: int = 64, hash_fn: HashFn = "xxhash64") -> DataFrame:
+    """SimHash per document from 64-bit token hashes.
 
     Explodes tokens once, then computes one signed-sum per bit position
-    as 64 map-side-combinable aggregates — no per-pair work; Hamming
-    distance between signatures is a cheap post-join ``bit_count(a ^ b)``.
+    as ``bits`` map-side-combinable aggregates — no per-pair work;
+    Hamming distance between signatures is a cheap post-join
+    ``bit_count(a ^ b)``. With ``hash_fn="md5"`` use ``bits=60`` (the
+    md5-derived value carries 60 bits of entropy; see ops.hashing).
     """
     tok = _fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok")
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hash64("tok", hash_fn).alias("h"))
     aggs = [
         F.sum(
             (F.shiftright("h", i).bitwiseAND(F.lit(1)) * 2 - 1)

@@ -195,48 +195,115 @@ def cosine_near_dup_pairs(
     )
 
 
+def hyperplane_signs(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components, derived from md5 in
+    plain Python (ops.hashing) so the exact same constants can be
+    inlined into BOTH the Spark plan and a DuckDB oracle — no
+    per-row hashing in either engine."""
+    from .hashing import py_md5_long
+
+    return [
+        [py_md5_long(f"{i}:{p}:{seed}") % 2 * 2 - 1 for i in range(dim)]
+        for p in range(planes)
+    ]
+
+
+def _quantize(vec_col: Column | str) -> Column:
+    """Embedding scaled to integer-valued doubles (round(x * 1e6)).
+    Signed sums of integer-valued doubles are EXACT in IEEE arithmetic
+    (values ≪ 2^53), so hyperplane projections are bit-identical
+    regardless of summation order — the property that makes LSH bucket
+    ids reproducible across engines."""
+    return F.transform(_to_double(vec_col), lambda x: F.round(x * 1_000_000))
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 16,
     seed: int = 42,
+    dim: int = 64,
+    first_plane: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector.
 
-    Hyperplane components are deterministic pseudo-random signs derived
-    from xxhash64(dim, plane, seed) — reproducible across runs with no
-    driver-side randomness and no data movement: one projection, no
-    shuffle. Vectors in the same bucket are ANN candidates.
+    Sign matrix is precomputed driver-side (:func:`hyperplane_signs`)
+    and inlined as literals: one codegen'd projection per vector, no
+    shuffle, no per-row hashing. Projections run on the quantized
+    embedding (:func:`_quantize`) so bucket ids match the DuckDB
+    oracle bit-for-bit. ``first_plane`` offsets into the global plane
+    family so multi-table LSH can slice disjoint plane sets.
     """
-    v = _to_double(vec_col)
-    dims = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
-
-    def _signed_term(plane: int):
-        # sign_i = +1/-1 from hash(dim, plane, seed); closure factory
-        # (not a default-arg lambda: Spark counts lambda params to pick
-        # the HOF arity, and a default arg would make it look ternary).
-        def term(x: Column, i: Column) -> Column:
-            sign = (F.pmod(F.xxhash64(i, F.lit(plane), F.lit(seed)), F.lit(2)) * 2 - 1).cast(
-                "double"
-            )
-            return x * sign
-
-        return term
-
+    signs = hyperplane_signs(dim, first_plane + planes, seed)[first_plane:]
+    qv = _quantize(vec_col)
     bits = []
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(v, dims, _signed_term(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    for p, srow in enumerate(signs):
+        sv = F.array(*[F.lit(float(s)) for s in srow])
+        proj = dot(qv, sv)
         bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bits.append(F.shiftleft(bit, p))
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs via multi-table hyperplane LSH:
+    candidates from ``tables`` independent bucket equi-joins (disjoint
+    plane slices of one global family), deduped, then exact-cosine
+    scored and filtered — NO all-pairs join anywhere.
+
+    Scale: the only joins are equi-joins on (table, bucket); the corpus
+    is replicated ``tables`` times through the explode (standard LSH
+    space/recall trade). At 100 TB raise ``planes_per_table`` so bucket
+    count (2^planes) scales with corpus size — candidates per bucket,
+    not tables, dominate cost. Recall for pairs at cosine s is
+    1-(1-c^r)^T with c = 1-acos(s)/pi; 16x4 gives ~0.92 at s=0.35 and
+    ~1.0 for genuinely-near pairs.
+    """
+    signs = hyperplane_signs(dim, tables * planes_per_table, seed)
+    qv = _quantize(vec_col)
+    bits = [
+        F.when(dot(qv, F.array(*[F.lit(float(s)) for s in srow])) > 0,
+               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        for srow in signs
+    ]
+    buckets = []  # one bucket id per table, from its disjoint plane slice
+    for t in range(tables):
+        bkt = None
+        for j in range(planes_per_table):
+            term = F.shiftleft(bits[t * planes_per_table + j], j)
+            bkt = term if bkt is None else bkt + term
+        buckets.append(F.struct(F.lit(t).alias("t"), bkt.alias("bucket")))
+    banded = _fan_out(df).select(
+        F.col(id_col).alias("id"), F.explode(F.array(*buckets)).alias("tb")
+    ).select("id", "tb.t", "tb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
 
 
 def lsh_topk(

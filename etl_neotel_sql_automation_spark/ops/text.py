@@ -108,16 +108,20 @@ def fingerprint_md5(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
-def rolling_hashes(c: Column | str, window: int = 8) -> Column:
-    """Rolling token-window fingerprints: xxhash64 of each ``window``
-    consecutive tokens (winnowing-style building block). Returns
-    array<bigint>; at scale this is one codegen'd projection."""
+def rolling_hashes(c: Column | str, window: int = 8, hash_fn: str = "xxhash64") -> Column:
+    """Rolling token-window fingerprints: 64-bit hash of each ``window``
+    consecutive tokens joined on the \\x01 separator (winnowing-style
+    building block). Returns array<bigint>; at scale this is one
+    codegen'd projection. ``hash_fn="md5"`` gives DuckDB-reproducible
+    hashes (see ops.hashing)."""
+    from .hashing import hash64
+
     toks = tokens(c)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
     return F.transform(
         idx,
-        lambda i: F.xxhash64(F.concat_ws("", F.slice(toks, i + 1, window))),
+        lambda i: hash64(F.concat_ws("", F.slice(toks, i + 1, window)), hash_fn),
     )
 
 

@@ -87,16 +87,38 @@ def etl_quarantine_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("agente", "reject_reason")
 
 
-@query("dedup_winnow_candidates")  # xxhash64 rolling windows: rows-only
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents),
+win AS (
+  SELECT id, unnest(list_distinct(list_transform(
+      range(0, greatest(len(toks) - 8, 0) + 1),
+      i -> CAST(('0x' || substr(md5(array_to_string(list_slice(toks, i + 1, i + 8),
+                                                    chr(1))), 1, 15)) AS BIGINT)
+  ))) AS h
+  FROM t
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared_windows
+FROM win a JOIN win b ON a.h = b.h AND a.id < b.id
+GROUP BY a.id, b.id
+"""
+
+
+@query("dedup_winnow_candidates", oracle=_WINNOW_ORACLE)
 def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style near-dup candidates: documents sharing any
     rolling 8-token window hash. Same explode -> bucket-join shape as
     MinHash-LSH (no cross join); sharper for contiguous plagiarism-style
-    overlap, blinder to scattered edits."""
+    overlap, blinder to scattered edits. Runs on the md5-derived
+    cross-engine hash so the DuckDB oracle replays the rolling windows
+    bit-identically (ops.hashing)."""
     docs = table(spark, sf_dir, "documents")
     wh = docs.select(
         F.col("doc_id").alias("id"),
-        F.explode(F.array_distinct(X.rolling_hashes("text", window=8))).alias("h"),
+        F.explode(
+            F.array_distinct(X.rolling_hashes("text", window=8, hash_fn="md5"))
+        ).alias("h"),
     )
     a, b = wh.alias("a"), wh.alias("b")
     return (

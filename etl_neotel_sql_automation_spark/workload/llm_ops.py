@@ -2,10 +2,12 @@
 dedup (exact, fingerprint, Jaccard, MinHash-LSH, SimHash), text
 analysis, similarity search.
 
-SQL-expressible ops carry DuckDB oracles; MinHash/SimHash/LSH rely on
-Spark's xxhash64 and are registered rows-only (the driver records the
-weaker check; Jaccard provides the differential ground truth for the
-near-dup surface).
+Every registered query here carries a DuckDB oracle. The hash-based
+ops (MinHash, SimHash, winnowing, hyperplane LSH) achieve this by
+running on the md5-derived cross-engine hash (ops.hashing) instead of
+Spark-only xxhash64, so the oracle replays the exact same pipeline —
+signatures, buckets, candidate pairs — bit-identically in SQL. The
+operators keep ``hash_fn="xxhash64"`` as the faster production default.
 """
 
 from __future__ import annotations
@@ -16,10 +18,70 @@ from pyspark.sql import functions as F
 from ..ops import dedup as D
 from ..ops import similarity as S
 from ..ops import text as X
+from ..ops.dedup import _MERSENNE_P, _minhash_coeffs
+from ..ops.hashing import sql_md5_long
 from . import query, table
 
 # DuckDB token list mirroring ops.text.tokens
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+def _minhash_oracle(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3) -> str:
+    """DuckDB twin of ops.dedup.minhash_lsh_candidates(hash_fn="md5"):
+    same shingles, same md5-derived base hash, same (a,b) permutation
+    coefficients (both sides generate them from random.Random(42)),
+    same banded bucket hash — candidates match bit-for-bit."""
+    p = _MERSENNE_P
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {band} AS band, {bucket} AS bucket FROM sig".format(
+            band=b,
+            bucket=sql_md5_long(
+                "concat_ws(',', " + ", ".join(f"h{b * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id AS id, {_SQL_TOKS} AS toks FROM documents),
+    sh0 AS (
+      SELECT id, unnest(CASE WHEN len(toks) >= {shingle_n} THEN
+          list_transform(range(1, greatest(len(toks) - {shingle_n - 1}, 0) + 1),
+                         i -> array_to_string(list_slice(toks, i, i + {shingle_n - 1}), ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    ),
+    sh AS (SELECT id, {sql_md5_long("sh")} % {p} AS h FROM sh0),
+    sig AS (SELECT id, {mins}
+            FROM sh GROUP BY id),
+    bands AS ({band_rows})
+    SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    GROUP BY a.id, b.id
+    """
+
+
+def _simhash_oracle(bits: int = 60) -> str:
+    """DuckDB twin of ops.dedup.simhash(hash_fn="md5", bits=60)."""
+    sums = ",\n             ".join(
+        f"sum(((h >> {i}) & 1) * 2 - 1) AS b{i}" for i in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {i})"
+        for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id AS id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    h AS (SELECT id, {sql_md5_long("tok")} AS h FROM tok),
+    sums AS (SELECT id, {sums}
+             FROM h GROUP BY id)
+    SELECT id, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """
 
 
 @query(
@@ -70,14 +132,18 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
-@query("dedup_minhash_candidates")  # xxhash64-based: rows-only check
+@query("dedup_minhash_candidates", oracle=_minhash_oracle())
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_lsh_candidates(table(spark, sf_dir, "documents"))
+    """Banded MinHash-LSH candidates on the cross-engine md5 hash —
+    the DuckDB oracle replays signatures + banding bit-identically."""
+    return D.minhash_lsh_candidates(table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
-@query("dedup_simhash")  # xxhash64-based: rows-only check
+@query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash(table(spark, sf_dir, "documents"))
+    """60-bit SimHash on the cross-engine md5 hash (differentially
+    checked; production default stays 64-bit xxhash64)."""
+    return D.simhash(table(spark, sf_dir, "documents"), bits=60, hash_fn="md5")
 
 
 _SQL_STOPS = "('" + "','".join(X.STOPWORDS) + "')"
@@ -170,8 +236,54 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
-@query("sim_lsh_topk")  # ANN: recall < 1 by design; rows-only check
+# Quantized embedding: integer-valued doubles make hyperplane
+# projections order-independent-exact, hence engine-reproducible.
+_SQL_QV = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
+
+
+def _sql_bucket(sign_rows: list[list[int]]) -> str:
+    """DuckDB bucket-id expression over column ``qv`` for the given
+    hyperplane sign rows (one bit per row, LSB first) — the literal
+    twin of ops.similarity.hyperplane_lsh_buckets."""
+    terms = [
+        "(CASE WHEN list_dot_product(qv, ["
+        + ", ".join(f"{s}.0" for s in srow)
+        + "]) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << "
+        + f"{j})"
+        for j, srow in enumerate(sign_rows)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lsh_topk_oracle(k: int = 5, planes: int = 4, dim: int = 64) -> str:
+    bucket = _sql_bucket(S.hyperplane_signs(dim, planes))
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_QV} AS qv
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+    q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id, v AS n_vec, bucket FROM b),
+    scored AS (
+      SELECT q_id, n_id, round(list_cosine_similarity(q_vec, n_vec), 6) AS sim
+      FROM c JOIN q ON c.bucket = q.bucket AND q_id <> n_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, rank, sim FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("sim_lsh_topk", oracle=_lsh_topk_oracle())
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane-LSH bucketing. Buckets are computed
+    from md5-derived sign literals over quantized embeddings, so the
+    DuckDB oracle reproduces bucket assignment — and therefore the ANN
+    result — bit-identically (recall < 1 vs exact search by design;
+    the differential check is against the same bucketed algorithm)."""
     emb = table(spark, sf_dir, "embeddings")
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
 
@@ -224,20 +336,48 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.v, b.v), 6) AS sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
-    """,
-)
+def _lsh_near_dup_oracle(
+    threshold: float = 0.35, tables: int = 16, planes_per_table: int = 4, dim: int = 64
+) -> str:
+    """DuckDB twin of ops.similarity.lsh_near_dup_pairs: identical
+    multi-table buckets (same md5-derived sign literals, same quantized
+    projections), identical candidate join, identical exact-cosine
+    filter."""
+    signs = S.hyperplane_signs(dim, tables * planes_per_table)
+    band_rows = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, "
+        + _sql_bucket(signs[t * planes_per_table:(t + 1) * planes_per_table])
+        + " AS bucket FROM e"
+        for t in range(tables)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_QV} AS qv
+               FROM embeddings),
+    bands AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+    FROM cand
+    JOIN e ea ON cand.id_a = ea.vec_id
+    JOIN e eb ON cand.id_b = eb.vec_id
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= {threshold}
+    """
+
+
+@query("dedup_embedding_cosine", oracle=_lsh_near_dup_oracle())
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: the fifth dedup modality (exact,
-    fingerprint, Jaccard, MinHash, embedding)."""
-    return S.cosine_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+    """Embedding-cosine near-dup — the fifth dedup modality (exact,
+    fingerprint, Jaccard, MinHash, embedding) — in its scale-safe
+    form: multi-table hyperplane-LSH candidates (bucket equi-joins
+    only, no all-pairs/broadcast-nested-loop join) with an exact
+    cosine >= threshold filter inside buckets. The oracle replays the
+    same bucketing bit-identically; recall vs the all-pairs baseline
+    is asserted in tests (ops.similarity.cosine_near_dup_pairs stays
+    as the small-corpus verification helper)."""
+    return S.lsh_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 @query(

@@ -54,6 +54,31 @@ def test_multimodal_is_arrow_not_rowudf(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time would be the bug
 
 
+@pytest.mark.parametrize("name", ["dedup_embedding_cosine", "sim_lsh_topk"])
+def test_embedding_ops_have_no_allpairs_join(spark, name):
+    """The registered embedding near-dup/ANN queries must go through
+    LSH bucket equi-joins — an all-pairs (broadcast nested loop /
+    cartesian) join is the 100 TB scale-killer the LSH path exists to
+    avoid."""
+    plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_near_dup_recall_vs_allpairs(spark):
+    """Multi-table LSH candidates must recover ~all all-pairs near-dups
+    (16 tables x 4 planes => expected recall ~0.92+ at threshold 0.35)
+    and never invent a pair (exact-cosine filter => precision 1)."""
+    from etl_neotel_sql_automation_spark.ops import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in S.cosine_near_dup_pairs(emb, 0.35).collect()}
+    lsh = {(r.id_a, r.id_b) for r in S.lsh_near_dup_pairs(emb, 0.35).collect()}
+    assert lsh <= exact  # precision 1.0: every emitted pair is a true pair
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.85
+
+
 def test_range_join_is_equi_not_nlj(spark):
     """The banded range join must plan as an equi-join on (type, bucket);
     a BroadcastNestedLoopJoin would mean the banding got lost and the
