@@ -288,10 +288,48 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, planes=4)
 
 
-@query("sim_ivf_topk")  # ANN (k-means quantizer): rows-only check
+@query(
+    "sim_ivf_topk",
+    oracle="""
+    SELECT CAST(count(*) AS INTEGER) AS n_queries,
+           TRUE AS results_ok, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) ANN under a derived-property
+    oracle: k-means centroids are engine-specific so the ANN rows
+    cannot be hash-compared, but their quality can — the query runs
+    IVF top-5 AND the exact brute-force top-5 over the same 10 query
+    vectors and emits booleans the DuckDB oracle reproduces as TRUE:
+    every query returns exactly k results (results_ok) and mean
+    recall@5 >= 0.6 (recall_ok; measured 0.8 at sf0.001/sf0.01 with
+    n_probe=8 on random vectors — the hard case). The row listing
+    itself stays available via ops.similarity.ivf_topk."""
     emb = table(spark, sf_dir, "embeddings")
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    q = emb.filter(F.col("vec_id") < 10)
+    ivf = S.ivf_topk(emb, q, k=5)
+    exact = S.brute_force_topk(emb, q, k=5)
+    hits = (
+        ivf.alias("i")
+        .join(
+            exact.alias("e"),
+            (F.col("i.q_id") == F.col("e.q_id")) & (F.col("i.n_id") == F.col("e.n_id")),
+        )
+        .groupBy(F.col("i.q_id").alias("q_id"))
+        .agg(F.count("*").alias("n_hit"))
+    )
+    per_q = (
+        ivf.groupBy("q_id")
+        .agg(F.count("*").alias("n_res"))
+        .join(hits, "q_id", "left")
+        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+    )
+    return per_q.agg(
+        F.count("*").cast("int").alias("n_queries"),
+        ((F.min("n_res") == 5) & (F.max("n_res") == 5)).alias("results_ok"),
+        ((F.sum("n_hit") / (5.0 * F.count("*"))) >= 0.6).alias("recall_ok"),
+    )
 
 
 @query(
