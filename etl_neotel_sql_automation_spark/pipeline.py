@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,47 @@ logger = logging.getLogger(__name__)
 EXIT_OK = 0
 EXIT_RUNTIME = 1
 EXIT_CONFIG = 2
+
+
+def env_var(name: str, required: bool = True, default: str = "") -> str:
+    """R-5: fetch an environment variable, failing fast when a required
+    one is unset/empty (main.py:56-72 ``obtener_variable_entorno``).
+    The raised ``EnvironmentError`` is mapped to exit code 2 by
+    :func:`main`, before any Spark session is created."""
+    val = os.getenv(name)
+    if required and not val:
+        raise EnvironmentError(
+            f"required environment variable {name!r} is not set "
+            "(export it or provide the matching CLI flag)"
+        )
+    return val or default
+
+
+@dataclass(frozen=True)
+class JdbcConfig:
+    """JDBC sink credentials, mirroring the reference's SQL_* env block
+    (main.py:80-88): all-or-nothing — a partially configured sink is a
+    config error, not a runtime surprise."""
+
+    url: str
+    user: str
+    password: str
+    driver: str
+
+
+def load_jdbc_config() -> JdbcConfig | None:
+    """Collect the optional JDBC sink config from the environment.
+    Returns None when no JDBC sink is requested (``ETL_JDBC_URL``
+    unset); raises ``EnvironmentError`` when it is requested but
+    credentials are missing (R-5 fail-fast)."""
+    if not os.getenv("ETL_JDBC_URL"):
+        return None
+    return JdbcConfig(
+        url=env_var("ETL_JDBC_URL"),
+        user=env_var("ETL_JDBC_USER"),
+        password=env_var("ETL_JDBC_PASSWORD"),
+        driver=env_var("ETL_JDBC_DRIVER", required=False, default="org.postgresql.Driver"),
+    )
 
 
 def transform_all(raw: dict[str, DataFrame]) -> dict[str, DataFrame]:
@@ -78,14 +121,25 @@ def run_etl(
 
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="Landing-dir ETL (Spark)")
-    parser.add_argument("--landing", required=True)
-    parser.add_argument("--out", required=True)
+    parser.add_argument("--landing", default=None, help="fallback: $ETL_LANDING_DIR")
+    parser.add_argument("--out", default=None, help="fallback: $ETL_OUTPUT_DIR")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s %(message)s",
     )
+    # R-5: resolve + validate ALL config before any work; every failure
+    # here is exit 2 (the reference validates its env block at import,
+    # before the browser/DB ever start — main.py:52-88)
+    try:
+        landing = args.landing or env_var("ETL_LANDING_DIR")
+        out = args.out or env_var("ETL_OUTPUT_DIR")
+        load_jdbc_config()  # optional sink: validated all-or-nothing
+    except EnvironmentError as e:
+        logger.error("config error: %s", e)
+        return EXIT_CONFIG
+    args.landing, args.out = landing, out
     if not Path(args.landing).is_dir():
         logger.error("landing dir %s does not exist", args.landing)
         return EXIT_CONFIG

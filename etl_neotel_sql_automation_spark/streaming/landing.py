@@ -11,8 +11,13 @@ Parity map (reference -> Structured Streaming):
   (main.py:1534-1537) -> ``withWatermark`` + idempotent
   ``foreachBatch`` date overwrite: a late row re-emits its date
   partition; the overwrite keeps the sink correct.
-- ST-4 landing-dir hygiene (main.py:212-232) -> ``cleanSource`` option
-  / checkpoint retention.
+- ST-4 landing-dir hygiene (main.py:212-232) -> ``cleanSource``
+  archive/delete: processed files are moved out of (or removed from)
+  the landing dir so it never accumulates. Spark performs the cleanup
+  when the *next* micro-batch commits the previous one, so with
+  ``availableNow`` one-shot runs, files land in the archive on the
+  following run — same steady-state as the reference's post-load
+  cleanup, verified in tests/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -52,24 +57,36 @@ def stream_landing_csv(
     output_path: str | Path,
     checkpoint_dir: str | Path,
     available_now: bool = True,
+    clean_source: str = "off",
+    archive_dir: str | Path | None = None,
 ):
     """Continuously conform + load every completed CSV that appears in
     ``landing_dir``. Idempotent per date partition via foreachBatch ->
     dynamic partition overwrite, so re-delivered or late files converge
     instead of duplicating.
 
+    ``clean_source`` (ST-4): "archive" moves processed files under
+    ``archive_dir``, "delete" removes them, "off" leaves them (the
+    checkpoint log alone prevents re-reads). Archival is applied by
+    Spark when the following batch commits.
+
     Returns the started StreamingQuery (caller awaits/stops).
     """
+    if clean_source == "archive" and archive_dir is None:
+        raise ValueError("clean_source='archive' requires archive_dir")
     schema, encoding, sep = infer_landing_schema(spark, landing_dir)
-    src = (
+    reader = (
         spark.readStream.schema(schema)
         .option("header", True)
         .option("encoding", encoding)
         .option("sep", sep)
         .option("pathGlobFilter", "*.csv")  # ST-1: never read in-flight temp files
         .option("maxFilesPerTrigger", 16)
-        .csv(str(landing_dir))
+        .option("cleanSource", clean_source)  # ST-4 landing hygiene
     )
+    if archive_dir is not None:
+        reader = reader.option("sourceArchiveDir", str(archive_dir))
+    src = reader.csv(str(landing_dir))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         out = add_audit_column(conform(batch_df, spec))

@@ -60,6 +60,39 @@ def test_stream_landing_incremental_and_idempotent(spark, tmp_path):
     assert rows == {("ana", "2026-08-12"), ("eve", "2026-08-13")}
 
 
+def test_stream_landing_archives_processed_files(spark, tmp_path):
+    """ST-4 landing hygiene: with cleanSource=archive, files from a
+    committed batch are moved into the archive dir when the following
+    run commits them — the landing dir reaches the reference's
+    post-load steady state (processed files gone, never re-read)."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out, ckpt, arch = tmp_path / "out", tmp_path / "ckpt", tmp_path / "archive"
+    (landing / "conducta_day1.csv").write_text(CSV_DAY1)
+
+    def run():
+        q = stream_landing_csv(
+            spark, landing, CONDUCTA_SPEC, out, ckpt,
+            clean_source="archive", archive_dir=arch,
+        )
+        q.awaitTermination(120)
+        assert not q.isActive or q.stop() is None
+
+    run()
+    # second run (with a new file so a batch commits) archives day1
+    (landing / "conducta_day2.csv").write_text(CSV_DAY2)
+    run()
+    deadline = time.time() + 30  # archival is async best-effort
+    while time.time() < deadline and (landing / "conducta_day1.csv").exists():
+        time.sleep(0.5)
+    archived = [p.name for p in arch.rglob("*.csv")]
+    assert archived == ["conducta_day1.csv"]
+    assert not (landing / "conducta_day1.csv").exists()
+    # archived file was processed exactly once; output is intact
+    rows = {(r.agente, str(r.fecha)) for r in spark.read.parquet(str(out)).collect()}
+    assert rows == {("ana", "2026-08-12"), ("bob", "2026-08-13")}
+
+
 def test_streaming_matches_batch_twin(spark):
     sf = "/root/testdata/sf0.001"
     streamed = stream_events_hourly(spark, sf)
