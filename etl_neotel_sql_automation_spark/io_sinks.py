@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import logging
 import re
+import uuid
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -87,22 +88,36 @@ class JdbcStagingWriter:
 
     def write(self, df: DataFrame, table: str, fecha: str) -> int:
         """Load one date idempotently: parallel append to staging, then
-        one driver transaction moves it into the target (R-3 parity)."""
+        one driver transaction moves it into the target (R-3 parity).
+
+        - staging name is unique per run, so concurrent loads (backfill
+          + daily run) never interleave rows or clobber each other;
+        - the INSERT names columns explicitly on both sides, so it
+          survives target/staging column-order differences;
+        - the staging table is DROPped inside the transaction;
+        - the input is computed ONCE (cheap ``isEmpty`` guard, then the
+          Spark write); the returned row count is the DB-reported
+          INSERT rowcount (-1 if the driver does not report one).
+        """
         validate_table_name(table)
-        staging = f"{table}__stg"
-        n = df.count()
-        if n == 0:
+        for c in df.columns:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", c):
+                raise ValueError(f"column {c!r} is not a valid identifier")
+        if df.isEmpty():
             logger.info("skip empty load for %s %s", table, fecha)  # P-8
             return 0
+        staging = f"{table}__stg_{uuid.uuid4().hex[:12]}"
         write_fn = self.spark_jdbc_write or self._default_spark_write
         write_fn(df, staging)
+        collist = ", ".join(df.columns)
         conn = self.connect()
         try:
             cur = conn.cursor()
             # single transaction: the target never shows a half-loaded date
             cur.execute(f"DELETE FROM {table} WHERE CAST(fecha AS DATE) = ?", (fecha,))
-            cur.execute(f"INSERT INTO {table} SELECT * FROM {staging}")
-            cur.execute(f"DELETE FROM {staging}")
+            cur.execute(f"INSERT INTO {table} ({collist}) SELECT {collist} FROM {staging}")
+            n = getattr(cur, "rowcount", -1)
+            cur.execute(f"DROP TABLE {staging}")
             conn.commit()
         except Exception:
             conn.rollback()

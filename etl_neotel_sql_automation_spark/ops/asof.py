@@ -35,44 +35,48 @@ def asof_join(
     """For each left row, attach the latest right row with
     ``right_time <= left_time`` on the same key (direction='backward').
 
-    Ties on ``right_time`` resolve to the greatest ``right_vals[0]``
-    (deterministic). Right columns are null when no right row precedes.
+    Ties on ``right_time`` resolve to the greatest ``right_vals``
+    tuple (lexicographic, deterministic). Right columns are null when
+    no right row precedes.
+
+    All ``right_vals`` travel as ONE struct carried by a single
+    ``last(ignorenulls)``: the attached values always come from the
+    same right row, even when individual right columns contain nulls
+    (per-column carries could mix columns from different rows).
     """
     if direction != "backward":
         raise NotImplementedError("only backward as-of implemented")
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    rv_type = T.StructType([T.StructField(c, right.schema[c].dataType) for c in right_vals])
     # tag: right rows sort before left rows at equal time (<= semantics);
-    # among right ties, later right_vals[0] wins the last() carry.
+    # among right ties, the greatest right_vals struct wins the carry.
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_vals],
+        F.struct(*right_vals).alias("__rv"),
         *[F.lit(None).alias(f"__l_{c}") for c in lcols],
     )
     l = left.select(  # noqa: E741
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_vals],
+        F.lit(None).cast(rv_type).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
-    tie = f"__r_{right_vals[0]}"
     w = (
         W.partitionBy("__k")
-        .orderBy("__t", "__is_left", tie)
+        .orderBy("__t", "__is_left", "__rv")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__a_{c}")
-            for c in right_vals
-        ],
+        "*", F.last("__rv", ignorenulls=True).over(w).alias("__a")
     )
     return merged.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in lcols],
-        *[F.col(f"__a_{c}").alias(c) for c in right_vals],
+        *[F.col(f"__a.{c}").alias(c) for c in right_vals],
     )
 
 

@@ -45,6 +45,33 @@ def test_asof_join_semantics(spark):
     assert got == {1: 102, 2: 101, 3: None, 4: 202}
 
 
+def test_asof_join_null_right_vals_stay_row_consistent(spark):
+    """When a right-side value column contains nulls, ALL attached
+    columns must still come from the SAME right row (the single-struct
+    carry; independent per-column last(ignorenulls) would resurrect an
+    older row's value for the null column)."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01 10:00:00"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 08:00:00"), 101, "old"),
+            ("u1", _ts("2024-01-01 09:00:00"), 102, None),  # latest: tag null
+        ],
+        "k string, t timestamp, okey long, tag string",
+    )
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="k",
+        left_time="ts", right_time="t",
+        right_vals=["okey", "tag"],
+    ).collect()[0]
+    # latest right row wins wholesale: okey=102 AND tag=None —
+    # not (okey=102, tag="old") column mixing
+    assert (out.okey, out.tag) == (102, None)
+
+
 def test_sessionize_gap_boundary(spark):
     rows = [
         (1, 7, _ts("2024-01-01 10:00:00")),

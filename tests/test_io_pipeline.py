@@ -118,12 +118,14 @@ def test_validate_table_name():
 class _FakeConn:
     def __init__(self, log):
         self.log = log
+        self.rowcount = -1
 
     def cursor(self):
         return self
 
     def execute(self, sql, params=()):
         self.log.append(("exec", " ".join(sql.split()), params))
+        self.rowcount = 1 if sql.lstrip().startswith("INSERT") else -1
 
     def commit(self):
         self.log.append(("commit",))
@@ -136,9 +138,10 @@ class _FakeConn:
 
 
 def test_jdbc_staging_writer_transaction_plan(spark):
-    """The writer must: append to staging via Spark, then in ONE driver
-    transaction delete the date, move staging into the target, and clear
-    staging (R-3 parity with main.py:1534-1572)."""
+    """The writer must: append to a per-run unique staging table via
+    Spark, then in ONE driver transaction delete the date, move staging
+    into the target with explicit column lists, and DROP the staging
+    table (R-3 parity with main.py:1534-1572)."""
     log: list = []
     staged: list = []
     w = JdbcStagingWriter(
@@ -148,18 +151,28 @@ def test_jdbc_staging_writer_transaction_plan(spark):
     )
     df = spark.createDataFrame([(1, "2026-08-13")], ["id", "fecha"])
     n = w.write(df, "tbl_neotel_conducta", "2026-08-13")
-    assert n == 1
-    assert staged == [("tbl_neotel_conducta__stg", 1)]
+    assert n == 1  # DB-reported INSERT rowcount, not a second Spark count
+    assert len(staged) == 1 and staged[0][1] == 1
+    staging = staged[0][0]
+    assert staging.startswith("tbl_neotel_conducta__stg_")
+    assert staging != "tbl_neotel_conducta__stg"  # unique per run
     sqls = [e[1] for e in log if e[0] == "exec"]
     assert sqls == [
         "DELETE FROM tbl_neotel_conducta WHERE CAST(fecha AS DATE) = ?",
-        "INSERT INTO tbl_neotel_conducta SELECT * FROM tbl_neotel_conducta__stg",
-        "DELETE FROM tbl_neotel_conducta__stg",
+        f"INSERT INTO tbl_neotel_conducta (id, fecha) SELECT id, fecha FROM {staging}",
+        f"DROP TABLE {staging}",
     ]
     assert ("commit",) in log and ("rollback",) not in log
+    # two writes use two distinct staging tables (concurrency safety)
+    w.write(df, "tbl_neotel_conducta", "2026-08-13")
+    assert staged[1][0] != staging
     # whitelist enforced before any SQL
     with pytest.raises(ValueError):
         w.write(df, "evil_table", "2026-08-13")
+    # column identifiers are validated before interpolation
+    bad = spark.createDataFrame([(1, "x")], ["id", "fecha; DROP--"])
+    with pytest.raises(ValueError):
+        w.write(bad, "tbl_neotel_conducta", "2026-08-13")
 
 
 def test_jdbc_staging_writer_empty_skip(spark):
