@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
             llm_ops,
             relational,
             tpch_extra,
+            tpch_wave3,
         )
 
         _LOADED = True
