@@ -1,0 +1,94 @@
+"""Connected components over candidate-pair graphs — the clustering
+step a dedup pipeline runs after candidate generation (pairs -> groups
+-> one keeper per group).
+
+Algorithm: iterative min-label propagation. Each node starts labeled
+with itself; every round each node takes the min label among itself
+and its neighbors; fixpoint = components labeled by their min node id.
+The result is unique (min over the component) regardless of iteration
+order, so it is deterministic and oracle-checkable.
+
+Scale design: each round is one equi-join + one groupBy (both on node
+id — AQE-managed shuffles, no driver-side graph). Rounds needed =
+graph diameter, which for near-dup clusters is tiny (pairs/triples,
+diameter <= 3). The driver loop only orchestrates; per-round
+``localCheckpoint`` truncates lineage so plans don't grow with the
+iteration count (at cluster scale use ``checkpoint`` to HDFS/S3
+instead). The convergence check is one small count per round —
+unavoidable for any fixpoint algorithm.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Label every node with the min node id of its connected component.
+
+    ``nodes``: one row per node (singletons allowed — they keep their
+    own label). ``edges``: undirected pairs (each pair listed once in
+    either direction). Returns (id, component).
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    for it in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    "component", F.coalesce("neigh_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        logger.info("connected_components iter %d: %d labels changed", it, changed)
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup groups from candidate pairs: every document labeled
+    with its cluster (min doc id in the component) and a keeper flag —
+    downstream dedup keeps ``is_keeper`` rows and drops the rest."""
+    cc = connected_components(nodes, pairs, id_col, src_col, dst_col)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

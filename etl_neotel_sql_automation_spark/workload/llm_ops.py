@@ -146,6 +146,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(table(spark, sf_dir, "documents"), bits=60, hash_fn="md5")
 
 
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id, source AS blk, unnest(list_distinct({_SQL_TOKS})) AS tok
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+edges0 AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL SELECT id_b, id_a FROM edges0
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       CAST(id = min(lbl) AS BOOLEAN) AS is_keeper
+FROM reach GROUP BY id
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTER_ORACLE)
+def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING — candidate pairs (token-Jaccard >= 0.5
+    within source blocks) resolved into connected components via
+    iterative min-label propagation (ops.graph), each doc labeled with
+    its cluster id (min doc id) and a keeper flag. The oracle computes
+    the same components with a recursive CTE — a genuinely iterative,
+    non-single-query operator differentially checked end-to-end."""
+    from ..ops import graph as G
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return G.dedup_clusters(nodes, pairs)
+
+
 _SQL_STOPS = "('" + "','".join(X.STOPWORDS) + "')"
 _SQL_NTOK = f"len({_SQL_TOKS})"
 _SQL_NSTOP = f"len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPS}))"

@@ -137,3 +137,17 @@ def test_sample_frames_shape(spark, docs):
     assert all(len(r.frame) <= 16 for r in got)
     payload = b"the quick brown fox jumps over the lazy dog and runs far away home"
     assert bytes(got[0].frame) == payload[:16]
+
+
+def test_connected_components_chain_cycle_singleton(spark):
+    """Min-label propagation must cross multi-hop chains (diameter > 1),
+    close cycles, and leave singletons labeled as themselves."""
+    from etl_neotel_sql_automation_spark.ops.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 1-2-3-4 (diameter 3), cycle 5-6-7-5, singleton 8
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
