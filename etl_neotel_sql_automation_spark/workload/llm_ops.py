@@ -260,6 +260,81 @@ def text_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
+_SQL_QUALITY = (
+    f"(least({_SQL_NTOK} / 100.0, 1.0) * 0.4"
+    f" + (1.0 - least({_SQL_PUNCT} * 5, 1.0)) * 0.3"
+    f" + least(CASE WHEN {_SQL_NTOK} > 0 THEN CAST({_SQL_NSTOP} AS DOUBLE) / {_SQL_NTOK}"
+    f"         ELSE 0.0 END * 4, 1.0) * 0.3)"
+)
+
+
+@query(
+    "pretrain_filter",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+             round({_SQL_QUALITY}, 6) AS quality,
+             CASE WHEN greatest(
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("de")}))) <= 0
+                  THEN 'en'
+                  WHEN len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})) = greatest(
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("de")}))) THEN 'en'
+                  WHEN len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})) = greatest(
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("de")}))) THEN 'es'
+                  WHEN len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})) = greatest(
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})),
+                    len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("de")}))) THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM documents
+    ),
+    k AS (SELECT fingerprint, min(doc_id) AS keeper FROM feat GROUP BY fingerprint)
+    SELECT f.doc_id, f.lang_pred, f.quality,
+           CAST(f.doc_id = k.keeper AND f.lang_pred = 'en'
+                AND f.quality >= 0.55 AS BOOLEAN) AS keep
+    FROM feat f JOIN k ON f.fingerprint = k.fingerprint
+    """,
+)
+def pretrain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite pretraining-data filter — the pipeline the
+    individual text/dedup ops exist to feed: per-doc quality score,
+    language ID, and fingerprint-dedup keeper selection combined into
+    one keep/drop verdict. One projection + one fingerprint-keyed
+    aggregate; no Python, no extra scans (all features come from the
+    same pass over ``text``). The 0.55 quality threshold applies to the
+    round-6 value (no doc sits within 1e-4 of the boundary, so the
+    rounding cannot flip verdicts between engines)."""
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        X.fingerprint_md5("text").alias("fingerprint"),
+        F.round(X.quality_score("text"), 6).alias("quality"),
+        X.lang_id("text").alias("lang_pred"),
+    )
+    keepers = feat.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    return feat.join(keepers, "fingerprint").select(
+        "doc_id",
+        "lang_pred",
+        "quality",
+        (
+            (F.col("doc_id") == F.col("keeper"))
+            & (F.col("lang_pred") == "en")
+            & (F.col("quality") >= 0.55)
+        ).alias("keep"),
+    )
+
+
 @query(
     "sim_cosine_topk",
     oracle="""
