@@ -133,6 +133,44 @@ def windowed_event_agg(events: DataFrame, window: str = "1 hour", watermark: str
     )
 
 
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` with a watermark —
+    state holds one entry per key and the watermark bounds how long a
+    key is remembered (the at-scale answer to "don't train on the same
+    event twice" for infinite streams). Run as a real streaming query
+    (availableNow -> finite); the emitted distinct key set must equal
+    the batch DISTINCT oracle. Only the key columns are returned:
+    which physical row arrives first is scheduler-dependent, the key
+    set is not."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dedup = (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"events_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed aggregation as a real streaming query over the
     events parquet (availableNow -> finite), returning the final result

@@ -260,6 +260,37 @@ def text_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", X.lang_id("text").alias("lang_pred"))
 
 
+@query(
+    "sample_hash_stratified",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(concat('sample:', CAST(doc_id AS VARCHAR))), 1, 15))
+               AS BIGINT) % 100
+          < CASE WHEN source IN ('src0', 'src1', 'src2') THEN 50
+                 WHEN source IN ('src3', 'src4') THEN 25 ELSE 10 END
+    """,
+)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the reproducible way to
+    sample training data at 100 TB: keep a row iff a salted md5 of its
+    id falls under the stratum's rate. Unlike rng-based
+    ``sample``/``sampleBy``, the decision is a pure function of
+    (id, salt), so re-runs, retried tasks, and other engines select
+    the IDENTICAL sample (the DuckDB oracle proves it). Zero shuffle:
+    the filter runs inside the scan projection."""
+    from ..ops.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), 50)
+        .when(F.col("source").isin("src3", "src4"), 25)
+        .otherwise(10)
+    )
+    bucket = F.pmod(md5_long(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))), F.lit(100))
+    return docs.filter(bucket < rate).select("doc_id", "source")
+
+
 _SQL_QUALITY = (
     f"(least({_SQL_NTOK} / 100.0, 1.0) * 0.4"
     f" + (1.0 - least({_SQL_PUNCT} * 5, 1.0)) * 0.3"
@@ -562,6 +593,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     feats = M.extract_features(M.attach_binary(docs))
     return feats.select("doc_id", "n_bytes", "width", "height")
+
+
+@query(
+    "streaming_dedup_events",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (watermarked dropDuplicates) whose
+    emitted key set must equal batch DISTINCT — see
+    streaming.landing.stream_dedup_events."""
+    from ..streaming.landing import stream_dedup_events
+
+    return stream_dedup_events(spark, sf_dir)
 
 
 @query(
