@@ -1,7 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``entry(spark)`` runs the flagship query (multi-way broadcast star join
-+ aggregation) on sf0.001. ``queries()`` / ``oracle_sql()`` expose the
+``entry(spark)`` runs the flagship query (multi-way star join +
+aggregation; fixed dims broadcast, scaling tables AQE-planned) on
+sf0.001. ``queries()`` / ``oracle_sql()`` expose the
 engine's workload registry
 (``etl_neotel_sql_automation_spark/workload/``): one entry per
 implemented operator from SURVEY.md §2 plus the LLM-data-pipeline ops,
