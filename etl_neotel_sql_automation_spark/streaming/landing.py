@@ -171,6 +171,72 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_stream_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each signup event joined to the same
+    user's purchase events within the following hour. Both sides carry
+    watermarks and the join condition is time-bounded, so Spark can
+    expire join state (unbounded stream-stream joins would hold state
+    forever — the watermark + range predicate IS the 100 TB design).
+    availableNow -> finite; result must equal the batch theta-join
+    oracle."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def src() -> DataFrame:
+        raw = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    signups = (
+        src()
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = signups.join(
+        purchases,
+        F.expr(
+            "s_user = p_user AND p_ts > s_ts AND p_ts <= s_ts + interval 1 hour"
+        ),
+    ).select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        (F.unix_micros("p_ts") - F.unix_micros("s_ts")).alias("us_between"),
+    )
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the windowed aggregation as a real streaming query over the
     events parquet (availableNow -> finite), returning the final result

@@ -609,6 +609,26 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_stream_join",
+    oracle="""
+    SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(s.ts) AS us_between
+    FROM events s JOIN events p
+      ON s.user_id = p.user_id
+     AND s.event_type = 'signup' AND p.event_type = 'purchase'
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (signups x purchases within 1
+    hour) run as a real streaming query; must equal the batch
+    theta-join — see streaming.landing.stream_stream_signup_purchase."""
+    from ..streaming.landing import stream_stream_signup_purchase
+
+    return stream_stream_signup_purchase(spark, sf_dir)
+
+
+@query(
     "streaming_events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
