@@ -157,6 +157,38 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scalar_fuzzy_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CAST(levenshtein(c_name, translate(c_name, '0', 'O')) AS INTEGER)
+               AS dist_zero_oh,
+           CAST(levenshtein(c_name, reverse(c_name)) AS INTEGER) AS dist_rev,
+           reverse(c_name)                         AS name_rev,
+           translate(c_name, '#0', '_x')           AS name_translated,
+           repeat(left(c_name, 2), 2)              AS name_rep,
+           CAST(contains(c_name, '00') AS BOOLEAN) AS has_double_zero
+    FROM customer WHERE c_custkey % 9 = 0
+    """,
+)
+def scalar_fuzzy_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy/string-edit scalar parity — the engine surface behind
+    agent-name matching (the reference cleans and matches free-text
+    names): levenshtein edit distance, translate, reverse, repeat,
+    substring-contains. All codegen'd expressions, scan-side."""
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 9 == 0)
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(name, F.translate(name, "0", "O")).cast("int").alias("dist_zero_oh"),
+        F.levenshtein(name, F.reverse(name)).cast("int").alias("dist_rev"),
+        F.reverse(name).alias("name_rev"),
+        F.translate(name, "#0", "_x").alias("name_translated"),
+        F.repeat(F.substring(name, 1, 2), 2).alias("name_rep"),
+        name.contains("00").alias("has_double_zero"),
+    )
+
+
+@query(
     "q22_lapsed_balance",
     oracle="""
     WITH ab AS (SELECT avg(c_acctbal) AS avg_bal FROM customer
