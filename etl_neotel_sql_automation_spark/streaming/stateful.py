@@ -96,6 +96,51 @@ def _make_session_fn(timeout_ms: int | None):
     return _session_fn
 
 
+def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
+    """Drive :func:`sessionize_stream` over the events parquet as a
+    real streaming query (availableNow -> finite) and return the
+    emitted CLOSED sessions from the memory sink. Open (trailing)
+    sessions stay in state by design — the differential oracle
+    excludes each user's last session accordingly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = src.select("user_id", F.expr("ts div 1000").alias("us"))
+    out = sessionize_stream(events)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def sessionize_stream(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
     """events(user_id, us) stream -> closed-session stream.
 

@@ -629,6 +629,44 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stateful_sessionize",
+    oracle="""
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    ),
+    agg AS (
+      SELECT user_id, sid, min(us) AS session_start_us,
+             max(us) AS session_end_us, count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+    ),
+    last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events
+    FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
+    """,
+)
+def streaming_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful streaming operator (applyInPandasWithState
+    session aggregation — O(1) state per key) run as a real streaming
+    query and differentially checked: emitted closed sessions must
+    equal the batch lag-gap/cumsum sessionization minus each user's
+    trailing (still-open) session. Session-boundary math is pure
+    integer microseconds, so the comparison is exact."""
+    from ..streaming.stateful import run_sessionize_stream
+
+    return run_sessionize_stream(spark, sf_dir)
+
+
+@query(
     "streaming_events_hourly",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
