@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
             relational,
             tpch_extra,
             tpch_wave3,
+            tpch_wave4,
         )
 
         _LOADED = True
