@@ -151,3 +151,46 @@ def test_connected_components_chain_cycle_singleton(spark):
     )
     got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8}
+
+
+def test_gapfill_locf_and_interp(spark):
+    from datetime import datetime
+
+    from etl_neotel_sql_automation_spark.ops import timeseries as TS
+
+    h = lambda i: datetime(2024, 1, 1, i)
+    # key "a": observed at hours 0 (v=10) and 3 (v=40) -> gaps at 1,2
+    # key "b": single observation -> 1-row grid, no gaps
+    rows = [
+        ("a", h(0), 10.0), ("a", h(3), 40.0),
+        ("b", h(5), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = TS.resample(df, "k", "ts", "v").collect()
+    a = {r.bucket.hour: r for r in out if r.series_key == "a"}
+    assert sorted(a) == [0, 1, 2, 3]
+    assert [a[i].observed for i in range(4)] == [1, 0, 0, 1]
+    # linear between 10 and 40 over 3 steps
+    assert [a[i].v_interp for i in range(4)] == [10.0, 20.0, 30.0, 40.0]
+    # locf carries the last observation
+    assert [a[i].v_locf for i in range(4)] == [10.0, 10.0, 10.0, 40.0]
+    b = [r for r in out if r.series_key == "b"]
+    assert len(b) == 1 and b[0].observed == 1 and b[0].v_interp == 7.0
+
+
+def test_gapfill_leading_edge_backfills(spark):
+    from datetime import datetime
+
+    from etl_neotel_sql_automation_spark.ops import timeseries as TS
+
+    # two observations same bucket -> avg; leading gap impossible by
+    # construction (grid starts at first obs), so test via rollup: the
+    # grid's first bucket is always observed and v_locf is never null.
+    rows = [("a", datetime(2024, 1, 1, 0, 10), 4.0),
+            ("a", datetime(2024, 1, 1, 0, 50), 6.0),
+            ("a", datetime(2024, 1, 1, 2, 0), 9.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r.bucket.hour: r for r in TS.resample(df, "k", "ts", "v").collect()}
+    assert out[0].v_interp == 5.0  # avg of the two obs in bucket 0
+    assert out[1].observed == 0 and out[1].v_interp == 7.0
+    assert all(r.v_locf is not None for r in out.values())
