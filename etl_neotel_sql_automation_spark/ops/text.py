@@ -139,3 +139,28 @@ def analyze(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         lang_id(text_col).alias("lang_pred"),
         fingerprint_md5(text_col).alias("fingerprint"),
     )
+
+
+# --- PII redaction -----------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}-\d{4}\b"
+
+
+def redact_pii(c: Column | str, token: str = "[PII]") -> Column:
+    """Replace email addresses and phone-shaped numbers with a fixed
+    token. Pure codegen'd regexp_replace — no UDF, scales as a
+    projection. Patterns restrict to syntax valid in both Java regex
+    and RE2 so oracles can replay them."""
+    c = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(c, EMAIL_RE, token)
+    return F.regexp_replace(out, PHONE_RE, token)
+
+
+def pii_count(c: Column | str) -> Column:
+    """Number of PII matches (emails + phones) in the text."""
+    c = F.col(c) if isinstance(c, str) else c
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
+        + F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
+    ).cast("int")

@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
             llm_ops,
             relational,
             tpch_extra,
+            train_prep,
             timeseries,
             tpch_wave3,
             tpch_wave4,

@@ -1,0 +1,167 @@
+"""Training-data preparation workload: PII redaction, deterministic
+train/eval splitting, per-domain quotas, and n-gram corpus statistics —
+the operations a pretraining pipeline runs between raw documents and a
+training shard.
+
+100 TB design notes: every query here is a projection, a hash
+aggregate, or a bounded window per small key — no fact-fact joins, no
+driver-side state. The train/eval split and the domain quota are both
+DETERMINISTIC (md5-derived), so re-running the pipeline on appended
+data never reshuffles previously assigned documents across splits —
+the property that keeps eval sets honest over time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import query, table
+from ..ops import text as X
+from ..ops.hashing import md5_long, sql_md5_long
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{X.EMAIL_RE}'))
+              + len(regexp_extract_all(text, '{X.PHONE_RE}')) AS INT) AS n_pii,
+           md5(regexp_replace(regexp_replace(text, '{X.EMAIL_RE}', '[PII]', 'g'),
+                              '{X.PHONE_RE}', '[PII]', 'g'))          AS clean_md5
+    FROM seeded
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a pure codegen projection. The synthetic corpus
+    contains no PII, so both engines first seed each document with an
+    email and a phone number derived from doc_id, then redact; the
+    oracle compares the match count and the md5 of the scrubbed text,
+    proving the byte-identical rewrite without hauling full documents
+    through the driver's canonicalizer."""
+    docs = table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return seeded.select(
+        "doc_id",
+        X.pii_count("text").alias("n_pii"),
+        F.md5(X.redact_pii("text")).alias("clean_md5"),
+    )
+
+
+@query(
+    "split_train_eval",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id, lang,
+             CASE WHEN {sql_md5_long("doc_id")} % 100 < 90 THEN 'train'
+                  WHEN {sql_md5_long("doc_id")} % 100 < 95 THEN 'eval'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/eval/test split keyed on
+    md5(doc_id) — stable under re-runs and data appends (a document
+    never migrates between splits), uniformly distributed, and
+    computed as one codegen'd expression with no shuffle beyond the
+    verification count."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = md5_long(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("eval"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "docs_domain_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, n_chars
+    FROM ranked WHERE rk <= 10
+    """,
+)
+def docs_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (anti-domination filter): keep the 10
+    longest documents per source. One window per source partition — at
+    100 TB each domain's partition streams through a sorted window with
+    O(1) retained state; heavily skewed domains are exactly the case
+    AQE skew handling plus the deterministic tiebreak keep correct."""
+    docs = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_chars")
+    )
+
+
+@query(
+    "text_bigram_top",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    )
+    SELECT bigram, count(*) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 50
+    """,
+)
+def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics: explode adjacent token pairs and count
+    the top 50. The pair construction is an array zip (slice + zip) in
+    pure codegen; the count is one map-side-combinable aggregate over
+    ~tokens rows — the canonical shape for vocabulary/n-gram builds."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n = F.size(toks)
+    pairs = F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("a"),
+        F.slice(toks, 2, n - 1).alias("b"),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("p"))
+        .filter((F.col("p.a") != "") & (F.col("p.b") != ""))
+        .select(F.concat_ws(" ", "p.a", "p.b").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
