@@ -265,3 +265,41 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched with the static
+    customer dimension (user_id = c_custkey). The static side is a
+    plain batch DataFrame — Spark re-plans it per micro-batch (picking
+    up dimension updates between batches) and, being dimension-sized,
+    it broadcasts; no state is kept for the join at all, which is why
+    stream-static enrichment is the cheapest join flavor at 100 TB.
+    availableNow -> finite; must equal the batch inner join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    enriched = events.join(cust, events.user_id == cust.c_custkey).select(
+        "event_id", "user_id", "event_type", "value", "c_mktsegment", "c_nationkey"
+    )
+    name = f"events_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -682,3 +682,21 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.landing import stream_events_hourly
 
     return stream_events_hourly(spark, sf_dir)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           c_mktsegment, CAST(c_nationkey AS INT) AS c_nationkey
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment (stateless, static side
+    broadcast per micro-batch) run as a real streaming query; must
+    equal the batch inner join — see streaming.landing.
+    stream_static_enrich."""
+    from ..streaming.landing import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)
