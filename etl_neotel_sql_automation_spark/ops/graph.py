@@ -92,3 +92,59 @@ def dedup_clusters(
         F.col("component").alias("cluster_id"),
         (F.col("id") == F.col("component")).alias("is_keeper"),
     )
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iters: int = 3,
+    scale: int = 10**12,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank in EXACT integer arithmetic.
+
+    Ranks are bigints in units of 1/``scale``: contributions use
+    integer division (``rank div out_degree``), and the damped update
+    is ``(15 * scale) div (100 * N) + (85 * sum) div 100``. Integer
+    sums are associative — unlike float sums — so the result is
+    bit-identical regardless of partitioning/summation order, which
+    makes a cross-engine differential oracle possible for an iterative
+    algorithm (3 unrolled CTE rounds on the SQL side).
+
+    Scale design: each iteration is one equi-join of (edges x ranks) on
+    src plus one groupBy on dst — the standard distributed PageRank
+    step. Dangling mass is dropped (nodes with no out-edges contribute
+    nothing), matching the unrolled oracle exactly. The driver loop
+    only orchestrates; ``localCheckpoint`` truncates lineage per round.
+    """
+    sym = edges.select(src_col, dst_col)
+    nodes = (
+        sym.select(F.col(src_col).alias("id"))
+        .union(sym.select(F.col(dst_col).alias("id")))
+        .distinct()
+    )
+    n_nodes = nodes.count()  # one scalar; drives exact integer literals
+    deg = sym.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    base = int(15 * scale) // (100 * n_nodes)
+    ranks = nodes.select("id", F.lit(scale // n_nodes).cast("long").alias("rank"))
+    ranks = ranks.localCheckpoint(eager=True)
+    for _ in range(iters):
+        contribs = (
+            sym.join(ranks, sym[src_col] == ranks.id)
+            .join(deg, src_col)
+            .select(F.col(dst_col).alias("id"), F.expr("rank div out_deg").alias("c"))
+        )
+        summed = contribs.groupBy("id").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(summed, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks

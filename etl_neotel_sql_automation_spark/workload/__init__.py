@@ -93,6 +93,7 @@ def _ensure_loaded() -> None:
             breadth,
             etl_surface,
             final_wave,
+            graph_ops,
             llm_ops,
             relational,
             tpch_extra,
