@@ -94,6 +94,7 @@ def _ensure_loaded() -> None:
             etl_surface,
             final_wave,
             graph_ops,
+            scale_diag,
             llm_ops,
             relational,
             tpch_extra,

@@ -1,0 +1,54 @@
+"""Z-order clustering: code correctness (bijective, engine matches the
+reference implementation) and the layout property that justifies it
+(clustered files have tight per-file min/max envelopes on BOTH
+dimensions, which is what parquet footer pruning keys off)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+
+from etl_neotel_sql_automation_spark.ops.zorder import (
+    cluster_by_z,
+    py_z_decode,
+    py_z_value,
+    z_value,
+)
+
+
+def test_z_value_bijective():
+    pts = [(0, 0), (1, 0), (0, 1), (5, 9), (1023, 4095), (65535, 65535)]
+    for x, y in pts:
+        assert py_z_decode(py_z_value(x, y)) == (x, y)
+    # ordering property: within an aligned 2^k block, codes are contiguous
+    codes = sorted(py_z_value(x, y) for x in range(4) for y in range(4))
+    assert codes == list(range(16))
+
+
+def test_spark_z_matches_reference(spark):
+    rows = [(x, y) for x in range(8) for y in range(8)] + [(12345, 6789)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", z_value("x", "y").alias("z")).collect()}
+    for (x, y), z in got.items():
+        assert z == py_z_value(x, y)
+
+
+def test_cluster_by_z_tightens_file_envelopes(spark, tmp_path):
+    n = 64
+    rows = [(x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    out = str(tmp_path / "zclustered")
+    cluster_by_z(df, "x", "y", n_partitions=16).write.parquet(out)
+
+    spans_x, spans_y = [], []
+    for f in glob.glob(f"{out}/*.parquet"):
+        t = pq.read_table(f)
+        xs, ys = t.column("x").to_pylist(), t.column("y").to_pylist()
+        spans_x.append(max(xs) - min(xs))
+        spans_y.append(max(ys) - min(ys))
+    assert len(spans_x) >= 8
+    # unclustered (e.g. sorted by x alone) would leave one dimension's
+    # span at ~n-1 in every file; z-clustering bounds BOTH
+    assert sum(spans_x) / len(spans_x) < n / 2
+    assert sum(spans_y) / len(spans_y) < n / 2
