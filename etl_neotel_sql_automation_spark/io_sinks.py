@@ -176,3 +176,33 @@ def add_audit_column(df: DataFrame) -> DataFrame:
     """S-7: ``load_date`` audit timestamp (DDL DEFAULT GETDATE(),
     main.py:1400, 1439)."""
     return df.withColumn("load_date", F.current_timestamp())
+
+
+def compact_small_files(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a directory of many small parquet files into
+    ~``target_file_mb``-sized files; returns the partition count used.
+
+    The small-files problem is a first-order cost at 100 TB: a table
+    ingested by a fine-grained streaming/landing process accumulates
+    thousands of KB-scale files, and every downstream scan then pays
+    per-file open/footer/scheduling overhead (and the driver pays
+    listing memory). Compaction = one read + one shuffle-free
+    repartition sized from the REAL on-disk byte count (via the Hadoop
+    FileSystem API, so it works on HDFS/S3/local alike) + one write.
+    Run it per-partition-directory for incremental tables so only
+    fresh partitions rewrite (pairs with write_partitioned_idempotent).
+    """
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(jpath).getLength()
+    n_files = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_path)
+    # coalesce, not repartition: narrowing to n_files needs no shuffle
+    df.coalesce(int(n_files)).write.mode("overwrite").parquet(out_path)
+    return int(n_files)

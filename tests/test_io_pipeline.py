@@ -209,3 +209,21 @@ def test_run_etl_empty_landing(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         run_etl(spark, empty, tmp_path / "o")
+
+
+def test_compact_small_files(spark, tmp_path):
+    from etl_neotel_sql_automation_spark.io_sinks import compact_small_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/*.parquet")) == 64
+    n = compact_small_files(spark, src, dst, target_file_mb=128)
+    out_files = glob.glob(f"{dst}/*.parquet")
+    assert len(out_files) == n == 1  # ~80KB of data -> one 128MB-target file
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.selectExpr("sum(v)").first()[0] == df.selectExpr("sum(v)").first()[0]
