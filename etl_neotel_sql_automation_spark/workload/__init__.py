@@ -89,6 +89,7 @@ def _ensure_loaded() -> None:
     if not _LOADED:
         from . import (  # noqa: F401
             advanced,
+            analytics_extra,
             advanced2,
             breadth,
             etl_surface,

@@ -1,0 +1,158 @@
+"""Additional analytic shapes: gaps-and-islands (activity streaks),
+URL parsing, and equi-width histograms over global stats.
+
+Each is a distinct plan shape not covered elsewhere in the registry:
+the islands date-arithmetic grouping trick (vs sessionize's lag-gap
+cumsum), a regexp-structured extraction pipeline, and a bucketing
+aggregate driven by a broadcast 1-row global-stats join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import query, table
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    anchored AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, min(d) AS streak_start, max(d) AS streak_end,
+             count(*) AS n_days
+      FROM anchored GROUP BY user_id, anchor
+    ),
+    best AS (
+      SELECT user_id, streak_start, streak_end, n_days,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY n_days DESC, streak_start) AS rk
+      FROM streaks
+    )
+    SELECT user_id, streak_start, streak_end, n_days
+    FROM best WHERE rk = 1
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days. The islands come from the date-arithmetic trick (day minus
+    row_number is constant within a consecutive run) — one distinct,
+    one window, one groupBy, one window; no self-join, which is what
+    keeps islands detection linear at scale."""
+    ev = table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    anchored = days.withColumn("anchor", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+        F.count("*").alias("n_days"),
+    )
+    wb = W.partitionBy("user_id").orderBy(F.desc("n_days"), "streak_start")
+    return (
+        streaks.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "streak_start", "streak_end", "n_days")
+    )
+
+
+_URL_HOST = r"https?://([^/]+)/"
+_URL_PATH = r"https?://[^/]+(/[^?#]*)"
+
+
+@query(
+    "text_url_extract",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             'https://www.' || source || '.example.com/docs/' ||
+             lang || '/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_extract(url, '{_URL_HOST}', 1) AS host,
+             regexp_extract(url, '{_URL_PATH}', 1) AS path
+      FROM seeded
+    )
+    SELECT host,
+           count(*) AS n_docs,
+           count(DISTINCT path) AS n_paths
+    FROM parsed GROUP BY host
+    """,
+)
+def text_url_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structure extraction — the domain-grouping step behind
+    per-domain quotas and crawl stats. Documents carry no URLs, so
+    both engines seed one deterministically from (source, lang,
+    doc_id), then parse host and path by the same regexes (identical
+    regexp_extract signatures in Spark and DuckDB) and aggregate per
+    host. Pure codegen projection + one hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    parsed = docs.select(
+        F.regexp_extract(url, _URL_HOST, 1).alias("host"),
+        F.regexp_extract(url, _URL_PATH, 1).alias("path"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+
+
+@query(
+    "agg_histogram_price",
+    oracle="""
+    WITH s AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ),
+    b AS (
+      SELECT CAST(least(floor((o_totalprice - s.lo) / ((s.hi - s.lo) / 10)),
+                        9) AS INT) AS bucket,
+             o_totalprice
+      FROM orders CROSS JOIN s
+    )
+    SELECT bucket, count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram over global min/max: the 1-row stats
+    aggregate broadcasts into a bucketing projection, then one hash
+    aggregate per bucket. The same two-pass shape computes any
+    global-normalized feature (z-scores, quantile bins) at scale —
+    pass one reduces to one row, pass two is a full scan with the row
+    broadcast; no window over the whole table."""
+    orders = table(spark, sf_dir, "orders")
+    s = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10)
+        ),
+        F.lit(9),
+    ).cast("int")
+    return (
+        orders.crossJoin(F.broadcast(s))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
