@@ -96,6 +96,7 @@ def _ensure_loaded() -> None:
             final_wave,
             graph_ops,
             scale_diag,
+            sql_surface,
             llm_ops,
             relational,
             tpch_extra,
