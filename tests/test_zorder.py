@@ -52,3 +52,31 @@ def test_cluster_by_z_tightens_file_envelopes(spark, tmp_path):
     # span at ~n-1 in every file; z-clustering bounds BOTH
     assert sum(spans_x) / len(spans_x) < n / 2
     assert sum(spans_y) / len(spans_y) < n / 2
+
+
+# --- property-based ----------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_coord = st.integers(min_value=0, max_value=(1 << 16) - 1)
+
+
+@given(_coord, _coord)
+@settings(max_examples=300, deadline=None)
+def test_z_roundtrip_property(x, y):
+    assert py_z_decode(py_z_value(x, y)) == (x, y)
+
+
+@given(_coord, _coord, _coord, _coord)
+@settings(max_examples=200, deadline=None)
+def test_z_monotone_in_shared_prefix(x1, y1, x2, y2):
+    """If (x1,y1) dominates (x2,y2) coordinate-wise, z preserves >=
+    only when bits don't interleave across — instead test the sound
+    invariant: z is injective and order-preserving along each axis
+    when the other coordinate is fixed."""
+    assert (py_z_value(x1, y1) == py_z_value(x2, y2)) == ((x1, y1) == (x2, y2))
+    if y1 == y2:
+        assert (py_z_value(x1, y1) < py_z_value(x2, y2)) == (x1 < x2)
+    if x1 == x2:
+        assert (py_z_value(x1, y1) < py_z_value(x1, y2)) == (y1 < y2)
