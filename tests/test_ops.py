@@ -194,3 +194,49 @@ def test_gapfill_leading_edge_backfills(spark):
     assert out[0].v_interp == 5.0  # avg of the two obs in bucket 0
     assert out[1].observed == 0 and out[1].v_interp == 7.0
     assert all(r.v_locf is not None for r in out.values())
+
+
+def test_pagerank_int_matches_python_model(spark):
+    from etl_neotel_sql_automation_spark.ops.graph import pagerank_int
+
+    # undirected star: 0 central, 1..4 leaves (+ both directions)
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    got = {r.id: r.rank for r in pagerank_int(edges, iters=3, scale=10**12).collect()}
+
+    # independent python model of the same integer recurrence
+    scale, n = 10**12, 5
+    adj = {0: [1, 2, 3, 4], 1: [0], 2: [0], 3: [0], 4: [0]}
+    rank = {v: scale // n for v in adj}
+    for _ in range(3):
+        contrib = {v: 0 for v in adj}
+        for u, ns in adj.items():
+            c = rank[u] // len(ns)
+            for v in ns:
+                contrib[v] += c
+        rank = {v: (15 * scale) // (100 * n) + (85 * contrib[v]) // 100 for v in adj}
+    assert got == rank
+    assert got[0] > got[1]  # hub outranks leaves
+
+
+def test_split_assignment_stable_under_append(spark):
+    """A document's split must not change when the corpus grows — the
+    property that keeps eval sets uncontaminated over time."""
+    from etl_neotel_sql_automation_spark.ops.hashing import md5_long
+
+    def assign(df):
+        b = md5_long(F.col("doc_id")) % 100
+        return df.select(
+            "doc_id",
+            F.when(b < 90, "train").when(b < 95, "eval").otherwise("test").alias("s"),
+        )
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.s for r in assign(small).collect()}
+    b = {r.doc_id: r.s for r in assign(big).collect()}
+    assert all(b[k] == v for k, v in a.items())
+    frac_train = sum(v == "train" for v in b.values()) / 5000
+    assert 0.85 < frac_train < 0.95
