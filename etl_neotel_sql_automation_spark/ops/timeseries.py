@@ -36,20 +36,34 @@ def rollup_buckets(
     granularity: str = "hour",
 ) -> DataFrame:
     """Aggregate a raw event stream to one row per (key, time bucket):
-    ``avg`` of the value, rounded so the result is engine-portable.
+    ``avg`` of the value at 6-decimal precision, computed in EXACT
+    integer micro-units. Float sums are order-dependent — at sf0.1 a
+    1-ulp drift between engines flipped a round() boundary — so the
+    value is quantized to round(v*1e6) bigints, summed exactly, and
+    the mean is taken with integer round-half-up ((2s+n) div 2n, valid
+    for the non-negative values this op serves). Bit-identical in any
+    engine, any partitioning.
 
     One map-side-combinable hash aggregate — the standard first stage
     of any rollup at scale.
     """
-    return (
+    iv = F.round(F.col(val_col) * 1_000_000).cast("long")
+    agg = (
         df.groupBy(
             F.col(key_col).alias("series_key"),
             F.date_trunc(granularity, F.col(ts_col)).alias("bucket"),
         )
         .agg(
-            F.round(F.avg(val_col), 6).alias("v"),
+            F.sum(iv).alias("s"),
             F.count("*").alias("n_obs"),
         )
+    )
+    v_int = F.expr("(2 * s + n_obs) div (2 * n_obs)")
+    return agg.select(
+        "series_key",
+        "bucket",
+        (v_int / 1_000_000).alias("v"),
+        "n_obs",
     )
 
 

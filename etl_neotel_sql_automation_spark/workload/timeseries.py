@@ -16,10 +16,16 @@ from ..ops import timeseries as TS
 @query(
     "timeseries_gapfill",
     oracle="""
-    WITH actual AS (
+    WITH agg AS (
       SELECT event_type AS series_key, date_trunc('hour', ts) AS bucket,
-             round(avg(value), 6) AS v, count(*) AS n_obs
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS s,
+             count(*) AS n_obs
       FROM events GROUP BY 1, 2
+    ),
+    actual AS (
+      SELECT series_key, bucket,
+             ((2 * s + n_obs) // (2 * n_obs)) / 1000000.0 AS v, n_obs
+      FROM agg
     ),
     bounds AS (
       SELECT series_key, min(bucket) AS lo, max(bucket) AS hi
