@@ -138,3 +138,59 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=[id_col, "frame_idx", "frame"])
 
     return df.select(id_col, media_col).mapInPandas(run, out_schema)
+
+
+def extract_features_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+) -> DataFrame:
+    """The :func:`extract_features` fake-decoder path via ``mapInArrow``
+    — the zero-copy UDF flavor: batches arrive as ``pyarrow.RecordBatch``
+    and features are computed with Arrow compute kernels, never
+    materializing a pandas frame. For byte-slicing feature extractors
+    this skips the Arrow->pandas->Arrow round trip that mapInPandas
+    pays per batch (the conversion, not the transfer, is the cost —
+    worth it only when the per-row work is cheap, as here).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType(
+        [T.StructField(id_col, T.LongType()), *FEATURE_FIELDS]
+    )
+
+    def run(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            media = batch.column(media_col)
+            n_bytes = pc.binary_length(media)
+            # fake_decode parity: width = n_bytes % 640,
+            # height = first_byte % 480, checksum = crc32(payload)
+            first = pc.binary_slice(media, 0, 1)
+            buf = [
+                zlib.crc32(v.as_py()) if v.is_valid else None for v in media
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col),
+                    pc.cast(n_bytes, pa.int32()),
+                    pa.array(buf, pa.int64()),
+                    # pyarrow.compute lacks a mod kernel; zero-copy
+                    # to numpy for the remainder
+                    pa.array(
+                        n_bytes.to_numpy(zero_copy_only=False) % 640, pa.int32()
+                    ),
+                    pa.array(
+                        [
+                            (v.as_py()[0] if len(v.as_py()) else 0) % 480
+                            if v.is_valid
+                            else None
+                            for v in first
+                        ],
+                        pa.int32(),
+                    ),
+                ],
+                names=[id_col, "n_bytes", "checksum", "width", "height"],
+            )
+
+    return df.select(id_col, media_col).mapInArrow(run, out_schema)

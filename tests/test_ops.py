@@ -240,3 +240,11 @@ def test_split_assignment_stable_under_append(spark):
     assert all(b[k] == v for k, v in a.items())
     frac_train = sum(v == "train" for v in b.values()) / 5000
     assert 0.85 < frac_train < 0.95
+
+
+def test_extract_features_arrow_matches_pandas(spark, docs):
+    arrow = M.extract_features_arrow(M.attach_binary(docs))
+    pandas = M.extract_features(M.attach_binary(docs))
+    a = {r.doc_id: (r.n_bytes, r.checksum, r.width, r.height) for r in arrow.collect()}
+    p = {r.doc_id: (r.n_bytes, r.checksum, r.width, r.height) for r in pandas.collect()}
+    assert a == p and len(a) == 5
