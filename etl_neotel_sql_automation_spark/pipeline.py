@@ -19,7 +19,8 @@ import time
 from dataclasses import dataclass
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 from .conform import conform, drop_all_null_rows
 from .io_sinks import add_audit_column, write_partitioned_idempotent
@@ -111,9 +112,15 @@ def run_etl(
     for kind, df in nonempty.items():
         table = TABLE_FOR_SPEC[kind]
         target = str(Path(output_base) / table)
-        audited = add_audit_column(df)
+        # Observation rides along with the write job: the row count
+        # comes from the same single computation instead of a second
+        # full scan (df.count() after write would recompute the plan)
+        obs = Observation(f"load_{table}")
+        audited = add_audit_column(df).observe(
+            obs, F.count(F.lit(1)).alias("rows")
+        )
         write_partitioned_idempotent(audited, target, partition_col="fecha")
-        counts[table] = df.count()
+        counts[table] = int(obs.get["rows"])
         logger.info("loaded %s rows into %s", counts[table], target)
     logger.info("ETL complete in %.1fs: %s", time.time() - t0, counts)
     return counts
