@@ -104,6 +104,7 @@ def _ensure_loaded() -> None:
             timeseries,
             tpch_wave3,
             tpch_wave4,
+            tpch_wave5,
         )
 
         _LOADED = True
