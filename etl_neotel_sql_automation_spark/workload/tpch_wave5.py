@@ -34,7 +34,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query, table
@@ -80,13 +80,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q2 shape: for each qualifying part, the EUROPE supplier(s)
     offering the minimum unit cost. The classic correlated
     ``WHERE ps_supplycost = (SELECT min(...))`` is decorrelated into a
-    per-part min aggregate re-joined on equality — per-group argmin
-    without a window sort. The min join key is exact: both engines
-    derive unit_cost from the same IEEE division, and min picks (never
-    combines) values. Parity target: SURVEY.md §2.3 join family +
-    §2.4 agg-then-join. Reference analogue: the per-report "pick the
-    matching file for a date" selection (main.py:1188-1204) scaled to
-    relational form."""
+    per-part WINDOW min + filter rather than an aggregate re-joined on
+    equality: the agg+re-join form duplicates the offer subtree in the
+    DAG (lineitem scanned and shuffled twice unless AQE happens to
+    reuse the stage), while the window form is one pass with a single
+    extra shuffle on the window key. The min comparison is exact: both
+    engines derive unit_cost from the same IEEE division, and min
+    picks (never combines) values. Parity target: SURVEY.md §2.3 join
+    family + §2.5 windows."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation")
@@ -104,9 +105,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
         .select("l_partkey", "unit_cost", "s_name", "s_acctbal", "n_name")
     )
-    best = eu_offers.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    min_cost = F.min("unit_cost").over(Window.partitionBy("l_partkey"))
     return (
-        eu_offers.join(best, "l_partkey")
+        eu_offers.withColumn("min_cost", min_cost)
         .filter(F.col("unit_cost") == F.col("min_cost"))
         .join(part, F.col("l_partkey") == part.p_partkey)
         .select(
@@ -193,12 +194,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q11 shape: parts whose supplied value (from one nation's
     suppliers) exceeds a fraction of the GLOBAL total — a grouped
-    relation filtered against a scalar aggregate of itself. The scalar
-    is a 1-row DataFrame cross-joined in (broadcast by construction);
-    at 100 TB the grouped side streams past it with no extra shuffle.
+    relation filtered against a scalar aggregate of itself. The naive
+    form (v cross-join v.agg(sum)) plans the fact join + aggregate
+    TWICE (no exchange reuse: the two subtrees differ). Instead, ONE
+    ``GROUPING SETS ((l_partkey), ())`` pass computes per-part values
+    and the global total together — the map-side expand doubles rows
+    but partial aggregation collapses the ()-group to one row per
+    task, so the total-group reducer receives #tasks rows, not the
+    fact. The 1-row total slice is then broadcast back over the
+    per-part slice; the duplicated agg subtree shares one identical
+    shuffle exchange, which Spark's ReuseExchange deduplicates.
     Values are summed in integer micro-units so the threshold
     comparison cannot flip on double summation order. Parity target:
-    SURVEY.md §2.4 agg + scalar-subquery HAVING."""
+    SURVEY.md §2.4 grouping sets + scalar-subquery HAVING."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -206,15 +214,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro = F.round(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6, 0
     ).cast("long")
-    v = (
+    ga = (
         li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .groupBy("l_partkey")
-        .agg(F.sum(micro).alias("value_micro"))
+        .withColumn("m", micro)
+        .groupingSets([["l_partkey"], []], "l_partkey")
+        .agg(
+            F.sum("m").alias("value_micro"),
+            F.grouping_id().alias("gid"),
+        )
     )
-    total = v.agg(F.sum("value_micro").alias("total_micro"))
+    per_part = ga.filter(F.col("gid") == 0).select("l_partkey", "value_micro")
+    total = ga.filter(F.col("gid") == 1).select(
+        F.col("value_micro").alias("total_micro")
+    )
     return (
-        v.crossJoin(F.broadcast(total))
+        per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value_micro") > 0.001 * F.col("total_micro"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
@@ -247,12 +262,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q16 shape: distinct supplier count per part attribute
     triple, excluding "complaint" suppliers (negative balance proxies
-    the classic comment scan) via NOT IN. The NOT IN collapses to a
-    broadcast LEFT ANTI join (the excluded set is tiny after its
-    filter; none of its keys are null so NOT IN ≡ anti join); the fact
-    is first de-duplicated to (partkey, suppkey) pairs — partial
-    distinct map-side — so the join and count(DISTINCT) run on the
-    collapsed pair relation, not raw lineitem. Parity target:
+    the classic comment scan) via NOT IN. None of the excluded keys are
+    null, so NOT IN ≡ LEFT ANTI join; the excluded set is a filtered
+    slice of supplier (grows with SF), so it is NOT pinned — AQE
+    broadcasts it while it fits. The fact is first de-duplicated to
+    (partkey, suppkey) pairs — partial distinct map-side — so the join
+    and count(DISTINCT) run on the collapsed pair relation, not raw
+    lineitem. Parity target:
     SURVEY.md §2.3 anti join + §2.4 distinct agg."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").filter(
@@ -263,12 +279,11 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
 
     pairs = li.select("l_partkey", "l_suppkey").distinct()
+    # No pinned broadcast: the excluded set is a filtered slice of
+    # supplier, which grows with scale factor — AQE broadcasts it
+    # while it fits and falls back to a shuffled anti join when not.
     return (
-        pairs.join(
-            F.broadcast(bad),
-            pairs.l_suppkey == bad.s_suppkey,
-            "left_anti",
-        )
+        pairs.join(bad, pairs.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, pairs.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))

@@ -126,6 +126,45 @@ def test_no_forced_broadcast_of_scaling_tables(spark, name, n_pinned_dims):
     assert plan.count("BroadcastExchange") == n_pinned_dims, plan
 
 
+@pytest.mark.parametrize(
+    ("name", "n_pinned_dims"),
+    [
+        ("q2_min_cost_supplier", 2),   # nation + region
+        ("q9_product_profit", 1),      # nation
+        # nation appears twice (the grouping-sets agg subtree is
+        # duplicated across the per-part/total slices until runtime
+        # stage reuse dedups it) + the 1-row global total
+        ("q11_important_parts", 3),
+        ("q16_supplier_cnt", 0),       # anti side scales with SF -> unpinned
+        ("q20_excess_suppliers", 2),   # nation + region
+    ],
+)
+def test_wave5_pinned_broadcasts_are_fixed_size_only(spark, name, n_pinned_dims):
+    """Wave-5 queries pin broadcasts only on fixed-cardinality sides:
+    nation/region, and q11's global total, which is 1 row by
+    construction (an ungrouped aggregate slice of the grouping sets)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert plan.count("BroadcastExchange") == n_pinned_dims, plan
+
+
+def test_wave5_join_shapes(spark):
+    """The decorrelated shapes must survive planning: q16's NOT IN is an
+    anti join, q20's nested INs are two semi joins, and neither falls
+    back to a cartesian/nested-loop product. q11's only nested-loop is
+    the intentional 1-row scalar-total cross join."""
+    p16 = _plan(spark, "q16_supplier_cnt")
+    assert "LeftAnti" in p16 and "CartesianProduct" not in p16
+    p20 = _plan(spark, "q20_excess_suppliers")
+    assert p20.count("LeftSemi") == 2 and "CartesianProduct" not in p20
+    p11 = _plan(spark, "q11_important_parts")
+    assert p11.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_pushdown_reaches_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     scan = plan[plan.index("FileScan") :]
