@@ -1,0 +1,68 @@
+"""Column profiling — the "look at the data before you trust it" op
+every pipeline runs first against a new source.
+
+One aggregation pass computes, for every requested column: non-null
+count, null count, distinct count, and min/max (rendered as strings so
+heterogeneous columns share one output schema). The single-row
+aggregate is then exploded into one row per column — the profile costs
+ONE scan + a constant-size result regardless of table width or row
+count.
+
+Scale posture: with ``approx=True`` (the 100 TB default) distinct
+counts use HyperLogLog (``approx_count_distinct``), whose partial
+state is a fixed-size sketch per (task, column) — no distinct-value
+shuffle at all. ``approx=False`` uses exact ``count(DISTINCT)``
+(Spark's expand + two-level partial-distinct aggregation: shuffle
+volume is the per-partition-deduped distinct values, the floor for an
+exact answer) and exists so the differential oracle can reproduce the
+numbers bit-for-bit.
+
+Reference parity: the reference eyeballs dataframes via logging row
+counts only (main.py:1260, 1307); this op is that observability need
+grown to engine scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = True
+) -> DataFrame:
+    """Profile ``cols`` (default: all) of ``df`` in one aggregation
+    pass. Returns one row per column:
+
+    ``column, non_null_count, null_count, distinct_count, min_value,
+    max_value`` (min/max cast to string in the column's natural
+    ordering — numeric columns compare numerically, then render).
+    """
+    names = list(cols) if cols is not None else list(df.columns)
+    distinct = (
+        F.approx_count_distinct if approx else F.countDistinct
+    )
+    aggs = []
+    for c in names:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
+            distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"__nn_{c}").alias("non_null_count"),
+                F.col(f"__nu_{c}").alias("null_count"),
+                F.col(f"__nd_{c}").alias("distinct_count"),
+                F.col(f"__mn_{c}").alias("min_value"),
+                F.col(f"__mx_{c}").alias("max_value"),
+            )
+            for c in names
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

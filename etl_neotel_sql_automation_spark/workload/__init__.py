@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
             tpch_extra,
             train_prep,
             timeseries,
+            quality,
             tpch_wave3,
             tpch_wave4,
             tpch_wave5,

@@ -1,0 +1,237 @@
+"""Data-quality workload: column profiling, declarative constraint
+validation, and CDC snapshot diffing — the operators a pipeline runs
+around every load to decide whether to trust it.
+
+Reference parity: the reference's whole quality story is row-count
+logging, dropna guards and abort-if-empty (main.py:1258-1260,
+1352, 1667-1682). These queries are that intent as first-class,
+scale-safe relational operators.
+
+Scale notes (100 TB posture):
+
+- ``dq_profile_orders`` is ONE aggregation pass whose partial state is
+  constant-size per column (see ops/profile.py; the registered query
+  uses the exact-distinct path so DuckDB can replay it bit-for-bit —
+  production uses the HLL path).
+- ``dq_check_violations`` folds all single-table predicates into one
+  conditional-sum pass per table and the referential check into one
+  anti join — a constraint suite costs scans + one shuffle, not a
+  query per rule.
+- ``cdc_snapshot_diff`` is the canonical change-data-capture shape:
+  full outer join of two snapshots on the primary key. Both sides
+  shuffle once on the key; with bucketed snapshot tables
+  (io_sinks.write_bucketed) the join is shuffle-free, which is how a
+  daily 100 TB snapshot diff stays feasible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, table
+from ..ops.profile import profile_table
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _profile_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS column,
+           count({c}) AS non_null_count,
+           count(*) - count({c}) AS null_count,
+           count(DISTINCT {c}) AS distinct_count,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("dq_profile_orders", oracle=_profile_oracle())
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders`` — one row per column with null /
+    distinct / extrema stats, computed in a single aggregation pass
+    (ops/profile.py). Registered with ``approx=False`` so the distinct
+    counts are exact and DuckDB-reproducible; the HLL variant is the
+    production default and is covered by unit tests."""
+    return profile_table(
+        table(spark, sf_dir, "orders"), _PROFILE_COLS, approx=False
+    )
+
+
+@query(
+    "dq_check_violations",
+    oracle="""
+    WITH o AS (
+      SELECT count(*) - count(DISTINCT o_orderkey) AS pk_dup,
+             sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                 THEN 1 ELSE 0 END) AS bad_status,
+             sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price
+      FROM orders
+    ),
+    l AS (
+      SELECT sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                 THEN 1 ELSE 0 END) AS bad_discount,
+             sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS bad_qty
+      FROM lineitem
+    ),
+    fk AS (
+      SELECT count(*) AS orphan_orders
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT * FROM (
+      SELECT 'orders.pk_unique' AS check_name, pk_dup AS violations FROM o
+      UNION ALL
+      SELECT 'orders.status_domain', bad_status FROM o
+      UNION ALL
+      SELECT 'orders.price_positive', bad_price FROM o
+      UNION ALL
+      SELECT 'lineitem.discount_range', bad_discount FROM l
+      UNION ALL
+      SELECT 'lineitem.quantity_positive', bad_qty FROM l
+      UNION ALL
+      SELECT 'orders.fk_customer', orphan_orders FROM fk
+    )
+    ORDER BY check_name
+    """,
+)
+def dq_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative constraint suite: primary-key uniqueness, domain and
+    range predicates, and referential integrity, each reported as a
+    (check_name, violations) row. All per-table predicates fold into
+    ONE conditional-aggregate pass over that table; the FK check is an
+    anti join (none of the keys are null, so NOT IN ≡ anti join). The
+    whole suite costs one scan per table + one join — it does not grow
+    with the number of rules."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    cust = table(spark, sf_dir, "customer")
+
+    o = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("bad_price"),
+    )
+    l = li.agg(
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).cast("long")
+        ).alias("bad_discount"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("bad_qty"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
+
+    def row(src: DataFrame, name: str, col: str) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"), F.col(col).alias("violations")
+        )
+
+    return (
+        row(o, "orders.pk_unique", "pk_dup")
+        .unionAll(row(o, "orders.status_domain", "bad_status"))
+        .unionAll(row(o, "orders.price_positive", "bad_price"))
+        .unionAll(row(l, "lineitem.discount_range", "bad_discount"))
+        .unionAll(row(l, "lineitem.quantity_positive", "bad_qty"))
+        .unionAll(row(orphans, "orders.fk_customer", "orphan_orders"))
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH snap_old AS (
+      SELECT o_orderkey, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    ),
+    snap_new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        AND o_orderkey % 97 <> 0
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS old_price_cents,
+           CAST(round(n.o_totalprice * 100) AS BIGINT) AS new_price_cents
+    FROM snap_old o
+    FULL OUTER JOIN snap_new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+       OR o.o_totalprice <> n.o_totalprice
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff between two table snapshots: full outer
+    join on the primary key, classifying each key as insert / delete /
+    update (unchanged rows are dropped). The "new" snapshot is derived
+    deterministically from orders (a later date cut, +10% price on
+    keys ≡ 0 mod 13, keys ≡ 0 mod 97 deleted) so both engines build
+    identical inputs. Update detection compares the two prices exactly
+    — both sides compute the same IEEE product; prices are emitted as
+    cent integers (round at the integer level, where both engines
+    round the same double identically — fractional-digit rounding
+    goes through an internal re-multiply in DuckDB that can cross a
+    tie boundary the exact decimal expansion does not). At scale both
+    snapshots shuffle once on the key; bucketed snapshot tables make
+    the diff shuffle-free."""
+    orders = table(spark, sf_dir, "orders")
+    snap_old = orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice")
+    snap_new = (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    o = snap_old.alias("o")
+    n = snap_new.alias("n")
+    joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    return (
+        joined.filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        )
+        .select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), "insert")
+            .when(F.col("n.o_orderkey").isNull(), "delete")
+            .otherwise("update")
+            .alias("change_type"),
+            F.round(F.col("o.o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("old_price_cents"),
+            F.round(F.col("n.o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("new_price_cents"),
+        )
+    )

@@ -248,3 +248,35 @@ def test_extract_features_arrow_matches_pandas(spark, docs):
     a = {r.doc_id: (r.n_bytes, r.checksum, r.width, r.height) for r in arrow.collect()}
     p = {r.doc_id: (r.n_bytes, r.checksum, r.width, r.height) for r in pandas.collect()}
     assert a == p and len(a) == 5
+
+
+def test_profile_table_exact_and_hll_agree_on_shape(spark):
+    """The profile op returns one row per column from ONE aggregation
+    pass; the HLL path must agree with exact counts within its error
+    bound on a small distinct domain."""
+    from etl_neotel_sql_automation_spark.ops.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 1.5), (2, None, 2.5), (3, "a", None)],
+        ["k", "s", "x"],
+    )
+    exact = {r.column: r for r in profile_table(df, approx=False).collect()}
+    hll = {r.column: r for r in profile_table(df, approx=True).collect()}
+    assert set(exact) == {"k", "s", "x"}
+    assert exact["k"].non_null_count == 4 and exact["k"].null_count == 0
+    assert exact["s"].null_count == 1 and exact["s"].distinct_count == 2
+    assert exact["x"].non_null_count == 2
+    assert exact["k"].min_value == "1" and exact["k"].max_value == "3"
+    # HLL is exact at these cardinalities
+    for c in exact:
+        assert hll[c].distinct_count == exact[c].distinct_count
+
+
+def test_profile_table_single_aggregate_plan(spark):
+    """Profiling N columns must not become N passes: the plan contains
+    exactly one aggregate pair over one scan."""
+    from etl_neotel_sql_automation_spark.ops.profile import profile_table
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS a", "CAST(id AS STRING) AS s")
+    plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") - plan.count("ReusedExchange") <= 2
