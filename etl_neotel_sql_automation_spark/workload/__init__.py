@@ -103,6 +103,7 @@ def _ensure_loaded() -> None:
             train_prep,
             timeseries,
             quality,
+            temporal,
             tpch_wave3,
             tpch_wave4,
             tpch_wave5,

@@ -32,6 +32,50 @@ from pyspark.sql import functions as F
 from . import query, table
 from ..ops.profile import profile_table
 
+# Deterministic snapshot pair derived from orders — shared by the CDC
+# diff and the incremental-view-maintenance query built on top of it.
+# "new" = later date cut, +10% price on keys ≡ 0 (mod 13), keys ≡ 0
+# (mod 97) deleted. Status never changes, so groups never migrate.
+SNAP_OLD_SQL = """
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+"""
+SNAP_NEW_SQL = """
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        AND o_orderkey % 97 <> 0
+"""
+
+
+def snapshot_old(orders: DataFrame) -> DataFrame:
+    """The "old" snapshot: orders before the 1999 date cut."""
+    return orders.filter(
+        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def snapshot_new(orders: DataFrame) -> DataFrame:
+    """The "new" snapshot: a later cut with simulated updates/deletes."""
+    return (
+        orders.filter(
+            (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+
+
 _PROFILE_COLS = [
     "o_orderkey",
     "o_custkey",
@@ -153,19 +197,9 @@ def dq_check_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "cdc_snapshot_diff",
-    oracle="""
-    WITH snap_old AS (
-      SELECT o_orderkey, o_totalprice
-      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
-    ),
-    snap_new AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice * 1.1
-                  ELSE o_totalprice END AS o_totalprice
-      FROM orders
-      WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
-        AND o_orderkey % 97 <> 0
-    )
+    oracle=f"""
+    WITH snap_old AS ({SNAP_OLD_SQL}),
+    snap_new AS ({SNAP_NEW_SQL})
     SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o.o_orderkey IS NULL THEN 'insert'
                 WHEN n.o_orderkey IS NULL THEN 'delete'
@@ -193,25 +227,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshots shuffle once on the key; bucketed snapshot tables make
     the diff shuffle-free."""
     orders = table(spark, sf_dir, "orders")
-    snap_old = orders.filter(
-        F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")
-    ).select("o_orderkey", "o_totalprice")
-    snap_new = (
-        orders.filter(
-            (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
-            & (F.col("o_orderkey") % 97 != 0)
-        )
-        .select(
-            "o_orderkey",
-            F.when(
-                F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") * 1.1
-            )
-            .otherwise(F.col("o_totalprice"))
-            .alias("o_totalprice"),
-        )
-    )
-    o = snap_old.alias("o")
-    n = snap_new.alias("n")
+    o = snapshot_old(orders).alias("o")
+    n = snapshot_new(orders).alias("n")
     joined = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
     return (
         joined.filter(
@@ -234,4 +251,75 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("new_price_cents"),
         )
+    )
+
+
+@query(
+    "ivm_orders_by_status",
+    oracle=f"""
+    WITH snap_new AS ({SNAP_NEW_SQL})
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM snap_new
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the per-status (count, sum)
+    aggregate of the NEW snapshot is produced WITHOUT scanning it —
+    the old snapshot's aggregate is merged with signed delta
+    contributions from the CDC diff (insert: +1/+new, delete:
+    -1/-old, update: 0/new-old; unchanged rows cancel and never
+    appear). The oracle recomputes the view directly from the new
+    snapshot, so the check proves the IVM algebra end-to-end. At
+    100 TB this is THE pattern that turns a daily full-table
+    re-aggregation into work proportional to the day's changes.
+    Status is immutable in this snapshot pair; a general key-status
+    change shows up as a delete+insert pair in the same algebra.
+    Sums ride on exact cent integers."""
+    orders = table(spark, sf_dir, "orders")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+
+    old_agg = (
+        snapshot_old(orders)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("d_n"),
+            F.sum(cents("o_totalprice")).alias("d_cents"),
+        )
+    )
+    o = snapshot_old(orders).alias("o")
+    n = snapshot_new(orders).alias("n")
+    delta = (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .filter(
+            F.col("o.o_orderkey").isNull()
+            | F.col("n.o_orderkey").isNull()
+            | (F.col("o.o_totalprice") != F.col("n.o_totalprice"))
+        )
+        .select(
+            F.coalesce(F.col("n.o_orderstatus"), F.col("o.o_orderstatus")).alias(
+                "o_orderstatus"
+            ),
+            F.when(F.col("o.o_orderkey").isNull(), F.lit(1))
+            .when(F.col("n.o_orderkey").isNull(), F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d_n"),
+            (
+                F.coalesce(cents("n.o_totalprice"), F.lit(0))
+                - F.coalesce(cents("o.o_totalprice"), F.lit(0))
+            ).alias("d_cents"),
+        )
+    )
+    return (
+        old_agg.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("d_n").alias("n_orders"),
+            F.sum("d_cents").alias("total_cents"),
+        )
+        .orderBy("o_orderstatus")
     )

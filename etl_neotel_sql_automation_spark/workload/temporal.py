@@ -1,0 +1,105 @@
+"""Temporal-semantics workload: native session windows and the
+try_* / interval scalar surface.
+
+``events_session_window`` is deliberately a SEMANTIC cross-engine
+check: Spark's built-in ``session_window`` aggregation (the same
+operator Structured Streaming uses for stateful session aggregation)
+is verified against a from-first-principles gaps-and-islands SQL
+formulation in DuckDB. If Spark's merge rule (new session iff
+gap >= 30 min, window end = last event + gap) drifted from the
+documented contract, the value hash would catch it.
+
+Scale notes: session_window is one shuffle on the grouping key with
+streaming-capable state merging — at 100 TB it replaces the two-window
+(lag + running-sum) formulation with a single agg whose state is one
+interval per open session. The try_*/interval query is a pure
+projection — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import query, table
+
+
+@query(
+    "events_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (30-minute gap): events of
+    one user merge while each gap is under 30 minutes; the window ends
+    at last event + gap. The oracle rebuilds the same sessions with
+    gaps-and-islands SQL (new session iff gap >= 30 min — Spark merges
+    an event only while it lands strictly inside the open window), so
+    the two formulations must agree on every session boundary, start,
+    end, and size. Complements ``sessionize_events`` (explicit
+    lag+running-sum build of the same concept) and
+    ``streaming_stateful_sessionize`` (applyInPandasWithState)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "scalar_try_interval",
+    oracle="""
+    SELECT event_id,
+           event_id / NULLIF(user_id % 5, 0)        AS safe_ratio,
+           TRY_CAST(event_type AS INTEGER)          AS type_as_int,
+           ts + INTERVAL 90 MINUTE                  AS ts_plus_90m,
+           CAST(date_trunc('month', ts) AS TIMESTAMP) AS month_start,
+           date_diff('day', CAST(ts AS DATE), DATE '2024-02-01')
+                                                    AS days_to_feb
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def scalar_try_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_*-family error-safe scalars (the engine-wide ANSI-safe
+    coercion policy, SURVEY §2.8, exercised as data ops) plus interval
+    arithmetic: division that nulls instead of failing on zero
+    denominators, casts that null instead of raising, timestamp +
+    interval, month truncation, and day difference."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("event_id"), F.col("user_id") % 5).alias("safe_ratio"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.date_trunc("month", F.col("ts")).alias("month_start"),
+        F.datediff(
+            F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
+        ).alias("days_to_feb"),
+    )
