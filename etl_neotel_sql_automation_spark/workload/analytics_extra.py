@@ -156,3 +156,58 @@ def agg_histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").alias("n"), F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
     )
+
+
+@query(
+    "join_fuzzy_names",
+    oracle="""
+    WITH probes AS (
+      SELECT c_custkey AS probe_key,
+             substr(c_name, 1, 11) || 'X' || substr(c_name, 13)
+               AS probe_name
+      FROM customer WHERE c_custkey % 29 = 0
+    )
+    SELECT probe_key, probe_name, c_custkey AS match_key,
+           levenshtein(probe_name, c_name) AS edit_dist
+    FROM probes
+    JOIN customer
+      ON substr(probe_name, length(probe_name) - 2, 3)
+         = substr(c_name, length(c_name) - 2, 3)
+    WHERE levenshtein(probe_name, c_name) <= 1
+    ORDER BY probe_key, match_key
+    """,
+)
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy (edit-distance) join: probe names with one
+    corrupted character are matched back to customers by Levenshtein
+    distance <= 1, with a BLOCKING equi-join on the 3-char suffix so
+    the expensive distance function only runs inside blocks — never
+    over the cross product. The blocking key must come from the
+    region the corruption cannot touch (here: corruption is confined
+    to a middle digit, so the suffix survives); for arbitrary
+    corruption the general path is q-gram blocking with stop-gram
+    removal (explode shared rare n-grams, equi-join on gram, distinct
+    pairs, then the distance filter) — same plan shape, wider
+    blocks. At 100 TB the block join shuffles on short keys and the
+    distance filter is codegen (no UDF)."""
+    cust = table(spark, sf_dir, "customer")
+    probes = cust.filter(F.col("c_custkey") % 29 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("X"),
+            F.expr("substr(c_name, 13)"),
+        ).alias("probe_name"),
+    )
+    block = lambda c: F.substring(c, -3, 3)  # noqa: E731
+    return (
+        probes.join(cust, block(F.col("probe_name")) == block(F.col("c_name")))
+        .filter(F.levenshtein("probe_name", "c_name") <= 1)
+        .select(
+            "probe_key",
+            "probe_name",
+            F.col("c_custkey").alias("match_key"),
+            F.levenshtein("probe_name", "c_name").alias("edit_dist"),
+        )
+        .orderBy("probe_key", "match_key")
+    )

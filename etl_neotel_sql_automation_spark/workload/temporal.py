@@ -18,7 +18,7 @@ projection — no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import query, table
@@ -102,4 +102,42 @@ def scalar_try_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.lit("2024-02-01").cast("date"), F.col("ts").cast("date")
         ).alias("days_to_feb"),
+    )
+
+
+@query(
+    "window_rolling_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             AS rolling_30d_cents
+    FROM orders
+    WHERE o_custkey % 17 = 0
+    """,
+)
+def window_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 30-day spend per customer: a time-interval RANGE frame
+    (peers by time distance, complementing ``window_range_frame``'s
+    value-distance frame). Both engines order by epoch seconds and
+    use a numeric 30-day range, so frame boundaries are identical;
+    the sum rides on exact cent integers. One shuffle on the
+    partition key; frame state streams through the per-key sort, so
+    the window never materializes a customer's history."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 17 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.sum(cents).over(w).alias("rolling_30d_cents"),
+        )
     )
