@@ -165,3 +165,110 @@ def text_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(50)
     )
+
+
+_SQL_TOKS2 = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_SQL_TOKS2}) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(floor((cum - n_tok) / 256) AS BIGINT) AS bin_id,
+           count(*)    AS n_docs,
+           sum(n_tok)  AS bin_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM c GROUP BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training shards (GPT-style concat-then-
+    chunk): documents are laid out in deterministic order per source
+    and a doc's bin is ``floor(preceding_tokens / 256)`` — i.e. the
+    256-token block its first token lands in after concatenation.
+    One running-sum window PER SOURCE (never a global single-partition
+    window: at 100 TB each source/shard packs independently, which is
+    also what keeps shard boundaries stable under corpus appends to
+    other sources). Output is per-bin occupancy — the shard manifest
+    a training loader consumes."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id", "source", X.token_count("text").cast("long").alias("n_tok")
+        )
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn(
+            "bin_id", F.floor((F.col("cum") - F.col("n_tok")) / 256).cast("long")
+        )
+        .groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "decontaminate_train",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS2} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 4 THEN
+          list_distinct(list_transform(
+              range(1, greatest(len(toks) - 3, 0) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 3), ' ')))
+          ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    ),
+    eval_sh AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT s.doc_id, count(*) AS n_shared
+    FROM sh s JOIN eval_sh e ON s.sh = e.sh
+    WHERE s.doc_id % 50 <> 0
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination scan: training documents sharing any
+    word 4-gram with the eval slice (doc_id ≡ 0 mod 50), with the
+    count of shared shingles — the n-gram-overlap decontamination
+    every serious pretraining corpus runs against its benchmarks.
+    Shape: explode distinct shingles on both sides, equi-join on the
+    shingle, aggregate per train doc. At 100 TB the shingle strings
+    are replaced by md5_long hashes (smaller shuffle keys, same
+    join) and the eval side — benchmarks are tiny relative to the
+    corpus — broadcasts; here both stay unhinted and exact for the
+    differential check."""
+    from ..ops.dedup import shingles
+
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(shingles(F.col("text"), 4)).alias("sh")
+    )
+    eval_sh = sh.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
+    return (
+        sh.filter(F.col("doc_id") % 50 != 0)
+        .join(eval_sh, "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .orderBy("doc_id")
+    )
