@@ -22,7 +22,7 @@ from .hashing import HashFn, hash64
 from .text import normalize_text, tokens
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame) -> DataFrame:
     """Repartition up to the cluster's parallelism when the input scan
     has too few partitions (e.g. one small parquet file) — the
     explode-heavy stages below would otherwise run on one core. A
@@ -32,6 +32,10 @@ def _fan_out(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# internal alias kept for call sites predating the public name
+_fan_out = fan_out
 
 
 def dedup_exact(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

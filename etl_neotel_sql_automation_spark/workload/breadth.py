@@ -9,6 +9,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..conform import conform
+from ..ops.dedup import fan_out
 from ..schema import ESTADOS_FINAL_COLS, ESTADOS_SPEC
 from . import query, table
 from .etl_surface import _SQL_INT0, _SQL_TIME_TO_MIN
@@ -99,7 +100,10 @@ def etl_conform_estados(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("ab:cd"))
         .alias("T Diario Pause"),
     )
-    return conform(raw, ESTADOS_SPEC)
+    # single-row-group local files would run the 26-column coercion
+    # projection on one core; fan_out is a no-op on well-partitioned
+    # inputs at scale
+    return conform(fan_out(raw), ESTADOS_SPEC)
 
 
 # --- remaining join types ------------------------------------------------

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import functions as ef
+from ..ops.dedup import fan_out
 from ..conform import conform
 from ..schema import CONDUCTA_SPEC
 from . import query, table
@@ -289,4 +290,4 @@ def etl_conform_conducta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("-"))
         .alias("Tiempo medio de respuesta IN"),
     )
-    return conform(raw, CONDUCTA_SPEC)
+    return conform(fan_out(raw), CONDUCTA_SPEC)
