@@ -52,8 +52,17 @@ def zscore_outliers(
             }
         )
 
+    # Explicit keyed repartition before the grouped-map: AQE's
+    # byte-based partition coalescing would otherwise collapse the
+    # (small-by-bytes) shuffle to one task and serialize ALL groups
+    # through a single Python worker — byte size is blind to
+    # Python-per-row cost. A user-numbered repartition is exempt from
+    # AQE coalescing, and the groupBy reuses its hash partitioning, so
+    # this costs no extra shuffle (measured 4.3s -> 1.1s at sf0.1).
+    par = events.sparkSession.sparkContext.defaultParallelism
     return (
         events.select(key_col, id_col, value_col)
+        .repartition(par, key_col)
         .groupBy(key_col)
         .applyInPandas(per_group, OUT_SCHEMA)
     )

@@ -165,6 +165,18 @@ def test_wave5_join_shapes(spark):
     assert p11.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_grouped_map_shuffle_is_aqe_coalesce_exempt(spark):
+    """The grouped-map Pandas stage must keep its parallelism: AQE's
+    byte-based coalescing would serialize all groups through one
+    Python worker (bytes are blind to Python-per-row cost), so the op
+    pins a user-numbered keyed repartition — which AQE never
+    coalesces — and the groupBy must reuse it (exactly one
+    exchange)."""
+    plan = _plan(spark, "pandas_grouped_outliers")
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_pushdown_reaches_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     scan = plan[plan.index("FileScan") :]
