@@ -303,3 +303,49 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation as a real streaming query
+    (file source -> session merge state -> memory sink, availableNow).
+    Complete output mode makes the finite run exactly equal the batch
+    session_window aggregation — the differential proof that the
+    STREAMING session-merge state machine computes the same sessions
+    as the batch operator. Production streams use a watermark with
+    append mode instead (state for open sessions only, closed sessions
+    emitted once the watermark passes their end — the pattern
+    streaming.stateful demonstrates); complete mode here would be
+    unbounded state at 100 TB and exists for the finite equivalence
+    check."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"session_windows_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -141,3 +141,40 @@ def window_rolling_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents).over(w).alias("rolling_30d_cents"),
         )
     )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           min(ts)                        AS session_start,
+           max(ts) + INTERVAL 30 MINUTE   AS session_end,
+           count(*)                       AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of ``events_session_window``: the same native
+    session_window aggregation run through Structured Streaming's
+    session-merge state machine (see streaming.landing.
+    stream_session_windows) — its final result must equal the batch
+    operator AND the independent gaps-and-islands SQL, closing the
+    loop batch == streaming == first-principles."""
+    from ..streaming.landing import stream_session_windows
+
+    return stream_session_windows(spark, sf_dir)
