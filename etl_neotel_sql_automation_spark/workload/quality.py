@@ -323,3 +323,51 @@ def ivm_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           TRUE AS approx_ok
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL', count(DISTINCT user_id), TRUE FROM events
+    ORDER BY event_type
+    """,
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): per-event-type user sketches, PLUS a global
+    row whose estimate comes from ``hll_union_agg`` over the per-type
+    sketches — never from re-scanning the events. Mergeability is the
+    property that makes 100 TB distinct counts cheap: daily/partition
+    sketch tables union in milliseconds where exact distinct would
+    re-shuffle history. The differential check is a derived property
+    (estimate within 5% of exact -> TRUE), since sketch internals are
+    engine-specific; the exact counts anchor the comparison."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.hll_sketch_agg("user_id").alias("sk"),
+    )
+    ok = (
+        F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+        <= 0.05 * F.col("n_exact")
+    )
+    per_out = per.select("event_type", "n_exact", ok.alias("approx_ok"))
+    merged = per.agg(F.hll_union_agg("sk").alias("sk_all"))
+    glob_exact = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    glob = (
+        glob_exact.crossJoin(F.broadcast(merged))
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk_all") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("approx_ok"),
+        )
+    )
+    return per_out.unionByName(glob).orderBy("event_type")
