@@ -700,3 +700,48 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.landing import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@query(
+    "emb_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding)                    AS val
+      FROM embeddings
+    )
+    SELECT label, dim,
+           count(*) AS n_vecs,
+           round(sum(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
+                 / 1e6 / count(*), 6)            AS mean_val,
+           round(CAST(min(val) AS DOUBLE), 6)    AS min_val,
+           round(CAST(max(val) AS DOUBLE), 6)    AS max_val
+    FROM e
+    GROUP BY label, dim
+    """,
+)
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA profile: per-(label, dimension) mean/min/max
+    over the corpus — the check that catches dead dimensions, scale
+    drift between embedding model versions, and per-class mean shift
+    before they poison ANN recall. posexplode + one hash aggregate:
+    shuffle volume is (labels x dims) partial states, independent of
+    corpus size. Means ride on integer micro-units (a float sum across
+    partitions is summation-order dependent); min/max pick values, so
+    they are exact as-is. Long-form output (one row per label x dim)
+    keeps the result scalar-typed for the driver's canonicalizer."""
+    emb = table(spark, sf_dir, "embeddings")
+    val_d = F.col("val").cast("double")
+    micro = F.round(val_d * 1e6, 0).cast("long")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.sum(micro) / 1e6 / F.count("*"), 6).alias("mean_val"),
+            F.round(F.min(val_d), 6).alias("min_val"),
+            F.round(F.max(val_d), 6).alias("max_val"),
+        )
+    )
