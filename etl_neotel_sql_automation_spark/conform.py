@@ -76,15 +76,22 @@ def conform(df: DataFrame, spec: ConformSpec, *, add_load_date: bool = False) ->
 
     df = df.select(*spec.final_cols)
 
+    # Columns we just null-padded are all-null by construction, so each
+    # coercion collapses to its null-input constant (time/int/float -> 0,
+    # date -> null). Emitting the constant directly keeps semantics
+    # identical while shrinking the expression tree ~6x on wide specs
+    # (estados: 22 of 26 time columns are padded) — Catalyst ANALYSIS of
+    # the when-chain forest, rebuilt per query, was the dominant cost.
+    padded = set(missing)
     coercions = {}
     for c in spec.date_cols:
-        coercions[c] = date_dayfirst(c)
+        coercions[c] = F.lit(None).cast("date") if c in padded else date_dayfirst(c)
     for c in spec.int_cols:
-        coercions[c] = int0(c)
+        coercions[c] = F.lit(0).cast("int") if c in padded else int0(c)
     for c in spec.float_cols:
-        coercions[c] = float0(c)
+        coercions[c] = F.lit(0.0) if c in padded else float0(c)
     for c in spec.time_cols:
-        coercions[c] = time_str_to_minutes(c)
+        coercions[c] = F.lit(0.0) if c in padded else time_str_to_minutes(c)
     df = df.withColumns(coercions)
 
     if spec.key_cols:

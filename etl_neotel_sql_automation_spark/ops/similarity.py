@@ -89,11 +89,27 @@ def brute_force_topk(
     Output: q_id, n_id, rank (1..k), sim. Self-matches excluded. Rank
     ties broken by neighbor id so results are deterministic.
     """
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-    c = _fan_out(corpus).select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
-    scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("sim"))
+    # Double-cast and norm are factored out to ONCE per row on each side
+    # of the join (they sat inside cosine() before, re-evaluated for
+    # every (query, corpus) pair — 2 array casts + 2 norm folds x |q|
+    # per corpus row). The per-pair work left is one zip_with/aggregate
+    # dot product + a divide. Arithmetic is bit-identical: same
+    # sequential fold order, and IEEE multiply/divide are exact given
+    # the same operands, so the round-6 oracle comparison is unaffected.
+    q = queries.select(
+        F.col(id_col).alias("q_id"), _to_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("q_norm", norm(F.col("q_vec")))
+    c = (
+        _fan_out(corpus)
+        .select(F.col(id_col).alias("n_id"), _to_double(F.col(vec_col)).alias("n_vec"))
+        .withColumn("n_norm", norm(F.col("n_vec")))
+    )
+    scored = c.join(F.broadcast(q), F.col("q_id") != F.col("n_id")).select(
+        "q_id",
+        "n_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")), 6
+        ).alias("sim"),
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (
