@@ -92,6 +92,7 @@ def _ensure_loaded() -> None:
             analytics_extra,
             advanced2,
             breadth,
+            corpus_stats,
             etl_surface,
             final_wave,
             graph_ops,

@@ -1,0 +1,178 @@
+"""Corpus-statistics workloads over ``documents``: within-doc
+repetition signals (the Gopher-style repetition filters), per-source
+token budgeting, and corpus-frequency (rarity) scoring.
+
+These are the profiling passes a pretraining-data pipeline runs before
+and after filtering: repetition flags feed quality filtering alongside
+``ops.text.quality_score``; source budgets drive mixture weighting;
+rarity scores are the cheap stand-in for LM-perplexity filtering when
+no model is in the loop.
+
+Determinism: every ratio rides on integer parts-per-million arithmetic
+(``x * 1000000 div n`` on BIGINT) — no float summation, so the DuckDB
+oracles (``//`` floor division, same operands) match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ops import text as X
+from . import query, table
+
+# DuckDB token list mirroring ops.text.tokens (same as llm_ops._SQL_TOKS)
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             count(*)                 AS n_distinct,
+             CAST(max(cnt) AS BIGINT) AS top_cnt
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, top_cnt,
+           n_distinct * 1000000 // n_tokens AS distinct_ppm,
+           top_cnt * 1000000 // n_tokens    AS top_ppm,
+           (top_cnt * 1000000 // n_tokens >= 200000
+            OR n_distinct * 1000000 // n_tokens <= 600000) AS flag_repetitive
+    FROM agg
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the Gopher quality-filter
+    family): distinct-token ratio and most-frequent-token share, with a
+    composite repetition flag (top token >= 20% of the doc, or < 60%
+    distinct tokens).
+
+    Shape at scale: explode -> (doc, token) hash aggregate -> per-doc
+    aggregate. Shuffle volume is the distinct (doc, token) pair count,
+    not raw token count, and both aggregates combine map-side. Ratios
+    are integer ppm (BIGINT multiply + ``div``), never float division,
+    so cross-engine comparison is exact.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    per = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    distinct_ppm = F.expr("n_distinct * 1000000 div n_tokens")
+    top_ppm = F.expr("top_cnt * 1000000 div n_tokens")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_cnt",
+        distinct_ppm.alias("distinct_ppm"),
+        top_ppm.alias("top_ppm"),
+        ((top_ppm >= 200000) | (distinct_ppm <= 600000)).alias("flag_repetitive"),
+    )
+
+
+@query(
+    "corpus_source_stats",
+    oracle=f"""
+    WITH feat AS (
+      SELECT source,
+             CAST(len({_SQL_TOKS}) AS BIGINT)  AS nt,
+             CAST(length(text) AS BIGINT)      AS nc
+      FROM documents
+    )
+    SELECT source,
+           count(*)                        AS n_docs,
+           CAST(sum(nt) AS BIGINT)         AS total_tokens,
+           CAST(sum(nc) AS BIGINT)         AS total_chars,
+           CAST(min(nt) AS BIGINT)         AS min_tokens,
+           CAST(max(nt) AS BIGINT)         AS max_tokens,
+           round(quantile_cont(nt, 0.5), 4) AS median_tokens
+    FROM feat GROUP BY source
+    """,
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget: doc/token/char totals plus the doc-length
+    envelope — the numbers that set mixture weights and sampling rates
+    when assembling a training mix. One narrow projection + one hash
+    aggregate; count/sum/min/max combine map-side, and the exact median
+    (``percentile`` == DuckDB ``quantile_cont``) is the only sort-based
+    term — swap it for ``approx_percentile`` at the 100 TB tier."""
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "source",
+        X.token_count("text").cast("long").alias("nt"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    return feat.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("nc").alias("total_chars"),
+        F.min("nt").alias("min_tokens"),
+        F.max("nt").alias("max_tokens"),
+        F.round(F.expr("percentile(nt, 0.5)"), 4).alias("median_tokens"),
+    )
+
+
+@query(
+    "text_rare_token_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+    vocab AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS freq FROM per GROUP BY tok),
+    agg AS (
+      SELECT per.doc_id,
+             CAST(sum(per.cnt) AS BIGINT)            AS n_tokens,
+             CAST(sum(per.cnt * vocab.freq) AS BIGINT) AS sum_freq,
+             CAST(sum(CASE WHEN vocab.freq <= 2 THEN per.cnt ELSE 0 END) AS BIGINT)
+                                                     AS rare_cnt
+      FROM per JOIN vocab ON per.tok = vocab.tok
+      GROUP BY per.doc_id
+    )
+    SELECT doc_id, n_tokens, sum_freq, rare_cnt,
+           sum_freq * 1000 // n_tokens     AS mean_freq_milli,
+           rare_cnt * 1000000 // n_tokens  AS rare_ppm
+    FROM agg
+    """,
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — the model-free stand-in for
+    LM-perplexity filtering: docs dominated by corpus-rare tokens score
+    low mean frequency / high rare-token share and get routed to review.
+
+    Shape at scale: the (doc, token) counts aggregate FIRST, so the
+    vocabulary join carries one row per distinct pair (not per token
+    occurrence); the Zipf head makes ``tok`` a skewed join key — AQE
+    skew-join splits those partitions at runtime. ``mean_freq_milli``
+    stays in BIGINT millis: at 10^12-token corpora sum_freq*1e6 would
+    overflow, *1000 keeps 3 digits of precision with headroom.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(X.tokens("text")).alias("tok"))
+    per = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    vocab = per.groupBy("tok").agg(F.sum("cnt").alias("freq"))
+    agg = (
+        per.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("freq")).alias("sum_freq"),
+            F.sum(F.when(F.col("freq") <= 2, F.col("cnt")).otherwise(F.lit(0))).alias(
+                "rare_cnt"
+            ),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_freq",
+        "rare_cnt",
+        F.expr("sum_freq * 1000 div n_tokens").alias("mean_freq_milli"),
+        F.expr("rare_cnt * 1000000 div n_tokens").alias("rare_ppm"),
+    )
