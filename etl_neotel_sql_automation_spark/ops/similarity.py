@@ -322,6 +322,87 @@ def lsh_near_dup_pairs(
     )
 
 
+def sq8_codes(
+    df: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Scalar-quantize embeddings to centered int8-range codes
+    (FAISS-SQ8 style): per-dimension min/max linear map to 0..255, then
+    center by 128. ``stats`` is the 1-row (mn, mx) array frame from
+    :func:`sq8_stats`. Quantization is a pure deterministic projection
+    (floor of identical IEEE doubles), so another engine replays codes
+    bit-for-bit — unlike k-means codebooks (IVF/PQ), SQ needs no
+    training and its oracle can be exact."""
+    v = _to_double(vec_col)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    mn, mx = F.col("mn"), F.col("mx")
+    code = F.transform(
+        idx,
+        lambda i: F.when(F.get(mx, i) == F.get(mn, i), F.lit(0).cast("long")).otherwise(
+            F.floor(((F.get(v, i) - F.get(mn, i)) * 255.0) / (F.get(mx, i) - F.get(mn, i)))
+        )
+        - 128,
+    )
+    return df.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col), code.alias("codes")
+    )
+
+
+def sq8_stats(df: DataFrame, vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Per-dimension min/max of the corpus as ONE row of two arrays —
+    a single hash-aggregate pass (2*dim partial min/max states, all
+    map-side combinable; no explode, no shuffle of row data)."""
+    v = _to_double(vec_col)
+    return df.agg(
+        F.array(*[F.min(F.get(v, i)) for i in range(dim)]).alias("mn"),
+        F.array(*[F.max(F.get(v, i)) for i in range(dim)]).alias("mx"),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Exact-over-quantized top-k: rank by the integer dot product of
+    centered SQ8 codes (queries quantized with the corpus stats —
+    symmetric SQ). Output: q_id, n_id, rank, score (BIGINT).
+
+    Scale story: codes are 4x smaller than float32 and the scoring loop
+    is a pure integer multiply-add — this is the representation you
+    ship to a 100 TB corpus scan; compose with IVF/LSH candidate
+    generation to also cut the pair count. Integer products (<= 2^22
+    per term) sum exactly in any order and any engine, so unlike float
+    scoring the ranking is bit-reproducible end-to-end."""
+    stats = sq8_stats(corpus, vec_col, dim)
+    cb = sq8_codes(_fan_out(corpus), stats, id_col, vec_col, dim).select(
+        F.col(id_col).alias("n_id"), F.col("codes").alias("n_codes")
+    )
+    qb = sq8_codes(queries, stats, id_col, vec_col, dim).select(
+        F.col(id_col).alias("q_id"), F.col("codes").alias("q_codes")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("n_codes"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = cb.join(F.broadcast(qb), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", score.alias("score")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("score"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "score")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -443,6 +443,53 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_sq8_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    stat AS (
+      SELECT d, min(val) AS mn, max(val) AS mx
+      FROM (SELECT unnest(range(1, len(v)+1)) AS d, unnest(v) AS val FROM e)
+      GROUP BY d
+    ),
+    mnmx AS (SELECT list(mn ORDER BY d) AS mn, list(mx ORDER BY d) AS mx FROM stat),
+    codes AS (
+      SELECT vec_id,
+             list_transform(range(1, len(v)+1),
+               i -> CASE WHEN mx[i] = mn[i] THEN CAST(0 AS BIGINT)
+                         ELSE CAST(floor(((v[i] - mn[i]) * 255.0)
+                                         / (mx[i] - mn[i])) AS BIGINT)
+                    END - 128) AS c
+      FROM e, mnmx
+    ),
+    q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id < 10),
+    scored AS (
+      SELECT q_id, vec_id AS n_id,
+             CAST(list_dot_product(qc, c) AS BIGINT) AS score
+      FROM codes JOIN q ON q_id <> vec_id
+    ),
+    ranked AS (
+      SELECT q_id, n_id, score,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id)
+                  AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT q_id, n_id, rank, score FROM ranked WHERE rank <= 5
+    """,
+)
+def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (SQ8) similarity top-k — the compressed-
+    representation ANN modality alongside LSH (bucketing) and IVF
+    (coarse quantizer): per-dimension min/max linear map to centered
+    int8-range codes, ranked by integer dot product. Quantization and
+    scoring are fully deterministic (floor over identical IEEE doubles;
+    integer sums exact in any order), so unlike IVF's k-means this
+    oracle compares the ranked rows THEMSELVES bit-for-bit, not just a
+    quality property. Code lists sort ascending by dim on both sides."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@query(
     "sim_ivf_topk",
     oracle="""
     SELECT CAST(count(*) AS INTEGER) AS n_queries,

@@ -66,7 +66,7 @@ _COST_FRACTION = 0.6
       FROM eu_offers GROUP BY l_partkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-           round(e.unit_cost, 4) AS unit_cost
+           round(e.unit_cost * 1e4) / 1e4 AS unit_cost
     FROM eu_offers e
     JOIN best USING (l_partkey)
     JOIN part ON e.l_partkey = p_partkey
@@ -116,7 +116,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "p_partkey",
             "p_brand",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # integer-level round (then exact same double division on
+            # both sides): fractional round(x, 4) hits a multiply-tie
+            # between Spark's BigDecimal HALF_UP and DuckDB's re-scaled
+            # round at sf0.1 — see BUILDLOG round lessons
+            (F.round(F.col("unit_cost") * 1e4, 0) / 1e4).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

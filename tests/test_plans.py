@@ -177,6 +177,41 @@ def test_grouped_map_shuffle_is_aqe_coalesce_exempt(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Spark's runtime bloom-filter join pruning (on by default in this
+    build) must inject a ``bloom_filter_agg``/``might_contain`` pair for
+    a selective filtered-side join once the application-side scan
+    crosses its size threshold. The thresholds default to 10 GB scans —
+    exactly the 100 TB case — so the test scales them to the local
+    fixture's bytes to prove the mechanism fires; production conf is
+    untouched."""
+    from pyspark.sql import functions as F
+
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan and "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_pushdown_reaches_scan(spark):
     plan = _plan(spark, "q1_pricing_summary")
     scan = plan[plan.index("FileScan") :]
