@@ -760,8 +760,8 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, dim,
            count(*) AS n_vecs,
-           round(sum(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT))
-                 / 1e6 / count(*), 6)            AS mean_val,
+           round(CAST(sum(CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT)) AS BIGINT)
+                 / count(*)) / 1e6               AS mean_val,
            round(CAST(min(val) AS DOUBLE), 6)    AS min_val,
            round(CAST(max(val) AS DOUBLE), 6)    AS max_val
     FROM e
@@ -787,7 +787,12 @@ def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.sum(micro) / 1e6 / F.count("*"), 6).alias("mean_val"),
+            # round at the MICRO-UNIT integer level (micro-sum / n, round
+            # to whole micros, then downscale): fractional round(x, 6)
+            # ties differently across engines at sf0.1, and round-0 of a
+            # possibly-negative mean agrees (HALF_UP == half-away-from-
+            # zero for both signs)
+            (F.round(F.sum(micro) / F.count("*"), 0) / 1e6).alias("mean_val"),
             F.round(F.min(val_d), 6).alias("min_val"),
             F.round(F.max(val_d), 6).alias("max_val"),
         )
