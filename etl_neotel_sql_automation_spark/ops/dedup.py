@@ -173,6 +173,38 @@ def minhash_signatures(
     )
 
 
+def banded_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: HashFn = "xxhash64",
+) -> DataFrame:
+    """(id, band, bucket) rows from banded MinHash signatures — the
+    join key surface of LSH. Factored out so self-dedup
+    (:func:`minhash_lsh_candidates`) and incremental new-vs-corpus
+    dedup (:func:`incremental_dedup`) share one signature pipeline."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
+    return sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    hash64(
+                        F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+                        hash_fn,
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -188,29 +220,121 @@ def minhash_lsh_candidates(
     rows; documents sharing any band hash become a candidate pair.
     Output: id_a < id_b, n_bands (how many bands matched).
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, hash_fn)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    hash64(
-                        F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band)),
-                        hash_fn,
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_buckets(df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn)
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket"))
                & (F.col("x.id") < F.col("y.id")))
         .groupBy(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    hash_fn: HashFn = "xxhash64",
+) -> DataFrame:
+    """Dedup a NEW batch against a historical corpus — the production
+    shape at 100 TB, where re-deduping the corpus daily is impossible:
+    only new-vs-corpus work happens, never corpus-vs-corpus.
+
+    Verdict per new doc, in precedence order:
+
+    - ``exact_dup``  — normalized fingerprint already in the corpus
+      (left-semi join on md5; the corpus side reduces to distinct
+      fingerprints).
+    - ``near_dup``   — a banded-MinHash candidate in the corpus whose
+      exact token Jaccard >= ``threshold``; ``match_id``/``jaccard``
+      report the best match (highest Jaccard, lowest corpus id).
+    - ``unique``     — everything else.
+
+    The LSH bucket join is new-side x corpus-side only; exact Jaccard
+    runs on candidate pairs, never all pairs. In a deployed pipeline
+    the corpus signatures/buckets are computed once and PERSISTED
+    (append-only) — they are recomputed here only so the operator is
+    self-contained over the test tables.
+    """
+    fp_new = new_df.select(
+        F.col(id_col).alias("id"), F.md5(normalize_text(text_col)).alias("fp")
+    )
+    fp_corp = corpus_df.select(F.md5(normalize_text(text_col)).alias("fp")).distinct()
+    exact_ids = fp_new.join(fp_corp, "fp", "left_semi").select("id")
+
+    surv = new_df.join(
+        exact_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    bn = banded_buckets(surv, text_col, id_col, num_hashes, bands, shingle_n, hash_fn)
+    bc = banded_buckets(corpus_df, text_col, id_col, num_hashes, bands, shingle_n, hash_fn)
+    cand = (
+        bn.alias("x")
+        .join(
+            bc.alias("y"),
+            (F.col("x.band") == F.col("y.band")) & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.id").alias("new_id"), F.col("y.id").alias("corp_id"))
+        .dropDuplicates(["new_id", "corp_id"])
+    )
+
+    tok_new = surv.select(
+        F.col(id_col).alias("nid"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    tok_corp = corpus_df.select(
+        F.col(id_col).alias("cid"), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sz_new = tok_new.groupBy("nid").agg(F.count("*").alias("sz_n"))
+    sz_corp = tok_corp.groupBy("cid").agg(F.count("*").alias("sz_c"))
+    inter = (
+        cand.join(tok_new, cand.new_id == tok_new.nid)
+        .join(tok_corp, (cand.corp_id == tok_corp.cid) & (tok_new.tok == tok_corp.tok))
+        .groupBy("new_id", "corp_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    scored = (
+        inter.join(sz_new, inter.new_id == sz_new.nid)
+        .join(sz_corp, inter.corp_id == sz_corp.cid)
+        .select(
+            "new_id",
+            "corp_id",
+            F.round(
+                F.col("n_inter") / (F.col("sz_n") + F.col("sz_c") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window as W
+
+    best = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("new_id").orderBy(F.desc("jaccard"), "corp_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    exact_flag = exact_ids.withColumn("is_exact", F.lit(True))
+    return (
+        new_df.select(F.col(id_col).alias("doc_id"))
+        .join(exact_flag.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(best.withColumnRenamed("new_id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), F.lit("exact_dup"))
+            .when(F.col("corp_id").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.when(F.col("is_exact").isNull(), F.col("corp_id")).alias("match_id"),
+            F.when(F.col("is_exact").isNull(), F.col("jaccard")).alias("jaccard"),
+        )
     )
 
 

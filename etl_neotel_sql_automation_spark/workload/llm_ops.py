@@ -132,6 +132,115 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+def _minhash_band_ctes(
+    src: str, pfx: str, num_hashes: int = 32, bands: int = 8, shingle_n: int = 3
+) -> str:
+    """CTE chain (shingle -> md5 hash -> signature -> band rows) for one
+    named source CTE, prefixed so two sides can coexist in one oracle —
+    the building block the incremental new-vs-corpus dedup oracle uses
+    twice. Mirrors ops.dedup.banded_buckets(hash_fn="md5") exactly."""
+    p = _MERSENNE_P
+    r = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min((h * {a} + {b}) % {p}) AS h{i}"
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT id, {band} AS band, {bucket} AS bucket FROM {pfx}sig".format(
+            band=b,
+            pfx=pfx,
+            bucket=sql_md5_long(
+                "concat_ws(',', " + ", ".join(f"h{b * r + j}" for j in range(r)) + ")"
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    {pfx}t AS (SELECT id, {_SQL_TOKS} AS toks FROM {src}),
+    {pfx}sh0 AS (
+      SELECT id, unnest(CASE WHEN len(toks) >= {shingle_n} THEN
+          list_transform(range(1, greatest(len(toks) - {shingle_n - 1}, 0) + 1),
+                         i -> array_to_string(list_slice(toks, i, i + {shingle_n - 1}), ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM {pfx}t
+    ),
+    {pfx}sh AS (SELECT id, {sql_md5_long("sh")} % {p} AS h FROM {pfx}sh0),
+    {pfx}sig AS (SELECT id, {mins}
+                 FROM {pfx}sh GROUP BY id),
+    {pfx}bands AS ({band_rows})"""
+
+
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def _incremental_oracle(threshold: float = 0.5) -> str:
+    return f"""
+    WITH newd AS (SELECT doc_id AS id, text FROM documents WHERE source = 'src0'),
+    corp AS (SELECT doc_id AS id, text FROM documents WHERE source <> 'src0'),
+    nfp AS (SELECT id, {_FP_SQL} AS fp FROM newd),
+    cfp AS (SELECT DISTINCT {_FP_SQL} AS fp FROM corp),
+    exact AS (SELECT id FROM nfp WHERE fp IN (SELECT fp FROM cfp)),
+    surv AS (SELECT * FROM newd WHERE id NOT IN (SELECT id FROM exact)),
+    {_minhash_band_ctes("surv", "n_")},
+    {_minhash_band_ctes("corp", "c_")},
+    cand AS (
+      SELECT DISTINCT a.id AS new_id, b.id AS corp_id
+      FROM n_bands a JOIN c_bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+    ),
+    tok_n AS (SELECT id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM surv),
+    tok_c AS (SELECT id, unnest(list_distinct({_SQL_TOKS})) AS tok FROM corp),
+    szn AS (SELECT id, count(*) AS sz FROM tok_n GROUP BY id),
+    szc AS (SELECT id, count(*) AS sz FROM tok_c GROUP BY id),
+    inter AS (
+      SELECT c.new_id, c.corp_id, count(*) AS n_inter
+      FROM cand c
+      JOIN tok_n a ON a.id = c.new_id
+      JOIN tok_c b ON b.id = c.corp_id AND a.tok = b.tok
+      GROUP BY c.new_id, c.corp_id
+    ),
+    scored0 AS (
+      SELECT new_id, corp_id,
+             round(n_inter / (szn.sz + szc.sz - n_inter), 6) AS jaccard
+      FROM inter
+      JOIN szn ON new_id = szn.id
+      JOIN szc ON corp_id = szc.id
+    ),
+    scored AS (SELECT * FROM scored0 WHERE jaccard >= {threshold}),
+    best AS (
+      SELECT new_id, corp_id, jaccard,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jaccard DESC, corp_id) AS rn
+      FROM scored
+    )
+    SELECT n.id AS doc_id,
+           CASE WHEN e.id IS NOT NULL THEN 'exact_dup'
+                WHEN b.new_id IS NOT NULL THEN 'near_dup'
+                ELSE 'unique' END AS verdict,
+           CASE WHEN e.id IS NULL THEN b.corp_id END AS match_id,
+           CASE WHEN e.id IS NULL THEN b.jaccard END AS jaccard
+    FROM newd n
+    LEFT JOIN exact e ON n.id = e.id
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON n.id = b.new_id
+    """
+
+
+@query("dedup_incremental", oracle=_incremental_oracle())
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental new-batch-vs-corpus dedup (src0 plays the daily
+    batch; the other sources the historical corpus): fingerprint
+    left-semi for exact dups, banded-MinHash bucket join NEW x CORPUS
+    only (never corpus x corpus — the property that makes daily dedup
+    of a 100 TB corpus feasible), exact-Jaccard verification of
+    candidates, best-match verdict per new doc. Runs on the md5
+    cross-engine hash; the oracle replays the whole pipeline
+    bit-identically."""
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("source") == "src0")
+    corp = docs.filter(F.col("source") != "src0")
+    return D.incremental_dedup(new, corp, hash_fn="md5")
+
+
 @query("dedup_minhash_candidates", oracle=_minhash_oracle())
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded MinHash-LSH candidates on the cross-engine md5 hash —

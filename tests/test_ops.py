@@ -52,6 +52,36 @@ def test_minhash_lsh_finds_near_dup(spark, docs):
     assert (1, 4) not in cand                      # unrelated -> no band
 
 
+def test_incremental_dedup_verdicts(spark):
+    """Planted cases: an exact copy -> exact_dup (match fields null), a
+    one-token edit -> near_dup with the right corpus match, and an
+    unrelated doc -> unique. Covers the branch the star-schema data
+    cannot (it has no cross-source exact dups)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today "
+        "while the morning sun rises slowly above the quiet village and the "
+        "farmers walk their fields counting rows of corn before the market opens"
+    )
+    edited = base.replace("corn", "wheat")  # 1 of ~37 tokens -> shingle J ~ 0.92
+    corpus_rows = [
+        (100, base),
+        (101, "completely different text about spark partitions and shuffle behavior here"),
+    ]
+    new_rows = [
+        (1, base),
+        (2, edited),
+        (3, "unrelated words entirely zebra quantum lattice harmonic oscillator basis"),
+    ]
+    schema = "doc_id long, text string"
+    corp = spark.createDataFrame(corpus_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    out = {r.doc_id: r for r in D.incremental_dedup(new, corp, threshold=0.5).collect()}
+    assert out[1].verdict == "exact_dup" and out[1].match_id is None
+    assert out[2].verdict == "near_dup" and out[2].match_id == 100
+    assert out[2].jaccard >= 0.5
+    assert out[3].verdict == "unique" and out[3].jaccard is None
+
+
 def test_simhash_hamming(spark, docs):
     sig = {r.id: r.simhash for r in D.simhash(docs).collect()}
     def ham(a, b):
