@@ -272,3 +272,92 @@ def decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS2} AS toks FROM documents),
+    starts AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1, 24)) AS st FROM t
+    )
+    SELECT doc_id,
+           CAST((st - 1) // 24 AS INT)                       AS chunk_id,
+           CAST(len(list_slice(toks, st, st + 31)) AS INT)   AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, st, st + 31), ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (window 32 tokens, stride
+    24 => 8-token overlap) — the RAG/long-context preprocessing step
+    that turns documents into model-sized pieces without losing
+    cross-boundary context. Pure codegen: sequence of window starts,
+    posexplode, array slice — no shuffle at all; chunk ids derive from
+    the start offset so they are stable under re-partitioning. The
+    md5 of each chunk keeps the compared surface scalar."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    starts = F.sequence(F.lit(1), F.size(toks), F.lit(24))
+    chunked = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(starts).alias("st")
+    )
+    chunk = F.slice(F.col("toks"), F.col("st"), 32)
+    return chunked.select(
+        "doc_id",
+        F.expr("(st - 1) div 24").cast("int").alias("chunk_id"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS2}) AS BIGINT) AS nt,
+             {sql_md5_long("'budget:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             CAST(sum(nt) OVER (PARTITION BY source ORDER BY h, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM feat
+    )
+    SELECT doc_id, source, nt AS n_tokens, cum_tokens
+    FROM c
+    WHERE cum_tokens <= CASE WHEN source IN ('src0', 'src1', 'src2')
+                             THEN 400 ELSE 200 END
+    """,
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sampling to a per-source TOKEN budget (not a doc
+    count): docs stream in salted-md5 order and accumulate until the
+    source's budget is hit — how a training mixture hits its per-domain
+    token targets reproducibly. The hash order makes the selection a
+    pure function of (doc_id, salt): appends never evict previously
+    selected docs below the cumsum boundary, retries pick the same set,
+    and any engine replays it (the oracle proves it). One window per
+    source partition, O(1) running state."""
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("long").alias("nt"),
+        md5_long(F.concat(F.lit("budget:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budget = F.when(F.col("source").isin("src0", "src1", "src2"), 400).otherwise(200)
+    return (
+        feat.withColumn("cum_tokens", F.sum("nt").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id", "source", F.col("nt").alias("n_tokens"), "cum_tokens"
+        )
+    )
