@@ -88,6 +88,31 @@ def test_read_landing_dir_dispatch_and_union(spark, tmp_path):
     assert out["estados_operativos"].count() == 1
 
 
+def test_read_landing_dir_schema_drift(spark, tmp_path):
+    """A report that gains a column mid-history (and one missing a
+    column) must still union (allowMissingColumns) and conform: the
+    extra column is dropped by the fixed projection, the missing one
+    null-pads then coerces to its default — the schema-evolution path a
+    years-long landing archive hits in practice."""
+    from etl_neotel_sql_automation_spark.conform import conform
+    from etl_neotel_sql_automation_spark.schema import CONDUCTA_SPEC
+
+    (tmp_path / "conducta_old.csv").write_text(CONDUCTA_CSV.format(d=";"))
+    (tmp_path / "conducta_new.csv").write_text(
+        "Agente;Fecha;ID;Campaña;In;% In;Tiempo medio de respuesta IN;Columna Nueva\n"
+        "eve;14/08/2026;9;ventas;3;10.0;00:45:00;extra\n"
+    )
+    out = read_landing_dir(spark, tmp_path)
+    union = out["conducta"]
+    assert union.count() == 3
+    conformed = conform(union, CONDUCTA_SPEC)
+    assert "columna_nueva" not in conformed.columns
+    rows = {r.agente: r for r in conformed.collect()}
+    assert rows["eve"].tiempo_medio_respuesta_in == pytest.approx(45.0)
+    # the column missing from BOTH files null-padded then coerced to 0
+    assert rows["eve"].out_total == 0
+
+
 def test_partitioned_idempotent_overwrite(spark, tmp_path):
     """S-6 golden: re-writing the same date replaces it; other dates
     survive (FIXTURES.md §A3 'same date loaded twice')."""
