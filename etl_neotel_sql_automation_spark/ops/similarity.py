@@ -265,6 +265,95 @@ def hyperplane_lsh_buckets(
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
+def multi_table_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 16,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """One (id, t, bucket) row per (vector, LSH table), each table's
+    bucket built from its disjoint slice of the global hyperplane
+    family — the shared candidate-key surface of the multi-table
+    near-dup join and the persisted index. ``keep_vec`` carries the
+    embedding through (denormalized, the standard LSH index trade) so
+    index lookups never join back to the corpus."""
+    signs = hyperplane_signs(dim, tables * planes_per_table, seed)
+    qv = _quantize(vec_col)
+    bits = [
+        F.when(dot(qv, F.array(*[F.lit(float(s)) for s in srow])) > 0,
+               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        for srow in signs
+    ]
+    buckets = []  # one bucket id per table, from its disjoint plane slice
+    for t in range(tables):
+        bkt = None
+        for j in range(planes_per_table):
+            term = F.shiftleft(bits[t * planes_per_table + j], j)
+            bkt = term if bkt is None else bkt + term
+        buckets.append(F.struct(F.lit(t).alias("t"), bkt.alias("bucket")))
+    cols = [F.col(id_col).alias("id"), F.explode(F.array(*buckets)).alias("tb")]
+    out = df.select(*cols, *([F.col(vec_col).alias("vec")] if keep_vec else []))
+    keep = ["id", "tb.t", "tb.bucket"] + (["vec"] if keep_vec else [])
+    return out.select(*keep)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    n_buckets: int = 32,
+) -> None:
+    """Persist a multi-table LSH index as a BUCKETED table keyed on the
+    composite (table, bucket) id: the corpus-x-corpus candidate
+    self-join — the operation that dominates near-dup cost at 100 TB —
+    then runs with ZERO shuffle (both join inputs stream from co-located
+    buckets of one scan; proven in tests/test_bucketing.py). ``tb``
+    packs (t, bucket) into one bigint so the storage bucketing key and
+    the join key coincide. Appending a daily batch re-uses the same
+    hyperplane family (deterministic from ``seed``), so the index is
+    append-only like the corpus."""
+    from ..io_sinks import write_bucketed
+
+    rows = multi_table_buckets(
+        df, id_col, vec_col, tables, planes_per_table, seed, dim, keep_vec=True
+    ).select(
+        "id",
+        (F.col("t") * (1 << planes_per_table) + F.col("bucket")).alias("tb"),
+        "vec",
+    )
+    write_bucketed(rows, table, "tb", n_buckets=n_buckets, sort_col="tb")
+
+
+def lsh_near_dup_pairs_indexed(spark, table: str, threshold: float = 0.35) -> DataFrame:
+    """Near-dup pairs straight off a persisted LSH index
+    (:func:`write_lsh_index`): self-equi-join on the composite bucket
+    key — shuffle-free thanks to storage bucketing — exact cosine from
+    the denormalized vectors (no join back to the corpus), then pair
+    dedup. The pair-dedup shuffle is on the emitted candidate pairs,
+    proportional to near-dup density, not corpus size."""
+    b = spark.table(table)
+    a, c = b.alias("a"), b.alias("b")
+    scored = (
+        a.join(c, (F.col("a.tb") == F.col("b.tb")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    return scored.dropDuplicates(["id_a", "id_b"])
+
+
 def lsh_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -288,23 +377,9 @@ def lsh_near_dup_pairs(
     1-(1-c^r)^T with c = 1-acos(s)/pi; 16x4 gives ~0.92 at s=0.35 and
     ~1.0 for genuinely-near pairs.
     """
-    signs = hyperplane_signs(dim, tables * planes_per_table, seed)
-    qv = _quantize(vec_col)
-    bits = [
-        F.when(dot(qv, F.array(*[F.lit(float(s)) for s in srow])) > 0,
-               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        for srow in signs
-    ]
-    buckets = []  # one bucket id per table, from its disjoint plane slice
-    for t in range(tables):
-        bkt = None
-        for j in range(planes_per_table):
-            term = F.shiftleft(bits[t * planes_per_table + j], j)
-            bkt = term if bkt is None else bkt + term
-        buckets.append(F.struct(F.lit(t).alias("t"), bkt.alias("bucket")))
-    banded = _fan_out(df).select(
-        F.col(id_col).alias("id"), F.explode(F.array(*buckets)).alias("tb")
-    ).select("id", "tb.t", "tb.bucket")
+    banded = multi_table_buckets(
+        _fan_out(df), id_col, vec_col, tables, planes_per_table, seed, dim
+    ).select("id", "t", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.bucket") == F.col("b.bucket"))

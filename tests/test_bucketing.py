@@ -22,6 +22,31 @@ def bucketed_pair(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+def test_persisted_lsh_index_selfjoin_is_shuffle_free(spark):
+    """The LSH index written as a bucketed table must run its candidate
+    self-join (the 100 TB-dominant operation) with no Exchange on the
+    bucket key, and must produce the SAME near-dup pairs as the direct
+    in-memory multi-table path with identical parameters."""
+    from etl_neotel_sql_automation_spark.ops import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    spark.sql("DROP TABLE IF EXISTS lsh_idx")
+    S.write_lsh_index(emb, "lsh_idx", tables=4, planes_per_table=4)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = S.lsh_near_dup_pairs_indexed(spark, "lsh_idx", threshold=0.35)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(tb" not in plan
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        direct = S.lsh_near_dup_pairs(emb, 0.35, tables=4, planes_per_table=4)
+        want = {(r.id_a, r.id_b) for r in direct.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS lsh_idx")
+
+
 def test_bucketed_join_is_shuffle_free(spark, bucketed_pair):
     tl, to = bucketed_pair
     # disable broadcast so the join strategy must exploit bucketing
