@@ -188,6 +188,150 @@ def ivf_topk(
     )
 
 
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is cut into
+    ``m`` subspaces of ``dim // m`` dims, each with its own ``k``-means
+    codebook (pyspark.ml, seeded). Returns ``codebooks[j][c] ->
+    centroid`` (m × k × dim/m floats — driver-sized by construction,
+    like IVF's centroid list). At 100 TB you train on a hash-sample of
+    the corpus; encoding below stays full-scan."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(f"PQ requires pyspark.ml: {e}") from e
+
+    sub = dim // m
+    v = _to_double(vec_col)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        train = corpus.select(
+            array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
+        )
+        km = KMeans(k=k, seed=seed + j, maxIter=20).fit(train)
+        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its ``m`` nearest-centroid codes (array<int>)
+    with an Arrow-batched numpy Pandas UDF — PQ encoding is exactly the
+    "fat per-row math" case where the Python boundary pays for itself:
+    the equivalent column expression is m*k HOF aggregates + argmin
+    when-chains (measured: multi-MiB task binaries and compile-bound
+    runs), while numpy does one (batch, k, sub) broadcast subtract per
+    subspace. Codes are m small ints per vector — the compression that
+    makes 100 TB corpora rankable in memory."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def enc(s):
+        x = np.asarray(s.to_list(), dtype=np.float64)  # (batch, dim)
+        out = np.empty((x.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            xj = x[:, j * sub:(j + 1) * sub]  # (batch, sub)
+            d = ((xj[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(list(out))
+
+    enc_udf = F.pandas_udf(enc, returnType=T.ArrayType(T.IntegerType()))
+    return df.select(F.col(id_col), enc_udf(_to_double(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    rerank: int = 50,
+) -> DataFrame:
+    """PQ ANN top-k, two-stage as deployed in practice: (1) asymmetric
+    distance computation — each query precomputes a lookup table of
+    subspace dot products against every centroid (m × n_codes doubles,
+    broadcast with the query), so pre-ranking a corpus vector is ``m``
+    table lookups + adds, touching only its codes; (2) the ADC top-
+    ``rerank`` candidates are re-scored with the EXACT float dot
+    product and the true top-k emitted. Code-only ranking on random
+    (worst-case) vectors has low fidelity at the @5 grain, but the
+    @``rerank`` grain is robust — the two-stage shape converts that
+    into high recall@k while still scanning codes, not floats.
+    Output: q_id, n_id, rank, sim (exact dot, round 6)."""
+    books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
+    sub = dim // m
+    corpus_cached = _fan_out(corpus)
+    cb = pq_encode(corpus_cached, books, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), "codes"
+    )
+    qv = _to_double(vec_col)
+    lut = F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * sub + 1, sub),
+                    F.array(*[F.lit(x) for x in books[j][c]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(n_codes)
+        ])
+        for j in range(m)
+    ])
+    qb = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("q_vec"), lut.alias("lut")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.get(F.get(F.col("lut"), j), F.get(F.col("codes"), j)),
+    )
+    pre = cb.join(F.broadcast(qb.select("q_id", "lut")), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", adc.alias("adc")
+    )
+    wpre = W.partitionBy("q_id").orderBy(F.desc("adc"), "n_id")
+    cand = pre.withColumn("crank", F.row_number().over(wpre)).filter(
+        F.col("crank") <= rerank
+    )
+    nv = corpus_cached.select(
+        F.col(id_col).alias("n_id"), _to_double(vec_col).alias("n_vec")
+    )
+    exact = (
+        cand.join(nv, "n_id")
+        .join(qb.select("q_id", "q_vec"), "q_id")
+        .select("q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,

@@ -114,6 +114,25 @@ def test_lsh_topk_subset_of_exact(spark):
         assert r.q_id != r.n_id and -1.0 <= r.sim <= 1.0
 
 
+def test_pq_encode_codes_shape_and_range(spark):
+    """PQ codes: m entries per vector, each a valid codebook index; a
+    vector equal to a centroid in every subspace must encode to exactly
+    that centroid's code."""
+    m, k, sub = 4, 4, 2
+    books = [
+        [[float(c + j), float(c - j)] for c in range(k)] for j in range(m)
+    ]
+    # row 0: exactly centroid 2 in every subspace; row 1: arbitrary
+    v0 = [x for j in range(m) for x in books[j][2]]
+    v1 = [0.1 * i for i in range(m * sub)]
+    emb = spark.createDataFrame(
+        [(0, v0), (1, v1)], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r.codes for r in S.pq_encode(emb, books).collect()}
+    assert rows[0] == [2] * m
+    assert len(rows[1]) == m and all(0 <= c < k for c in rows[1])
+
+
 def test_sq8_topk_recall_vs_exact_inner_product(spark):
     """SQ8 ranking must recover most of the exact float inner-product
     top-5 (measured 0.72-0.78 on the random test embeddings — the hard
