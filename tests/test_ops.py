@@ -114,6 +114,60 @@ def test_lsh_topk_subset_of_exact(spark):
         assert r.q_id != r.n_id and -1.0 <= r.sim <= 1.0
 
 
+def test_chunking_covers_every_token_with_exact_stride(spark):
+    """Invariants over random docs: starts advance by exactly the
+    stride, every token of the doc lands in at least one chunk, chunk
+    token counts are <= the window, and chunk count is
+    floor((n-1)/stride)+1."""
+    import random
+
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 90))))
+        for i in range(40)
+    ]
+    # reuse the registered query's logic by writing a tiny parquet dir
+    # shaped like the documents table
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        out = queries()["chunk_documents"](spark, d).collect()
+    n_tokens = {i: len(t.split()) for i, t in docs}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in n_tokens.items():
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        assert len(rows) == (n - 1) // 24 + 1
+        assert all(r.n_chunk_tokens <= 32 for r in rows)
+        covered = sum(min(32, n - cid * 24) for cid in range(len(rows)))
+        assert covered >= n  # windows overlap -> full coverage
+
+
+def test_sq8_codes_bounds_and_extremes(spark):
+    """SQ8 codes stay in [-128, 127]; a vector sitting at the per-dim
+    minimum encodes to -128 everywhere, at the maximum to 127."""
+    dim = 4
+    rows = [
+        (0, [0.0, -1.0, 10.0, 5.0]),
+        (1, [1.0, 3.0, 20.0, 9.0]),
+        (2, [0.5, 1.0, 15.0, 7.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    stats = S.sq8_stats(emb, "embedding", dim)
+    codes = {r.id if hasattr(r, "id") else r.vec_id: r.codes
+             for r in S.sq8_codes(emb, stats, "vec_id", "embedding", dim).collect()}
+    assert codes[0] == [-128] * dim  # per-dim minimum
+    assert codes[1] == [127] * dim   # per-dim maximum: floor(255) - 128
+    assert all(-128 <= c <= 127 for c in codes[2])
+
+
 def test_pq_encode_codes_shape_and_range(spark):
     """PQ codes: m entries per vector, each a valid codebook index; a
     vector equal to a centroid in every subspace must encode to exactly
