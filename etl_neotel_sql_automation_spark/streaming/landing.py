@@ -113,6 +113,30 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-adaptive streaming source for the testdata events table.
+
+    events.parquet has shipped with ``ts`` as INT64 TIMESTAMP(NANOS)
+    (readable only as a raw long under ``nanosAsLong``) and as plain
+    TIMESTAMP(MICROS). Streaming file sources need the schema up front,
+    so sniff it from a batch scan (parquet-footer metadata only — no
+    data read) and normalize either physical form to a session-TZ (UTC)
+    timestamp. The nanos path floor-divides with ``div`` (ns-since-epoch
+    exceeds 2^53; double division would lose precision).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+
+
 def windowed_event_agg(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window counts/sums with a watermark bounding state.
 
@@ -142,14 +166,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch DISTINCT oracle. Only the key columns are returned:
     which physical row arrives first is scheduler-dependent, the key
     set is not."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     dedup = (
         events.withWatermark("ts", "24 hours")
         .dropDuplicates(["user_id", "event_type"])
@@ -179,16 +196,8 @@ def stream_stream_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     forever — the watermark + range predicate IS the 100 TB design).
     availableNow -> finite; result must equal the batch theta-join
     oracle."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def src() -> DataFrame:
-        raw = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return events_stream(spark, sf_dir)
 
     signups = (
         src()
@@ -242,14 +251,7 @@ def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events parquet (availableNow -> finite), returning the final result
     from the memory sink. Registered as a driver query: its output must
     match the batch/DuckDB tumbling-window oracle exactly."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     agg = windowed_event_agg(events)
     name = f"events_hourly_{uuid.uuid4().hex[:8]}"
     q = (
@@ -275,14 +277,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     it broadcasts; no state is kept for the join at all, which is why
     stream-static enrichment is the cheapest join flavor at 100 TB.
     availableNow -> finite; must equal the batch inner join."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment", "c_nationkey"
     )
@@ -317,14 +312,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming.stateful demonstrates); complete mode here would be
     unbounded state at 100 TB and exists for the finite equivalence
     check."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = events_stream(spark, sf_dir)
     agg = (
         events.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(F.count("*").alias("n_events"))

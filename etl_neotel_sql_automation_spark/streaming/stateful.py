@@ -106,24 +106,10 @@ def run_sessionize_stream(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
-    src = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    events = src.select("user_id", F.expr("ts div 1000").alias("us"))
+    from .landing import events_stream
+
+    src = events_stream(spark, sf_dir)
+    events = src.select("user_id", F.unix_micros("ts").alias("us"))
     out = sessionize_stream(events)
     name = f"sessions_{uuid.uuid4().hex[:8]}"
     q = (

@@ -57,16 +57,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so timestamp collection matches the UTC-naive oracle."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which the
-        # Spark parquet reader rejects. Read nanos as long, then floor-
-        # divide to micros ("div", not "/": ns-since-epoch exceeds 2^53,
-        # so double division would lose precision). DuckDB's ns->us
-        # conversion floors identically.
+        # The driver has shipped events.parquet with ts as either INT64
+        # TIMESTAMP(NANOS) — which Spark's parquet reader only accepts
+        # as a raw long under nanosAsLong — or plain TIMESTAMP(MICROS).
+        # Sniff the resolved type and normalize both to a session-TZ
+        # (UTC) timestamp. Nanos path floor-divides ("div", not "/":
+        # ns-since-epoch exceeds 2^53, double division would lose
+        # precision); DuckDB's ns->us conversion floors identically.
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
