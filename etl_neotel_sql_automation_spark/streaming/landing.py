@@ -101,32 +101,32 @@ def stream_landing_csv(
     return writer.trigger(**trigger).start()
 
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # INT64 TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-adaptive streaming source for the testdata events table.
-
-    events.parquet has shipped with ``ts`` as INT64 TIMESTAMP(NANOS)
-    (readable only as a raw long under ``nanosAsLong``) and as plain
-    TIMESTAMP(MICROS). Streaming file sources need the schema up front,
-    so sniff it from a batch scan (parquet-footer metadata only — no
-    data read) and normalize either physical form to a session-TZ (UTC)
-    timestamp. The nanos path floor-divides with ``div`` (ns-since-epoch
-    exceeds 2^53; double division would lose precision).
-    """
+def sniff_events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Sniff the events.parquet schema from a batch scan (parquet-footer
+    metadata only — no data read). Sets two session confs as a
+    deliberate side effect, required before ANY events scan resolves:
+    UTC session TZ (deterministic window boundaries) and
+    ``nanosAsLong`` (events.parquet has shipped with ``ts`` as INT64
+    TIMESTAMP(NANOS), unreadable otherwise)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def events_stream(
+    spark: SparkSession, sf_dir: str, batch_schema: T.StructType | None = None
+) -> DataFrame:
+    """Schema-adaptive streaming source for the testdata events table.
+
+    Streaming file sources need the schema up front, so it is sniffed
+    via :func:`sniff_events_schema` (pass ``batch_schema`` to reuse one
+    sniff across several legs of a multi-input query). Either physical
+    ``ts`` form is normalized to a session-TZ (UTC) timestamp. The
+    nanos path floor-divides with ``div`` (ns-since-epoch exceeds 2^53;
+    double division would lose precision).
+    """
+    if batch_schema is None:
+        batch_schema = sniff_events_schema(spark, sf_dir)
     src = (
         spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -196,8 +196,10 @@ def stream_stream_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     forever — the watermark + range predicate IS the 100 TB design).
     availableNow -> finite; result must equal the batch theta-join
     oracle."""
+    schema = sniff_events_schema(spark, sf_dir)
+
     def src() -> DataFrame:
-        return events_stream(spark, sf_dir)
+        return events_stream(spark, sf_dir, batch_schema=schema)
 
     signups = (
         src()

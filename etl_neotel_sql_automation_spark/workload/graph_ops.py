@@ -53,7 +53,7 @@ def _pagerank_oracle(iters: int = 3, scale: int = _SCALE) -> str:
         + ","
         + ",".join(rounds)
         + f"""
-    SELECT id, rank AS rank_int FROM r{iters}
+    SELECT id, CAST(rank AS BIGINT) AS rank_int FROM r{iters}
     """
     )
 

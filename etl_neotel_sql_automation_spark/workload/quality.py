@@ -133,7 +133,7 @@ def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT count(*) AS orphan_orders
       FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
     )
-    SELECT * FROM (
+    SELECT check_name, CAST(violations AS BIGINT) AS violations FROM (
       SELECT 'orders.pk_unique' AS check_name, pk_dup AS violations FROM o
       UNION ALL
       SELECT 'orders.status_domain', bad_status FROM o
@@ -260,7 +260,7 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH snap_new AS ({SNAP_NEW_SQL})
     SELECT o_orderstatus,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM snap_new
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus

@@ -109,10 +109,10 @@ def scalar_try_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rolling_30d",
     oracle="""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT))
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
                    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
-             AS rolling_30d_cents
+             AS BIGINT) AS rolling_30d_cents
     FROM orders
     WHERE o_custkey % 17 = 0
     """,

@@ -185,7 +185,7 @@ _SQL_TOKS2 = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
     SELECT source,
            CAST(floor((cum - n_tok) / 256) AS BIGINT) AS bin_id,
            count(*)    AS n_docs,
-           sum(n_tok)  AS bin_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS bin_tokens,
            min(doc_id) AS first_doc,
            max(doc_id) AS last_doc
     FROM c GROUP BY source, bin_id

@@ -45,6 +45,31 @@ def test_sniff_and_read(spark, tmp_path, encoding, sep):
     assert any("Campa" in c for c in df.columns)
 
 
+def test_cp1252_specific_bytes_map_via_latin1(spark, tmp_path):
+    """Golden file for the encoding-chain design choice (ENCODINGS drops
+    cp1252 because latin-1 decodes every byte sequence, so cp1252 is
+    unreachable — in our chain AND the reference's, main.py:1337).
+
+    Consequence, accepted by design: cp1252-specific code points in the
+    0x80–0x9F block (euro sign, smart quotes, em dash) do not FAIL —
+    they decode as the corresponding latin-1 C1 control characters.
+    Data is preserved byte-for-byte; only the glyph interpretation for
+    those 27 codepoints differs. This test pins that behavior so a
+    future chain change is a conscious one."""
+    # cp1252: € = 0x80, ’ = 0x92, — = 0x97
+    p = tmp_path / "cp1252.csv"
+    note = "€100 ’quoted’ — dash"
+    p.write_bytes(f"id,note\n1,{note}\n".encode("cp1252"))
+    enc, sep = sniff_csv_dialect(p)
+    assert enc == "ISO-8859-1"  # latin-1 catch-all, not cp1252
+    assert sep == ","
+    df = read_csv_robust(spark, p)
+    [row] = df.collect()
+    # byte-identical round trip: latin-1 maps 0x80→U+0080 etc.
+    assert row["note"].encode("latin-1") == note.encode("cp1252")
+    assert row["note"] == "\x80100 \x92quoted\x92 \x97 dash"
+
+
 def test_excel_bridge_gated_without_libs(spark, tmp_path):
     """Without openpyxl/xlrd the bridge must fail with the explicit
     NotImplementedError, not a raw ImportError mid-pipeline."""

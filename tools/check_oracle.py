@@ -35,15 +35,28 @@ TABLES = (
 
 
 def canon(v):
-    """Canonical comparable form for one cell."""
+    """Canonical comparable form for one cell.
+
+    Type-strict on int vs float: the driver hashes *stringified typed*
+    values, so ``653`` (Spark BIGINT) and ``653.0`` (DuckDB HUGEINT →
+    pandas float64) hash differently even though Python says 5 == 5.0.
+    Tag numerics with a type code so that class of bug fails locally.
+    Decimal is folded into the float tag (both stringify as "5.5").
+    """
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, Decimal):
-        return float(v)
+        return ("f", float(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", v)
     if isinstance(v, datetime):
         return ("ts", v.replace(tzinfo=None).isoformat())
     if isinstance(v, date):
         return ("d", v.isoformat())
-    if isinstance(v, float) and math.isnan(v):
-        return ("nan",)
     if isinstance(v, list):
         return tuple(canon(x) for x in v)
     return v
@@ -93,6 +106,14 @@ def main() -> int:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
+            # Type sweep first: DuckDB promotes SUM(BIGINT) → HUGEINT,
+            # which pandas renders float64 and the driver's typed hash
+            # then sees 653.0 vs Spark's 653. Any HUGEINT output column
+            # is a latent driver red — flag it even if values match.
+            dtypes = con.execute(
+                "DESCRIBE " + oracles[name]
+            ).fetchall()
+            huge = [r[0] for r in dtypes if "HUGEINT" in str(r[1]).upper()]
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
@@ -101,6 +122,8 @@ def main() -> int:
             failures += 1
             continue
         problems = []
+        if huge:
+            problems.append(f"oracle HUGEINT columns (cast to BIGINT): {huge}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"cols spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
