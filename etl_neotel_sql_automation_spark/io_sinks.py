@@ -149,6 +149,22 @@ def insert_overwrite_date(spark, df: DataFrame, table: str) -> None:
     df.write.mode("overwrite").insertInto(table, overwrite=True)
 
 
+def drop_managed_table(spark, table: str) -> None:
+    """Drop a managed table AND its warehouse location, including the
+    orphan-directory case: with the default in-memory catalog a fresh
+    session does not know tables a previous session wrote, but their
+    warehouse directories persist, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS even under mode("overwrite"). Idempotent
+    re-runs of index-building queries need both halves cleared."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = f"{wh}/{table.lower()}"
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -33,19 +33,25 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right_time <= left_time`` on the same key (direction='backward').
+    ``right_time <= left_time`` on the same key (direction='backward'),
+    or the earliest right row with ``right_time >= left_time``
+    (direction='forward').
 
-    Ties on ``right_time`` resolve to the greatest ``right_vals``
-    tuple (lexicographic, deterministic). Right columns are null when
-    no right row precedes.
+    Both directions are the same single-shuffle union-merge plan; the
+    forward pass just iterates each key partition in descending time
+    order, so "most recently seen right row" becomes "nearest future
+    right row". Ties on ``right_time`` resolve to the greatest
+    ``right_vals`` tuple in both directions (lexicographic,
+    deterministic). Right columns are null when no right row
+    precedes/follows.
 
     All ``right_vals`` travel as ONE struct carried by a single
     ``last(ignorenulls)``: the attached values always come from the
     same right row, even when individual right columns contain nulls
     (per-column carries could mix columns from different rows).
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of implemented")
+    if direction not in ("backward", "forward"):
+        raise NotImplementedError("direction must be 'backward' or 'forward'")
     from pyspark.sql import types as T
 
     lcols = left.columns
@@ -66,9 +72,10 @@ def asof_join(
         F.lit(None).cast(rv_type).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols],
     )
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         W.partitionBy("__k")
-        .orderBy("__t", "__is_left", "__rv")
+        .orderBy(t_order, "__is_left", "__rv")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     merged = r.unionByName(l).select(

@@ -94,6 +94,43 @@ def dedup_clusters(
     )
 
 
+def canonical_docs(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    quality_col: str,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Survivor selection — the dedup endgame: cluster candidate pairs
+    into components, then keep each cluster's BEST document by
+    ``quality_col`` (greatest value; min id tie-break) instead of the
+    arbitrary min-id keeper. This is the policy production pipelines
+    actually want ("among near-dups, keep the longest / highest-quality
+    copy").
+
+    ``nodes`` must carry (id_col, quality_col). Cost on top of
+    :func:`connected_components` is one id-equi-join to reattach
+    quality plus one per-cluster window — both shuffles keyed on
+    id/cluster, no pair amplification. Returns (doc_id, cluster_id,
+    quality_col, is_canonical)."""
+    from pyspark.sql import Window as W
+
+    cc = connected_components(nodes, pairs, id_col, src_col, dst_col)
+    q = nodes.select(F.col(id_col).alias("id"), F.col(quality_col).alias("__q"))
+    w = W.partitionBy("component").orderBy(F.desc("__q"), "id")
+    return (
+        cc.join(q, "id")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("__q").alias(quality_col),
+            (F.col("__rn") == 1).alias("is_canonical"),
+        )
+    )
+
+
 def pagerank_int(
     edges: DataFrame,
     iters: int = 3,

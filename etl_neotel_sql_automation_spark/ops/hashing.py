@@ -16,11 +16,21 @@ permutations ``a*x + b`` over a 2^31 modulus never overflow under
 ANSI arithmetic.
 
 The hash itself is computed JVM-side inside whole-stage codegen —
-md5 is a few times slower than xxhash64 per call, which matters only
-in shingle-explosion hot paths; operators therefore take a ``hash_fn``
+md5 is slower than xxhash64 per call, which matters only in
+shingle-explosion hot paths; operators therefore take a ``hash_fn``
 parameter defaulting to the faster ``xxhash64`` and switch to ``md5``
 when cross-engine reproducibility is required (the registered
 driver-facing queries use ``md5`` so the oracle is exact).
+
+Measured cost of the md5 premium (sf0.1, local[32], warm session,
+best-of-3, full ``minhash_lsh_candidates`` end-to-end): md5 2.06 s vs
+xxhash64 1.64 s — a 1.26× floor. Isolated to the shingle hot path the
+two are within noise (2.71 s both, explode-dominated); the premium
+comes from the extra ``conv(substring(...))`` decode in the band-bucket
+stage. The 2.3× swing recorded in BENCH_r02 was suite-ordering/cold
+jitter, not plan cost — bench.py now times BOTH variants
+(``dedup_minhash_candidates`` md5 / ``dedup_minhash_xxhash64``) so any
+real divergence shows up per-round.
 """
 
 from __future__ import annotations

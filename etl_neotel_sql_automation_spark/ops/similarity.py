@@ -141,36 +141,10 @@ def ivf_topk(
     at n_probe 4/8/10 with 16 centroids — random vectors are the hard
     case; clustered real embeddings do far better).
     """
-    try:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(f"IVF requires pyspark.ml: {e}") from e
-
-    train = corpus.select(
-        F.col(id_col), array_to_vector(_to_double(vec_col)).alias("features")
-    )
-    km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
-    cent_df = corpus.sparkSession.createDataFrame(
-        centroids, "cid int, cvec array<double>"
-    )
+    cent_df = _train_centroids(corpus, id_col, vec_col, n_centroids, seed)
 
     def nearest_centroids(df: DataFrame, side_id: str, n: int) -> DataFrame:
-        scored = df.join(F.broadcast(cent_df)).select(
-            F.col(id_col).alias(side_id),
-            F.col(vec_col).alias(f"{side_id}_vec"),
-            "cid",
-            cosine(vec_col, "cvec").alias("csim"),
-        )
-        w = W.partitionBy(side_id).orderBy(F.desc("csim"), "cid")
-        return (
-            scored.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") <= n)
-            .drop("csim", "crank")
-        )
+        return _nearest_cells(df, cent_df, id_col, vec_col, side_id, n)
 
     cb = nearest_centroids(_fan_out(corpus), "n_id", 1)  # corpus: home cell only
     qb = nearest_centroids(queries, "q_id", n_probe)     # queries: probe n cells
@@ -185,6 +159,57 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+) -> DataFrame:
+    """k-means coarse-quantizer centroids as a (cid, cvec) frame —
+    driver-sized (n_centroids × dim floats) and broadcast at use sites.
+    Shared by :func:`ivf_topk` and :func:`ivf_pq_topk`."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(f"IVF requires pyspark.ml: {e}") from e
+
+    train = corpus.select(
+        F.col(id_col), array_to_vector(_to_double(vec_col)).alias("features")
+    )
+    km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = [
+        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(centroids, "cid int, cvec array<double>")
+
+
+def _nearest_cells(
+    df: DataFrame,
+    cent_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    side_id: str,
+    n: int,
+) -> DataFrame:
+    """(side_id, {side_id}_vec, cid) rows assigning each vector its
+    ``n`` nearest centroids by cosine — the IVF cell key surface.
+    Centroids are broadcast; the per-row work is a codegen'd dot."""
+    scored = df.join(F.broadcast(cent_df)).select(
+        F.col(id_col).alias(side_id),
+        F.col(vec_col).alias(f"{side_id}_vec"),
+        "cid",
+        cosine(vec_col, "cvec").alias("csim"),
+    )
+    w = W.partitionBy(side_id).orderBy(F.desc("csim"), "cid")
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= n)
+        .drop("csim", "crank")
     )
 
 
@@ -255,6 +280,42 @@ def pq_encode(
     return df.select(F.col(id_col), enc_udf(_to_double(vec_col)).alias("codes"))
 
 
+def _pq_query_lut(
+    codebooks: list[list[list[float]]], qv: Column, dim: int
+) -> Column:
+    """Per-query ADC lookup table: subspace dot products of the query
+    against every centroid (m × k doubles). Travels with the broadcast
+    query row, so pre-ranking a corpus vector is ``m`` lookups+adds."""
+    m = len(codebooks)
+    n_codes = len(codebooks[0])
+    sub = dim // m
+    return F.array(*[
+        F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.slice(qv, j * sub + 1, sub),
+                    F.array(*[F.lit(x) for x in codebooks[j][c]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for c in range(n_codes)
+        ])
+        for j in range(m)
+    ])
+
+
+def _pq_adc(m: int) -> Column:
+    """Asymmetric-distance score from a joined (lut, codes) pair."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.get(F.get(F.col("lut"), j), F.get(F.col("codes"), j)),
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -279,36 +340,16 @@ def pq_topk(
     into high recall@k while still scanning codes, not floats.
     Output: q_id, n_id, rank, sim (exact dot, round 6)."""
     books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
-    sub = dim // m
     corpus_cached = _fan_out(corpus)
     cb = pq_encode(corpus_cached, books, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), "codes"
     )
     qv = _to_double(vec_col)
-    lut = F.array(*[
-        F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.slice(qv, j * sub + 1, sub),
-                    F.array(*[F.lit(x) for x in books[j][c]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for c in range(n_codes)
-        ])
-        for j in range(m)
-    ])
     qb = queries.select(
-        F.col(id_col).alias("q_id"), qv.alias("q_vec"), lut.alias("lut")
+        F.col(id_col).alias("q_id"), qv.alias("q_vec"),
+        _pq_query_lut(books, qv, dim).alias("lut"),
     )
-    adc = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, j: acc
-        + F.get(F.get(F.col("lut"), j), F.get(F.col("codes"), j)),
-    )
+    adc = _pq_adc(m)
     pre = cb.join(F.broadcast(qb.select("q_id", "lut")), F.col("q_id") != F.col("n_id")).select(
         "q_id", "n_id", adc.alias("adc")
     )
@@ -322,6 +363,81 @@ def pq_topk(
     exact = (
         cand.join(nv, "n_id")
         .join(qb.select("q_id", "q_vec"), "q_id")
+        .select("q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVF×PQ composed ANN — the 100 TB deploy shape (FAISS IVFPQ on a
+    cluster): the coarse quantizer prunes the corpus to the queries'
+    probed cells BEFORE any scoring, then only those candidates are
+    ADC-scored from their int codes, and only the ADC top-``rerank``
+    touch float vectors again for the exact re-rank.
+
+    Per-query work is therefore (corpus/n_centroids)×n_probe code
+    lookups + ``rerank`` float dots — sublinear candidate generation
+    (cell equi-join; no corpus-wide pair scan as in plain
+    :func:`pq_topk`) feeding a compressed scan (codes are 4-8× smaller
+    than float32 — the representation that fits a 1000-executor
+    memory budget). Ranking quality is asserted as a recall property
+    against exact search (k-means is engine-specific, so bit-exact
+    oracles don't apply — same stance as IVF and PQ alone).
+    Output: q_id, n_id, rank (1..k), sim (exact dot, round 6)."""
+    cent_df = _train_centroids(corpus, id_col, vec_col, n_centroids, seed)
+    books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
+    corpus_f = _fan_out(corpus)
+    # corpus side: home cell + PQ codes, joined once on id
+    cells = _nearest_cells(corpus_f, cent_df, id_col, vec_col, "n_id", 1).select(
+        "n_id", "cid"
+    )
+    codes = pq_encode(corpus_f, books, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), "codes"
+    )
+    cb = cells.join(codes, "n_id")
+    # query side: n_probe cells + the per-query ADC LUT (broadcast)
+    qv = _to_double(vec_col)
+    q_cells = _nearest_cells(queries, cent_df, id_col, vec_col, "q_id", n_probe).select(
+        "q_id", "cid"
+    )
+    q_lut = queries.select(
+        F.col(id_col).alias("q_id"), qv.alias("q_vec"),
+        _pq_query_lut(books, qv, dim).alias("lut"),
+    )
+    # candidate generation: cell equi-join (corpus rows have exactly one
+    # home cell, so (q_id, n_id) pairs are already distinct)
+    pre = (
+        cb.join(F.broadcast(q_cells), "cid")
+        .filter(F.col("q_id") != F.col("n_id"))
+        .join(F.broadcast(q_lut.select("q_id", "lut")), "q_id")
+        .select("q_id", "n_id", _pq_adc(m).alias("adc"))
+    )
+    wpre = W.partitionBy("q_id").orderBy(F.desc("adc"), "n_id")
+    cand = pre.withColumn("crank", F.row_number().over(wpre)).filter(
+        F.col("crank") <= rerank
+    )
+    nv = corpus_f.select(F.col(id_col).alias("n_id"), _to_double(vec_col).alias("n_vec"))
+    exact = (
+        cand.join(nv, "n_id")
+        .join(q_lut.select("q_id", "q_vec"), "q_id")
         .select("q_id", "n_id", F.round(dot(F.col("q_vec"), F.col("n_vec")), 6).alias("sim"))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")

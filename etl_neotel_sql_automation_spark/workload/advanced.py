@@ -54,6 +54,60 @@ def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_events",
+    oracle="""
+    WITH s AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'signup'),
+    p AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    j AS (
+      SELECT s.event_id, s.user_id,
+             p.event_id AS p_eid, p.ts AS p_ts,
+             row_number() OVER (PARTITION BY s.event_id
+                                ORDER BY p.ts ASC, p.event_id DESC) AS rn
+      FROM s JOIN p ON p.user_id = s.user_id AND p.ts >= s.ts
+    )
+    SELECT event_id, user_id,
+           p_eid AS next_purchase_id, p_ts AS next_purchase_ts
+    FROM j WHERE rn = 1
+    """,
+)
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join — the attribution shape ("which purchase
+    followed this touchpoint"): each signup event attaches the same
+    user's NEXT purchase event at-or-after signup time. Pairs with the
+    backward variant's state-at-time shape; same single-shuffle
+    union-merge plan, iterated in descending time order. Ties on
+    purchase time resolve to the greatest (event_id, ts) tuple,
+    mirrored by the oracle's ORDER BY."""
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_eid"),
+        F.col("ts").alias("p_ts"),
+    )
+    out = asof_join(
+        signups,
+        purchases,
+        left_key="user_id",
+        right_key="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        right_vals=["p_eid", "p_ts"],
+        direction="forward",
+    )
+    return out.filter(F.col("p_eid").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("p_eid").alias("next_purchase_id"),
+        F.col("p_ts").alias("next_purchase_ts"),
+    )
+
+
+@query(
     "sessionize_events",
     oracle="""
     WITH g AS (

@@ -303,6 +303,66 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.dedup_clusters(nodes, pairs)
 
 
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id AS id, source AS blk, unnest(list_distinct({_SQL_TOKS})) AS tok
+  FROM documents
+),
+sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+edges0 AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON id_a = sa.id
+  JOIN sizes sb ON id_b = sb.id
+  WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL SELECT id_b, id_a FROM edges0
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id
+),
+clusters AS (
+  SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
+),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id,
+         CAST(length(d.text) AS INTEGER) AS n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, n_chars, CAST(rn = 1 AS BOOLEAN) AS is_canonical
+FROM ranked
+"""
+
+
+@query("dedup_canonical_docs", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup ENDGAME: candidate pairs (token-Jaccard >= 0.5 within
+    source blocks) -> connected components -> per-cluster survivor
+    selection by QUALITY (longest text wins, min doc id tie-break)
+    instead of the arbitrary min-id keeper — "among near-dups, keep the
+    best copy", the policy production training-data pipelines deploy.
+    Differentially checked end-to-end against a recursive-CTE + argmax
+    oracle."""
+    from ..ops import graph as G
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.token_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    nodes = docs.select(
+        F.col("doc_id").alias("id"), F.length("text").cast("int").alias("n_chars")
+    )
+    return G.canonical_docs(nodes, pairs, quality_col="n_chars")
+
+
 _SQL_STOPS = "('" + "','".join(X.STOPWORDS) + "')"
 _SQL_NTOK = f"len({_SQL_TOKS})"
 _SQL_NSTOP = f"len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_SQL_STOPS}))"
@@ -620,25 +680,48 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     ivf = S.ivf_topk(emb, q, k=5)
     exact = S.brute_force_topk(emb, q, k=5)
+    return _recall_property(ivf, exact, k=5)
+
+
+def _exact_ip_topk(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Exact inner-product top-k over the <10 query slice — the ground
+    truth for the PQ-family recall properties (PQ re-ranks by dot)."""
+    from pyspark.sql import Window as W
+
+    q = emb.filter(F.col("vec_id") < 10)
+    qd = q.select(F.col("vec_id").alias("q_id"), S._to_double("embedding").alias("qv"))
+    cd = emb.select(F.col("vec_id").alias("n_id"), S._to_double("embedding").alias("nv"))
+    scored = cd.join(F.broadcast(qd), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", S.dot(F.col("qv"), F.col("nv")).alias("ip")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "n_id")
+    return scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= k)
+
+
+def _recall_property(ann: DataFrame, exact: DataFrame, k: int = 5, floor: float = 0.6) -> DataFrame:
+    """Fold an ANN result and its exact ground truth into the one-row
+    derived-property frame the DuckDB oracle reproduces as constants:
+    (n_queries, results_ok = every query returned exactly k rows,
+    recall_ok = mean recall@k >= floor)."""
     hits = (
-        ivf.alias("i")
+        ann.alias("p")
         .join(
             exact.alias("e"),
-            (F.col("i.q_id") == F.col("e.q_id")) & (F.col("i.n_id") == F.col("e.n_id")),
+            (F.col("p.q_id") == F.col("e.q_id")) & (F.col("p.n_id") == F.col("e.n_id")),
         )
-        .groupBy(F.col("i.q_id").alias("q_id"))
+        .groupBy(F.col("p.q_id").alias("q_id"))
         .agg(F.count("*").alias("n_hit"))
     )
     per_q = (
-        ivf.groupBy("q_id")
+        ann.groupBy("q_id")
         .agg(F.count("*").alias("n_res"))
         .join(hits, "q_id", "left")
         .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
     )
     return per_q.agg(
         F.count("*").cast("int").alias("n_queries"),
-        ((F.min("n_res") == 5) & (F.max("n_res") == 5)).alias("results_ok"),
-        ((F.sum("n_hit") / (5.0 * F.count("*"))) >= 0.6).alias("recall_ok"),
+        ((F.min("n_res") == k) & (F.max("n_res") == k)).alias("results_ok"),
+        ((F.sum("n_hit") / (float(k) * F.count("*"))) >= floor).alias("recall_ok"),
     )
 
 
@@ -661,37 +744,30 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k results and mean recall@5 >= 0.6 (measured 0.72-0.80 on the
     random — worst-case — test embeddings)."""
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    pq = S.pq_topk(emb, q, k=5)
-    qd = q.select(F.col("vec_id").alias("q_id"), S._to_double("embedding").alias("qv"))
-    cd = emb.select(F.col("vec_id").alias("n_id"), S._to_double("embedding").alias("nv"))
-    from pyspark.sql import Window as W
+    pq = S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return _recall_property(pq, _exact_ip_topk(emb, k=5), k=5)
 
-    scored = cd.join(F.broadcast(qd), F.col("q_id") != F.col("n_id")).select(
-        "q_id", "n_id", S.dot(F.col("qv"), F.col("nv")).alias("ip")
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "n_id")
-    exact = scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 5)
-    hits = (
-        pq.alias("p")
-        .join(
-            exact.alias("e"),
-            (F.col("p.q_id") == F.col("e.q_id")) & (F.col("p.n_id") == F.col("e.n_id")),
-        )
-        .groupBy(F.col("p.q_id").alias("q_id"))
-        .agg(F.count("*").alias("n_hit"))
-    )
-    per_q = (
-        pq.groupBy("q_id")
-        .agg(F.count("*").alias("n_res"))
-        .join(hits, "q_id", "left")
-        .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
-    )
-    return per_q.agg(
-        F.count("*").cast("int").alias("n_queries"),
-        ((F.min("n_res") == 5) & (F.max("n_res") == 5)).alias("results_ok"),
-        ((F.sum("n_hit") / (5.0 * F.count("*"))) >= 0.6).alias("recall_ok"),
-    )
+
+@query(
+    "sim_ivf_pq_topk",
+    oracle="""
+    SELECT CAST(count(*) AS INTEGER) AS n_queries,
+           TRUE AS results_ok, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF×PQ composed ANN (ops.similarity.ivf_pq_topk) — the 100 TB
+    deploy shape: coarse-quantizer cell equi-join prunes candidates
+    BEFORE the ADC code scan, exact re-rank only of the ADC top-50.
+    Same derived-property oracle as the single-stage IVF and PQ
+    queries: every query returns exactly k rows and mean recall@5 vs
+    exact inner-product search >= 0.6. The plan's candidate generation
+    is asserted shuffle-shape-correct in tests/test_ops.py (cell
+    equi-join feeding the ADC projection, no corpus-wide pair join)."""
+    emb = table(spark, sf_dir, "embeddings")
+    ann = S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return _recall_property(ann, _exact_ip_topk(emb, k=5), k=5)
 
 
 @query(
@@ -778,6 +854,29 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is asserted in tests (ops.similarity.cosine_near_dup_pairs stays
     as the small-corpus verification helper)."""
     return S.lsh_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@query("dedup_embedding_indexed", oracle=_lsh_near_dup_oracle(tables=4))
+def dedup_embedding_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs off the PERSISTED multi-table LSH index — the
+    flagship 100 TB claim: the index is written once as a bucketed
+    table keyed on the composite (table, bucket) id, and the
+    corpus×corpus candidate self-join then streams co-located storage
+    buckets with ZERO Exchange (asserted in tests/test_bucketing.py).
+    Daily batches append under the same deterministic hyperplane
+    family. The oracle is the same bit-exact bucket replay as the
+    in-memory path (identical pairs by construction — also asserted in
+    the bucketing test); scoring is the exact cosine from the index's
+    denormalized vectors, so the query never joins back to the
+    corpus."""
+    from ..io_sinks import drop_managed_table
+
+    idx = "lsh_idx_registered"
+    drop_managed_table(spark, idx)
+    S.write_lsh_index(
+        table(spark, sf_dir, "embeddings"), idx, tables=4, planes_per_table=4
+    )
+    return S.lsh_near_dup_pairs_indexed(spark, idx, threshold=0.35)
 
 
 @query(

@@ -361,3 +361,57 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("nt").alias("n_tokens"), "cum_tokens"
         )
     )
+
+
+@query(
+    "sample_weighted_poisson",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS2}) AS BIGINT) AS nt,
+             {sql_md5_long("'wps:' || CAST(doc_id AS VARCHAR)")} % 1000000 AS u
+      FROM documents
+    ),
+    tot AS (SELECT CAST(sum(nt) AS BIGINT) AS sum_nt,
+                   count(*) AS n_docs FROM feat)
+    SELECT doc_id, source, nt AS n_tokens, u
+    FROM feat, tot
+    WHERE u * 10 * sum_nt < 3000000 * nt * n_docs
+    """,
+)
+def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Poisson (independent Bernoulli) sampling at
+    target rate 0.3: each doc is kept with probability
+    min(1, 0.3 * nt / avg_nt) — longer docs oversampled in proportion
+    to their token mass, the standard way a mixture stage upsamples
+    high-value domains without a global sort or reservoir state.
+
+    Fully deterministic AND integer-exact: the uniform draw is a salted
+    md5 residue and the inclusion test is cross-multiplied to one
+    BIGINT comparison (u * 10 * sum_nt < 3e6 * nt * n_docs) — no
+    float division anywhere, so any engine replays the exact sample
+    (the oracle proves it) and appends/retries keep prior decisions.
+    One pass + a broadcast 1-row total; per-row O(1). At corpus scales
+    where the cross-product exceeds int64 (~1e13 total tokens), move
+    the comparison to DECIMAL(38,0) unchanged; semantics identical."""
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("long").alias("nt"),
+        (
+            md5_long(F.concat(F.lit("wps:"), F.col("doc_id").cast("string")))
+            % 1_000_000
+        ).alias("u"),
+    )
+    tot = feat.agg(
+        F.sum("nt").alias("sum_nt"), F.count("*").alias("n_docs")
+    )
+    return (
+        feat.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("u") * 10 * F.col("sum_nt")
+            < F.lit(3_000_000) * F.col("nt") * F.col("n_docs")
+        )
+        .select("doc_id", "source", F.col("nt").alias("n_tokens"), "u")
+    )

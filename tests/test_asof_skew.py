@@ -45,6 +45,36 @@ def test_asof_join_semantics(spark):
     assert got == {1: 102, 2: 101, 3: None, 4: 202}
 
 
+def test_asof_join_forward_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 08:30:00")),   # before r2 -> picks r2 (09:00)
+            (2, "u1", _ts("2024-01-01 08:00:00")),   # exactly at r1 time -> includes r1
+            (3, "u1", _ts("2024-01-01 10:00:00")),   # after all -> null
+            (4, "u2", _ts("2024-01-01 08:00:00")),   # tie on right time -> max key
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 08:00:00"), 101),
+            ("u1", _ts("2024-01-01 09:00:00"), 102),
+            ("u2", _ts("2024-01-01 09:00:00"), 201),
+            ("u2", _ts("2024-01-01 09:00:00"), 202),  # same-time tie
+        ],
+        "k string, t timestamp, okey long",
+    )
+    out = asof_join(
+        left, right,
+        left_key="user_id", right_key="k",
+        left_time="ts", right_time="t",
+        right_vals=["okey"],
+        direction="forward",
+    )
+    got = {r.event_id: r.okey for r in out.collect()}
+    assert got == {1: 102, 2: 101, 3: None, 4: 202}
+
+
 def test_asof_join_null_right_vals_stay_row_consistent(spark):
     """When a right-side value column contains nulls, ALL attached
     columns must still come from the SAME right row (the single-struct

@@ -216,6 +216,47 @@ def test_sq8_topk_recall_vs_exact_inner_product(spark):
     assert len(a & b) / len(b) >= 0.6
 
 
+def test_ivf_pq_candidate_generation_is_cell_equijoin(spark):
+    """The composed IVF×PQ plan must generate candidates through the
+    coarse-quantizer CELL equi-join, never a corpus-wide pair join:
+    the only BroadcastNestedLoopJoins allowed are the two fixed-
+    cardinality centroid-assignment broadcasts (corpus side + query
+    side); every candidate/re-rank join must be a hash equi-join
+    (cid / q_id / n_id keys). Recall vs exact inner-product search
+    must clear the registered property floor."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = S.ivf_pq_topk(emb, q, k=5)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan
+    # the candidate join keys on the centroid cell id
+    bhj_keys = [
+        line for line in plan.splitlines()
+        if "BroadcastHashJoin" in line and "cid" in line
+    ]
+    assert bhj_keys, plan
+
+    rows = ann.collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert set(per_q.values()) == {5}
+    from pyspark.sql import Window as W
+
+    qd = q.select(F.col("vec_id").alias("q_id"), S._to_double("embedding").alias("qv"))
+    cd = emb.select(F.col("vec_id").alias("n_id"), S._to_double("embedding").alias("nv"))
+    scored = cd.join(F.broadcast(qd), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", S.dot(F.col("qv"), F.col("nv")).alias("ip")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "n_id")
+    exact = scored.withColumn("r", F.row_number().over(w)).filter("r <= 5").collect()
+    a = {(r.q_id, r.n_id) for r in rows}
+    b = {(r.q_id, r.n_id) for r in exact}
+    assert len(a & b) / len(b) >= 0.6
+
+
 def test_cosine_near_dup_pairs(spark):
     rows = [(0, [1.0, 0.0]), (1, [0.99, 0.14]), (2, [0.0, 1.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")

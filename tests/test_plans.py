@@ -93,7 +93,7 @@ def test_bench_headline_subset_of_registry(spark):
 
     from etl_neotel_sql_automation_spark.workload import queries as qreg
 
-    assert set(bench.HEADLINE) <= set(qreg())
+    assert set(bench.HEADLINE) <= set(qreg()) | set(bench.EXTRA_QUERIES)
     assert len(qreg()) >= 77
 
 
