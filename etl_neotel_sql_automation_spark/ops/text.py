@@ -108,6 +108,26 @@ def fingerprint_md5(c: Column | str) -> Column:
     return F.md5(normalize_text(c))
 
 
+# Latin-1-range accent fold (the range the ETL surface needs; full
+# unicode NFKD would require leaving codegen for a pandas_udf).
+_ACCENTS_FROM = "áéíóúüñÁÉÍÓÚÜÑàèìòùâêîôûãõçÀÈÌÒÙÂÊÎÔÛÃÕÇ"
+_ACCENTS_TO = "aeiouunAEIOUUNaeiouaeiouaocAEIOUAEIOUAOC"
+
+
+def normalize_for_dedup(c: Column | str) -> Column:
+    """Aggressive canonicalization for near-dup robustness (the
+    pre-shingling normalizer fuzzy-dedup pipelines run so that case,
+    punctuation, and accent variants of the same text collide):
+    lowercase -> accent fold -> strip everything but [a-z0-9 ] ->
+    collapse whitespace -> trim. Pure codegen (translate +
+    regexp_replace); exactly reproducible in SQL engines, so
+    normalized fingerprints are cross-engine stable."""
+    c = F.col(c) if isinstance(c, str) else c
+    s = F.translate(F.lower(c), _ACCENTS_FROM.lower(), _ACCENTS_TO.lower())
+    s = F.regexp_replace(s, "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(s, _WS, " "))
+
+
 def rolling_hashes(c: Column | str, window: int = 8, hash_fn: str = "xxhash64") -> Column:
     """Rolling token-window fingerprints: 64-bit hash of each ``window``
     consecutive tokens joined on the \\x01 separator (winnowing-style

@@ -302,6 +302,44 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_anti_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join — the incremental-ingestion dedup
+    shape at 100 TB: each arriving micro-batch keeps only rows whose
+    key is absent from a static reference set (here: events from users
+    with no order history; in a training pipeline: documents whose
+    fingerprint is not already in the corpus index). Stateless for the
+    join — the static side is re-planned (and, being key-only,
+    broadcast) per micro-batch, so arbitrarily long streams hold ZERO
+    join state, unlike stream-stream dedup which must watermark.
+    availableNow -> finite; must equal the batch anti join.
+
+    The reference set here is the positive-balance customer keys (a
+    set that genuinely excludes some event traffic in the testdata);
+    in a training pipeline the same plan filters documents whose
+    fingerprint already sits in the corpus index."""
+    events = events_stream(spark, sf_dir)
+    seen = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_acctbal") > 0
+    ).select(F.col("c_custkey").alias("user_id")).distinct()
+    fresh = events.join(seen, "user_id", "left_anti").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    name = f"events_anti_{uuid.uuid4().hex[:8]}"
+    q = (
+        fresh.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` aggregation as a real streaming query
     (file source -> session merge state -> memory sink, availableNow).

@@ -405,6 +405,40 @@ def text_analyze_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_docs",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(
+                 translate(lower(text), '{X._ACCENTS_FROM.lower()}',
+                                        '{X._ACCENTS_TO.lower()}'),
+                 '[^a-z0-9 ]', '', 'g'),
+               '\\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_md5,
+           CAST(length(norm) AS INTEGER) AS n_chars_norm
+    FROM n
+    """,
+)
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggressive pre-shingling text canonicalization (lowercase,
+    accent fold, punctuation strip, whitespace collapse) — the
+    normalizer that makes case/punctuation/accent variants of the same
+    text collide in every downstream dedup modality. Pure codegen; the
+    oracle replays the identical translate/regexp chain, proving the
+    normalized fingerprints are cross-engine stable."""
+    docs = table(spark, sf_dir, "documents")
+    norm = X.normalize_for_dedup("text")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).cast("int").alias("n_chars_norm"),
+    )
+
+
+@query(
     "text_langid_docs",
     oracle=f"""
     WITH scored AS (
@@ -466,6 +500,84 @@ _SQL_QUALITY = (
     f" + least(CASE WHEN {_SQL_NTOK} > 0 THEN CAST({_SQL_NSTOP} AS DOUBLE) / {_SQL_NTOK}"
     f"         ELSE 0.0 END * 4, 1.0) * 0.3)"
 )
+
+
+@query(
+    "quality_percentile_by_source",
+    oracle=f"""
+    SELECT doc_id, source,
+           round({_SQL_QUALITY}, 6) AS quality,
+           round(percent_rank() OVER (PARTITION BY source
+                                      ORDER BY round({_SQL_QUALITY}, 6)), 6) AS q_pct
+    FROM documents
+    """,
+)
+def quality_percentile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality CALIBRATION: the raw quality heuristic is
+    converted to a percent-rank WITHIN each source, so a single global
+    threshold (e.g. keep top 70%) removes the same fraction from every
+    domain — absolute quality scores are not comparable across domains
+    (code vs prose vs forum text score systematically differently), and
+    a global cut would silently drop whole domains. One window per
+    source partition; ranking on the round-6 score keeps tie structure
+    — and therefore percent_rank — identical across engines."""
+    docs = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    q = F.round(X.quality_score("text"), 6)
+    w = W.partitionBy("source").orderBy(q)
+    return docs.select(
+        "doc_id",
+        "source",
+        q.alias("quality"),
+        F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+    )
+
+
+@query(
+    "text_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+          list_distinct(list_transform(
+              range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+          ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    )
+    SELECT sh AS ngram, count(*) AS df
+    FROM sh GROUP BY sh HAVING count(*) >= 5
+    ORDER BY df DESC, ngram
+    LIMIT 50
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection (CCNet-style): word 3-grams ranked by
+    DOCUMENT frequency — shingles appearing in many distinct documents
+    are headers/footers/navigation chrome, the segments line-level
+    dedup strips before training. Shape: per-doc DISTINCT shingles
+    (dedup inside the doc first, so df counts documents, not
+    occurrences), explode, one hash aggregate; the top-50 total sort
+    moves only the >=5-df survivors. At 100 TB the shingle strings
+    become md5_long keys and df>=K prunes before the sort."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(shingles).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
+        .orderBy(F.desc("df"), "ngram")
+        .limit(50)
+    )
 
 
 @query(
@@ -1007,6 +1119,24 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.landing import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@query(
+    "streaming_anti_join_new_users",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    """,
+)
+def streaming_anti_join_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join (incremental-ingestion dedup: keep
+    only rows whose key is absent from a static reference set) run as a
+    real streaming query; must equal the batch anti join — see
+    streaming.landing.stream_anti_new_users."""
+    from ..streaming.landing import stream_anti_new_users
+
+    return stream_anti_new_users(spark, sf_dir)
 
 
 @query(
