@@ -583,14 +583,51 @@ def write_lsh_index(
     append-only like the corpus."""
     from ..io_sinks import write_bucketed
 
-    rows = multi_table_buckets(
+    rows = _lsh_index_rows(df, id_col, vec_col, tables, planes_per_table, seed, dim)
+    write_bucketed(rows, table, "tb", n_buckets=n_buckets, sort_col="tb")
+
+
+def _lsh_index_rows(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """(id, tb, vec) index rows — shared by the initial bulk build and
+    incremental appends (same hyperplane family, same composite key)."""
+    return multi_table_buckets(
         df, id_col, vec_col, tables, planes_per_table, seed, dim, keep_vec=True
     ).select(
         "id",
         (F.col("t") * (1 << planes_per_table) + F.col("bucket")).alias("tb"),
         "vec",
     )
-    write_bucketed(rows, table, "tb", n_buckets=n_buckets, sort_col="tb")
+
+
+def append_lsh_index(
+    df: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = 4,
+    planes_per_table: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+    n_buckets: int = 32,
+) -> None:
+    """Append a batch of vectors to an existing LSH index table. The
+    hyperplane family is a pure function of ``seed``, so appended rows
+    land in exactly the buckets the bulk build would have put them in —
+    the index stays append-only like the corpus, and the candidate
+    self-join stays shuffle-free (Spark validates the bucket spec on
+    append). This is the daily-ingest half of the 100 TB story; the
+    streaming wrapper (streaming.landing.stream_append_lsh_index)
+    drives it per micro-batch."""
+    rows = _lsh_index_rows(df, id_col, vec_col, tables, planes_per_table, seed, dim)
+    rows.write.mode("append").bucketBy(n_buckets, "tb").sortBy("tb").saveAsTable(table)
 
 
 def lsh_near_dup_pairs_indexed(spark, table: str, threshold: float = 0.35) -> DataFrame:
@@ -599,7 +636,14 @@ def lsh_near_dup_pairs_indexed(spark, table: str, threshold: float = 0.35) -> Da
     key — shuffle-free thanks to storage bucketing — exact cosine from
     the denormalized vectors (no join back to the corpus), then pair
     dedup. The pair-dedup shuffle is on the emitted candidate pairs,
-    proportional to near-dup density, not corpus size."""
+    proportional to near-dup density, not corpus size.
+
+    The table is refreshed first: an index kept fresh by ANOTHER
+    writer (a streaming foreachBatch append runs in a cloned
+    micro-batch session; a daily job is another session entirely)
+    leaves this session's cached file listing stale, and reads would
+    silently miss the appended files."""
+    spark.catalog.refreshTable(table)
     b = spark.table(table)
     a, c = b.alias("a"), b.alias("b")
     scored = (

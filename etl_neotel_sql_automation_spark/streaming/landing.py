@@ -340,6 +340,38 @@ def stream_anti_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_append_lsh_index(
+    spark: SparkSession,
+    landing_dir: str,
+    table: str,
+    checkpoint_dir: str,
+    schema: T.StructType,
+    available_now: bool = True,
+):
+    """Streaming maintenance of the persisted LSH index: each arriving
+    parquet batch of (vec_id, embedding) rows is bucket-encoded with
+    the SAME deterministic hyperplane family and appended to the
+    bucketed index table (ops.similarity.append_lsh_index) inside
+    foreachBatch. The index therefore stays query-ready and
+    shuffle-free-joinable as the corpus streams in — no rebuild, no
+    compaction job in the loop. Exactly-once per file via the
+    checkpointed source log; appends are idempotent at the file level,
+    not the row level (re-delivered FILES are deduped by the log)."""
+    from ..ops.similarity import append_lsh_index
+
+    src = spark.readStream.schema(schema).parquet(landing_dir)
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.isEmpty():
+            append_lsh_index(batch_df, table)
+
+    writer = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "30 seconds"}
+    return writer.trigger(**trigger).start()
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` aggregation as a real streaming query
     (file source -> session merge state -> memory sink, availableNow).

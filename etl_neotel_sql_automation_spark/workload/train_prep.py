@@ -415,3 +415,64 @@ def sample_weighted_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", F.col("nt").alias("n_tokens"), "u")
     )
+
+
+@query(
+    "mixture_weights_temperature",
+    oracle=f"""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len({_SQL_TOKS2})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_micro
+      FROM s
+    ),
+    tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS sum_w FROM w)
+    SELECT source, n_docs, n_tokens, w_micro,
+           CAST(floor((w_micro * 1000000.0) / sum_w) AS BIGINT) AS share_ppm
+    FROM w, tot
+    ORDER BY source
+    """,
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weighting (alpha = 0.5): per-source
+    sampling shares proportional to sqrt(token mass) — the standard
+    rebalancing that up-weights small domains without letting giant
+    crawls dominate (multilingual/multi-domain pretraining's
+    p_s ∝ n_s^alpha). Output is the per-source weight and its share in
+    parts-per-million.
+
+    Cross-engine exactness without the round()-tie trap: IEEE requires
+    CORRECTLY-ROUNDED sqrt and division, so both engines compute
+    identical doubles, and all outputs go through floor to micro/ppm
+    integers — floor has no tie behavior to disagree on (the BUILDLOG
+    round(x, d)-on-division lesson applied). One groupBy + a 1-row
+    broadcast total."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.token_count("text").cast("long")).alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000).cast("long"),
+    )
+    tot = w.agg(F.sum("w_micro").alias("sum_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "w_micro",
+            F.floor((F.col("w_micro") * 1_000_000.0) / F.col("sum_w"))
+            .cast("long")
+            .alias("share_ppm"),
+        )
+        .orderBy("source")
+    )

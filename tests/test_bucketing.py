@@ -69,3 +69,52 @@ def test_bucketed_join_is_shuffle_free(spark, bucketed_pair):
         assert total == spark.table(tl).count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_streaming_append_keeps_lsh_index_equivalent_and_shuffle_free(spark, tmp_path):
+    """The 100 TB index-maintenance loop: bulk-build the LSH index from
+    half the corpus, stream the other half in as parquet micro-batches
+    (foreachBatch -> bucketed append), then verify (a) the appended
+    index yields EXACTLY the pairs a full-corpus build would, and
+    (b) the candidate self-join is still Exchange-free — i.e. appends
+    preserved the bucket layout, so no rebuild is ever needed."""
+    from etl_neotel_sql_automation_spark.io_sinks import drop_managed_table
+    from etl_neotel_sql_automation_spark.ops import similarity as S
+    from etl_neotel_sql_automation_spark.streaming.landing import (
+        stream_append_lsh_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    drop_managed_table(spark, "lsh_idx_stream")
+    S.write_lsh_index(first, "lsh_idx_stream", tables=4, planes_per_table=4)
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # two files -> two micro-batch appends under availableNow
+    for i, part in enumerate((second.filter(F.col("vec_id") % 4 == 1),
+                              second.filter(F.col("vec_id") % 4 == 3))):
+        part.select("vec_id", "embedding").coalesce(1).write.parquet(
+            str(landing / f"batch{i}")
+        )
+    schema = spark.read.parquet(str(landing / "batch0")).schema
+    q = stream_append_lsh_index(
+        spark, str(landing / "batch*"), "lsh_idx_stream",
+        str(tmp_path / "ckpt"), schema,
+    )
+    q.awaitTermination()
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = S.lsh_near_dup_pairs_indexed(spark, "lsh_idx_stream", threshold=0.35)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(tb" not in plan
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        direct = S.lsh_near_dup_pairs(emb, 0.35, tables=4, planes_per_table=4)
+        want = {(r.id_a, r.id_b) for r in direct.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        drop_managed_table(spark, "lsh_idx_stream")
