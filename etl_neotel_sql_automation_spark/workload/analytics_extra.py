@@ -211,3 +211,63 @@ def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_key", "match_key")
     )
+
+
+_URL_CHOST = r"(?i)^https?://([^/?#]+)"
+_URL_CPATH = r"(?i)^https?://[^/?#]+([^?#]*)"
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN upper('https://www.' || source || '.example.com')
+                   ELSE 'https://www.' || source || '.example.com' END)
+             || '/page/' || CAST(doc_id % 100 AS VARCHAR)
+             || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://' || lower(regexp_extract(url, '{_URL_CHOST}', 1))
+             || regexp_replace(regexp_extract(url, '{_URL_CPATH}', 1), '/+$', '')
+               AS canon_url
+      FROM seeded
+    )
+    SELECT canon_url, count(*) AS n_docs, min(doc_id) AS keep_id
+    FROM canon GROUP BY canon_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup a crawl pipeline
+    runs, BEFORE any content hashing: case-fold the host, strip query
+    strings / fragments / trailing slashes, and collapse documents
+    sharing a canonical URL (keep = min doc id). Documents carry no
+    URLs, so both engines seed deliberately-messy variants
+    deterministically (mixed-case host, ?utm, #fragment, trailing
+    slash, colliding paths via doc_id % 100) and must agree on the
+    canonical groups. Pure codegen regexp chain + one hash aggregate."""
+    docs = table(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com"))
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.upper(base)).otherwise(base),
+        F.lit("/page/"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=feed")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    canon = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_extract(url, _URL_CHOST, 1)),
+        F.regexp_replace(F.regexp_extract(url, _URL_CPATH, 1), r"/+$", ""),
+    )
+    return (
+        docs.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )

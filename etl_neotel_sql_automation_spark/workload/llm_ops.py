@@ -1140,6 +1140,57 @@ def streaming_anti_join_new_users(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "emb_norm_quantiles",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             CAST(floor(sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> round(x * 1000000) * round(x * 1000000)))))
+                  AS BIGINT) AS norm_micro
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           round(quantile_cont(norm_micro, 0.50), 4) AS p50_norm,
+           round(quantile_cont(norm_micro, 0.90), 4) AS p90_norm,
+           min(norm_micro) AS min_norm,
+           max(norm_micro) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+)
+def emb_norm_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm distribution QA per label — degenerate (near-zero
+    norm) or exploding vectors poison cosine ANN and signal upstream
+    encoder bugs; this is the per-batch health check an embedding
+    pipeline gates on. Exactness: norms are computed on round(x*1e6)
+    integer-valued doubles (sums of squares exact below 2^53, sqrt
+    correctly rounded by IEEE), floored to integer micro-units, and
+    only then quantiled — so the heavy math is bit-identical across
+    engines and the round-4 on the interpolated quantile matches the
+    proven agg_percentiles pattern. One projection + one agg."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        S._to_double("embedding"), lambda x: F.round(x * 1_000_000)
+    )
+    sumsq = F.aggregate(
+        F.transform(q, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
+    )
+    n = emb.select("label", F.floor(F.sqrt(sumsq)).alias("norm_micro"))
+    return (
+        n.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.expr("percentile(norm_micro, 0.50)"), 4).alias("p50_norm"),
+            F.round(F.expr("percentile(norm_micro, 0.90)"), 4).alias("p90_norm"),
+            F.min("norm_micro").alias("min_norm"),
+            F.max("norm_micro").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+@query(
     "emb_dim_stats",
     oracle="""
     WITH e AS (
