@@ -178,3 +178,66 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.landing import stream_session_windows
 
     return stream_session_windows(spark, sf_dir)
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             count(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n, 0.5) AS med FROM hourly
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, h.hour_start, h.n, m.med,
+             abs(h.n - m.med) AS adev
+      FROM hourly h JOIN med m ON h.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev
+      GROUP BY event_type
+    )
+    SELECT d.event_type, d.hour_start, d.n,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad,
+           d.adev > 3 * m.mad AS is_anomaly
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on event-rate time series: hourly
+    counts per event type flagged when the absolute deviation from the
+    type's MEDIAN exceeds 3× the MEDIAN absolute deviation — the
+    outlier rule that, unlike mean/stddev z-scores, is not dragged by
+    the anomalies it is hunting (50% breakdown point). This is the
+    pipeline-health monitor a streaming ingest runs over its own
+    throughput. Shape: one hourly aggregate (map-side combinable),
+    then two tiny per-type median reductions joined back — the
+    hours×types frame is dimension-sized, so the medians never see raw
+    events. Cross-engine: counts are integers, medians interpolate
+    identical doubles (round-4 only on DISPLAY columns; the flag
+    compares the raw doubles both engines computed identically)."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count("*").alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = hourly.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "hour_start",
+        "n",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
+    )

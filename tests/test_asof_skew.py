@@ -152,3 +152,44 @@ def test_salted_join_spreads_partitions(spark):
     )
     assert salts > 1
     assert out.count() == 1000
+
+
+def test_asof_join_directions_randomized_vs_bruteforce(spark):
+    """30 random scenarios per direction against a pure-Python brute
+    force: for every left row the attached value must be the
+    latest-right<=t (backward) / earliest-right>=t (forward), with the
+    greatest right_vals tuple winning time ties in both directions."""
+    import random
+
+    rnd = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    eid = 0
+    for _ in range(30):
+        key = f"u{rnd.randrange(8)}"
+        for _ in range(rnd.randrange(1, 4)):
+            eid += 1
+            lrows.append((eid, key, base + dt.timedelta(minutes=rnd.randrange(60))))
+        for _ in range(rnd.randrange(0, 4)):
+            rrows.append((key, base + dt.timedelta(minutes=rnd.randrange(60)),
+                          rnd.randrange(1000)))
+    left = spark.createDataFrame(lrows, "event_id long, user_id string, ts timestamp")
+    right = spark.createDataFrame(rrows, "k string, t timestamp, okey long")
+
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            left, right,
+            left_key="user_id", right_key="k",
+            left_time="ts", right_time="t",
+            right_vals=["okey"], direction=direction,
+        )
+        got = {r.event_id: r.okey for r in out.collect()}
+        for leid, lkey, lts in lrows:
+            if direction == "backward":
+                cand = [(t, ok) for (k, t, ok) in rrows if k == lkey and t <= lts]
+                best = max(cand)[1] if cand else None
+            else:
+                cand = [(-(t.timestamp()), ok) for (k, t, ok) in rrows
+                        if k == lkey and t >= lts]
+                best = max(cand)[1] if cand else None
+            assert got[leid] == best, (direction, leid, lkey, lts)

@@ -453,3 +453,51 @@ def test_profile_table_single_aggregate_plan(spark):
     df = spark.range(100).selectExpr("id", "id % 7 AS a", "CAST(id AS STRING) AS s")
     plan = profile_table(df, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan") - plan.count("ReusedExchange") <= 2
+
+
+def test_canonical_docs_singletons_and_quality_pick(spark):
+    """No pairs -> every doc is its own canonical; with a pair, the
+    higher-quality doc survives regardless of id order, min id breaks
+    exact quality ties."""
+    from etl_neotel_sql_automation_spark.ops.graph import canonical_docs
+
+    nodes = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 50)], "id long, q int"
+    )
+    none = canonical_docs(nodes, spark.createDataFrame([], "id_a long, id_b long"),
+                          quality_col="q")
+    assert all(r.is_canonical for r in none.collect())
+
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    out = {r.doc_id: (r.cluster_id, r.is_canonical)
+           for r in canonical_docs(nodes, pairs, quality_col="q").collect()}
+    # cluster {1,2}: 2 has higher quality -> canonical despite larger id
+    assert out[2] == (1, True) and out[1] == (1, False)
+    # cluster {3,4}: tie on quality -> min id wins
+    assert out[3] == (3, True) and out[4] == (3, False)
+
+
+def test_weighted_poisson_matches_python_reference(spark, tmp_path):
+    """The registered weighted-Poisson sample must equal a pure-Python
+    replay of the integer inclusion test on a tiny synthetic corpus —
+    verifying the cross-multiplied arithmetic, not just the oracle."""
+    from etl_neotel_sql_automation_spark.ops.hashing import py_md5_long
+    from etl_neotel_sql_automation_spark.workload.train_prep import (
+        sample_weighted_poisson,
+    )
+
+    rows = [(i, "s", " ".join(["tok"] * (5 + 7 * i))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.write.parquet(str(sf / "documents.parquet"))
+
+    got = {r.doc_id for r in sample_weighted_poisson(spark, str(sf)).collect()}
+    nts = {i: 5 + 7 * i for i, _, _ in rows}
+    sum_nt, n_docs = sum(nts.values()), len(nts)
+    want = {
+        i for i, nt in nts.items()
+        if (py_md5_long(f"wps:{i}") % 1_000_000) * 10 * sum_nt
+        < 3_000_000 * nt * n_docs
+    }
+    assert got == want and 0 < len(want) < n_docs
