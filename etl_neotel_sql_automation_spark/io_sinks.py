@@ -188,6 +188,44 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    shard_key: str = "doc_id",
+    compression: str = "zstd",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Export a prepared corpus as training shards: one directory per
+    shard (``shard=N`` partition layout, the convention data loaders
+    glob), zstd-compressed parquet, optional file-size capping via
+    ``maxRecordsPerFile`` so loader workers get uniform chunks.
+
+    Shard assignment is a salted md5 of the shard key — a pure function
+    of the row, so retries and engine changes produce byte-identical
+    shard membership, and appending new data never moves previously
+    assigned rows between shards (the same append-stability contract
+    as the train/eval split). Expected shard skew over N rows is
+    O(sqrt(N)) — negligible at training scale."""
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", shard_key):
+        raise ValueError(f"shard_key {shard_key!r} is not a valid identifier")
+    from .ops.hashing import md5_long
+
+    out = df.withColumn(
+        "shard",
+        F.pmod(
+            md5_long(F.concat(F.lit("shard:"), F.col(shard_key).cast("string"))),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = out.write.mode("overwrite").partitionBy("shard").option(
+        "compression", compression
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
 def add_audit_column(df: DataFrame) -> DataFrame:
     """S-7: ``load_date`` audit timestamp (DDL DEFAULT GETDATE(),
     main.py:1400, 1439)."""
