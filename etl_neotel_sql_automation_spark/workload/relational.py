@@ -576,6 +576,42 @@ def json_events_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+             AS sum_k,
+           CAST(min(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS min_k,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+             AS max_k,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: the JSON
+    column is parsed ONCE into the binary variant encoding
+    (``try_parse_json`` — malformed rows become null, never a task
+    failure), then every field access is a typed ``variant_get`` over
+    the pre-parsed tree. At 100 TB this beats per-access
+    ``get_json_object`` (which re-parses the string for every path)
+    whenever more than one field is touched — here three accesses cost
+    one parse. Same aggregate semantics as json_events_extract, so the
+    two queries cross-check each other's extraction paths."""
+    ev = table(spark, sf_dir, "events")
+    v = F.try_parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
     "events_hourly_tumbling",
     oracle="""
     SELECT date_trunc('hour', ts) AS hour_start, event_type,
