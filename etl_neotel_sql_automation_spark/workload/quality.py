@@ -371,3 +371,120 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_out.unionByName(glob).orderBy("event_type")
+
+
+@query(
+    "agg_kll_quantiles",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             count(*) AS n,
+             quantile_cont(value, 0.45) AS lo50, quantile_cont(value, 0.55) AS hi50,
+             quantile_cont(value, 0.93) AS lo95, quantile_cont(value, 0.97) AS hi95
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, TRUE AS p50_ok, TRUE AS p95_ok FROM g
+    UNION ALL
+    SELECT 'ALL', count(*), TRUE, TRUE FROM events
+    ORDER BY event_type
+    """,
+)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketches (Apache DataSketches KLL via
+    ``kll_sketch_agg_double``): per-event-type value sketches PLUS a
+    global row whose quantiles come from ``kll_merge_agg_double`` over
+    the per-type sketches — never from re-scanning events. The
+    quantile twin of the HLL pattern: daily sketch tables merge in
+    milliseconds where exact percentiles would re-shuffle history
+    (KLL rank error at default k is ~1.7%, far inside the +-5% rank
+    envelope asserted here). Derived-property oracle: the sketch
+    median lies within the exact p45..p55 value envelope and the
+    sketch p95 within p93..p97 -> booleans DuckDB reproduces as
+    TRUE."""
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.kll_sketch_agg_double("value").alias("sk"),
+        F.expr("percentile(value, 0.45)").alias("lo50"),
+        F.expr("percentile(value, 0.55)").alias("hi50"),
+        F.expr("percentile(value, 0.93)").alias("lo95"),
+        F.expr("percentile(value, 0.97)").alias("hi95"),
+    )
+
+    def oks(df):
+        p50 = F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.5))
+        p95 = F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(0.95))
+        return (
+            p50.between(F.col("lo50"), F.col("hi50")).alias("p50_ok"),
+            p95.between(F.col("lo95"), F.col("hi95")).alias("p95_ok"),
+        )
+
+    per_out = per.select("event_type", "n", *oks(per))
+    merged = per.agg(F.kll_merge_agg_double("sk").alias("sk"))
+    glob = (
+        ev.agg(
+            F.count("*").alias("n"),
+            F.expr("percentile(value, 0.45)").alias("lo50"),
+            F.expr("percentile(value, 0.55)").alias("hi50"),
+            F.expr("percentile(value, 0.93)").alias("lo95"),
+            F.expr("percentile(value, 0.97)").alias("hi95"),
+        )
+        .crossJoin(F.broadcast(merged))
+    )
+    glob_out = glob.select(F.lit("ALL").alias("event_type"), "n", *oks(glob))
+    return per_out.unionByName(glob_out).orderBy("event_type")
+
+
+@query(
+    "agg_theta_audience_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'),
+    p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM p) AS n_purchase,
+           (SELECT count(*) FROM s JOIN p USING (user_id)) AS n_both,
+           TRUE AS union_ok, TRUE AS intersect_ok
+    """,
+)
+def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set ALGEBRA on sketches (Apache DataSketches Theta):
+    audience-overlap analysis — how many users both signed up AND
+    purchased — from two theta sketches via ``theta_intersection`` /
+    ``theta_union``, the operation HLL cannot do (HLL unions only;
+    theta supports intersection and difference). At 100 TB the
+    per-segment sketches are built once and every pairwise overlap is
+    sketch algebra, not a re-scan + self-join of the fact table.
+    Derived-property oracle: union and intersection estimates within
+    5% (plus a small absolute floor for tiny intersections) of the
+    exact set sizes -> booleans."""
+    ev = table(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "signup", F.col("user_id"))
+        ).alias("sk_s"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_p"),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase")))
+        .crossJoin(s.join(p, "user_id").agg(F.count("*").alias("n_both")))
+    )
+    j = exact.crossJoin(F.broadcast(sk))
+    u_est = F.theta_sketch_estimate(F.theta_union(F.col("sk_s"), F.col("sk_p")))
+    i_est = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_s"), F.col("sk_p"))
+    )
+    n_union = F.col("n_signup") + F.col("n_purchase") - F.col("n_both")
+    return j.select(
+        "n_signup",
+        "n_purchase",
+        "n_both",
+        (F.abs(u_est - n_union) <= 0.05 * n_union + 2).alias("union_ok"),
+        (F.abs(i_est - F.col("n_both")) <= 0.05 * F.col("n_both") + 2).alias(
+            "intersect_ok"
+        ),
+    )
