@@ -326,7 +326,7 @@ def pq_topk(
     n_codes: int = 16,
     dim: int = 64,
     seed: int = 42,
-    rerank: int = 50,
+    rerank: int | None = None,
 ) -> DataFrame:
     """PQ ANN top-k, two-stage as deployed in practice: (1) asymmetric
     distance computation — each query precomputes a lookup table of
@@ -338,7 +338,17 @@ def pq_topk(
     (worst-case) vectors has low fidelity at the @5 grain, but the
     @``rerank`` grain is robust — the two-stage shape converts that
     into high recall@k while still scanning codes, not floats.
-    Output: q_id, n_id, rank, sim (exact dot, round 6)."""
+    Output: q_id, n_id, rank, sim (exact dot, round 6).
+
+    ``rerank`` defaults to max(50, corpus/10): a FIXED rerank budget
+    decays as the corpus grows (ADC noise admits more impostors into
+    any constant-size shortlist — measured recall@5 0.72 at 500
+    vectors but 0.54 at 2000 with rerank=50; 0.76 at 2000 with the
+    adaptive 10%). At deployment scale set it explicitly from the
+    recall SLO — with IVF composition the fraction applies to the
+    probed cells, not the whole corpus."""
+    if rerank is None:
+        rerank = max(50, -(-corpus.count() // 10))
     books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
     corpus_cached = _fan_out(corpus)
     cb = pq_encode(corpus_cached, books, id_col, vec_col).select(
@@ -385,7 +395,7 @@ def ivf_pq_topk(
     n_codes: int = 16,
     dim: int = 64,
     seed: int = 42,
-    rerank: int = 50,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF×PQ composed ANN — the 100 TB deploy shape (FAISS IVFPQ on a
     cluster): the coarse quantizer prunes the corpus to the queries'
@@ -401,7 +411,10 @@ def ivf_pq_topk(
     memory budget). Ranking quality is asserted as a recall property
     against exact search (k-means is engine-specific, so bit-exact
     oracles don't apply — same stance as IVF and PQ alone).
-    Output: q_id, n_id, rank (1..k), sim (exact dot, round 6)."""
+    Output: q_id, n_id, rank (1..k), sim (exact dot, round 6).
+    ``rerank`` defaults to max(50, corpus/10) — see :func:`pq_topk`."""
+    if rerank is None:
+        rerank = max(50, -(-corpus.count() // 10))
     cent_df = _train_centroids(corpus, id_col, vec_col, n_centroids, seed)
     books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
     corpus_f = _fan_out(corpus)
