@@ -241,3 +241,69 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         (F.col("adev") > 3 * F.col("mad")).alias("is_anomaly"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+      FROM g
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, '->' ORDER BY ts, event_id) AS path
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT path, count(*) AS n_sessions
+    FROM paths GROUP BY path HAVING count(*) >= 5
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session PATH analysis: the most common event-type sequences per
+    session (the funnel-discovery complement to the fixed-step funnel
+    query — you don't know which paths matter until you count them).
+    Sessions come from the proven 30-minute lag-gap sessionizer; the
+    ordered path string is built engine-side as
+    sort_array(collect_list(struct(ts, event_id, type))) -> concat so
+    the order is total and deterministic (DuckDB mirrors with ordered
+    string_agg). Rare paths (<5 sessions) are pruned BEFORE the tiny
+    top-20 sort. Per-session state is one event list — bounded by the
+    watermark/session length at streaming scale."""
+    from ..ops.asof import sessionize
+
+    ev = table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", "event_id", gap_minutes=30.0)
+    paths = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
