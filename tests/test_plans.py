@@ -48,6 +48,28 @@ def test_no_python_in_relational_paths(spark):
         assert "EvalPython" not in _plan(spark, name), name
 
 
+def test_no_row_udfs_anywhere_in_registry(spark):
+    """REGISTRY-WIDE tripwire: no registered query may plan a
+    row-at-a-time Python UDF (BatchEvalPython) — the §2.10 policy,
+    enforced for every current and FUTURE query, not a named list.
+    Skipped: streaming_* (they execute a stream to a memory table —
+    their result plan is a table scan; the stateful-op policy is
+    covered by dedicated streaming tests) and the k-means-trained ANN
+    queries (driver-side training jobs at call time; their plan policy
+    has dedicated tests in test_ops/test_plans)."""
+    from etl_neotel_sql_automation_spark.workload import queries as qreg
+
+    heavy = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
+    offenders = []
+    for name, fn in sorted(qreg().items()):
+        if name.startswith(heavy[0]) or any(h in name for h in heavy[1:]):
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_multimodal_is_arrow_not_rowudf(spark):
     plan = _plan(spark, "multimodal_features")
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
