@@ -271,3 +271,59 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("canon_url")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
     )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, last_order, frequency, monetary_cents,
+             CAST(ntile(5) OVER (ORDER BY last_order DESC, custkey) AS INTEGER) AS r,
+             CAST(ntile(5) OVER (ORDER BY frequency DESC, custkey) AS INTEGER) AS f,
+             CAST(ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS INTEGER) AS m
+      FROM cust
+    )
+    SELECT r, f, m,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents,
+           min(custkey) AS example_custkey
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — recency / frequency / monetary
+    quintiles (1 = best) and the resulting 5×5×5 segment grid with
+    size and revenue per cell: the classic marketing-analytics rollup,
+    exercising global ntile windows over an aggregated (dimension-
+    sized) frame, never over raw orders. Ties are totally ordered by
+    (metric, custkey) so quintile boundaries are deterministic and
+    cross-engine identical; money stays in exact cents."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(cents).alias("monetary_cents"),
+    )
+    scored = cust.select(
+        "custkey",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy(F.desc("last_order"), "custkey")).alias("r"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), "custkey")).alias("f"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), "custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary_cents").alias("segment_cents"),
+        F.min("custkey").alias("example_custkey"),
+    )

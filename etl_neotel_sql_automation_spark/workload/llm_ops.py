@@ -464,6 +464,103 @@ def text_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_lang_mismatch",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, source,
+             len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("en")})) AS s_en,
+             len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("es")})) AS s_es,
+             len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("fr")})) AS s_fr,
+             len(list_filter({_SQL_TOKS}, x -> lower(x) IN {_sql_markers("de")})) AS s_de
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) <= 0 THEN 'en'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM scored
+    )
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_mismatch
+    FROM pred GROUP BY source, lang
+    """,
+)
+def text_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label AUDIT: per (source, declared-lang) cell, how many
+    documents the n-gram language-ID disagrees with — mislabeled
+    language is one of the most common corpus-metadata bugs, and a
+    per-source mismatch spike localizes which feed's labeling broke.
+    Composes the proven lang_id heuristic with a conditional aggregate;
+    one scan, one combinable groupBy."""
+    docs = table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "source", "lang", X.lang_id("text").alias("lang_pred")
+    )
+    return pred.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang_pred") != F.col("lang")).cast("long")).alias("n_mismatch"),
+    )
+
+
+@query(
+    "emb_duplicate_vectors",
+    oracle="""
+    WITH seeded AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+             md5(array_to_string(list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> CAST(CAST(round(x * 1000000) AS BIGINT) AS VARCHAR)), ',')) AS vh
+      FROM seeded
+    )
+    SELECT vh, count(*) AS n_vecs, min(vec_id) AS keep_id
+    FROM q GROUP BY vh HAVING count(*) > 1
+    """,
+)
+def emb_duplicate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-pipeline collapse detector: EXACT duplicate vectors
+    across different rows (an encoder bug, a stuck batch, or a default
+    vector leaking through) found by hashing the micro-quantized
+    vector — round(x*1e6) integer strings, so float formatting can
+    never split a true dup across engines. Groups with n>1 are the
+    incident list. One codegen projection + one hash aggregate — the
+    same shape (and cost) as exact text dedup. The random testdata has
+    no natural dups, so both engines seed the same planted ones
+    (every 50th vector re-emitted under a shifted id) — the seeded-
+    fixture pattern the PII and URL queries established."""
+    emb0 = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = emb0.unionByName(
+        emb0.filter(F.col("vec_id") % 50 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    vh = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                S._to_double("embedding"),
+                lambda x: F.round(x * 1_000_000).cast("long").cast("string"),
+            ),
+        )
+    )
+    return (
+        emb.select("vec_id", vh.alias("vh"))
+        .groupBy("vh")
+        .agg(F.count("*").alias("n_vecs"), F.min("vec_id").alias("keep_id"))
+        .filter(F.col("n_vecs") > 1)
+    )
+
+
+@query(
     "sample_hash_stratified",
     oracle="""
     SELECT doc_id, source
