@@ -302,3 +302,27 @@ def test_write_training_shards_layout_and_stability(spark, tmp_path):
     import pyarrow.parquet as pq
     for f in (tmp_path / "shards").rglob("*.parquet"):
         assert pq.ParquetFile(f).metadata.num_rows <= 50
+
+
+def test_read_jsonl_docs_salvage_and_quarantine(spark, tmp_path):
+    """JSONL corpus ingest: schema-pruned good rows, malformed lines
+    quarantined verbatim, extra/missing fields handled (pruned /
+    null-padded) — one bad line never fails the read."""
+    from etl_neotel_sql_automation_spark.io_sources import read_jsonl_docs
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "source": "s0"}\n'
+        '{"doc_id": 2, "text": "extra ok", "source": "s1", "unknown_key": 42}\n'
+        'this is not json at all\n'
+        '{"doc_id": 3, "text": "missing source"}\n'
+        '{"doc_id": "not-a-number", "text": "bad type", "source": "s2"}\n'
+    )
+    good, quarantine = read_jsonl_docs(spark, p)
+    rows = {r.doc_id: r for r in good.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert "unknown_key" not in good.columns        # schema pruned
+    assert rows[3].source is None                   # missing field null-padded
+    bad = [r._corrupt for r in quarantine.collect()]
+    assert len(bad) == 2                            # garbage line + bad type
+    assert "this is not json at all" in bad
