@@ -312,3 +312,159 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(xor(o_orderkey, o_custkey) AS BIGINT)        AS k_xor,
+           CAST(o_orderkey & 255 AS BIGINT)                  AS k_and,
+           CAST(o_orderkey | 4096 AS BIGINT)                 AS k_or,
+           CAST(o_orderkey << 3 AS BIGINT)                   AS k_shl,
+           CAST(o_orderkey >> 2 AS BIGINT)                   AS k_shr,
+           CAST(bit_count(CAST(o_orderkey AS BIGINT)) AS INTEGER) AS k_pop
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface — xor/and/or/shifts/popcount, the
+    primitives the hash/SimHash/z-order operators build on, exposed
+    as a directly-checked query (both engines on two's-complement
+    BIGINTs, so every bit op is exactly portable)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseXOR(F.col("o_custkey")).alias("k_xor"),
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_pop"),
+    )
+
+
+@query(
+    "agg_corr_price_qty",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxx,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) /
+                 sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) /
+                 sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)), 6)
+             AS corr_price_qty
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_corr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of price vs quantity per return flag —
+    computed the cross-engine-exact way: the five moment sums are
+    EXACT BIGINTs over whole-dollar prices/quantities — correlation
+    is scale-invariant, and dollar scaling keeps the squared sums in
+    int64 (builtin corr()
+    accumulates doubles in engine-specific orders and formulas — a
+    latent tie bomb); the closed form runs in DECIMAL(38,0)/HUGEINT
+    and only its final division touches floats, identically on both
+    sides. The at-scale story is
+    unchanged: one combinable aggregate pass, five integer states per
+    group."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_extendedprice")).cast("long")
+    y = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    # closed form in DECIMAL(38,0): n*sxx exceeds int64 at sf>=0.1
+    # (DuckDB promotes to HUGEINT; both cast the same exact integer to
+    # double, so the final floats are identical)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n, sx, sy = dec(F.col("n")), dec(F.col("sx")), dec(F.col("sy"))
+    corr = (
+        (n * dec(F.col("sxy")) - sx * sy).cast("double")
+        / F.sqrt((n * dec(F.col("sxx")) - sx * sx).cast("double"))
+        / F.sqrt((n * dec(F.col("syy")) - sy * sy).cast("double"))
+    )
+    return s.select(
+        "l_returnflag", "n", F.round(corr, 6).alias("corr_price_qty")
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "orders_pareto_customers",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT custkey, cents,
+             CAST(row_number() OVER (ORDER BY cents DESC, custkey) AS BIGINT) AS rnk,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, custkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+             (SELECT CAST(sum(cents) AS BIGINT) FROM cust) AS total_cents,
+             (SELECT count(*) FROM cust) AS n_cust
+      FROM cust
+    )
+    SELECT rnk, custkey, cents,
+           CAST(floor(cum_cents * 1000000.0 / total_cents) AS BIGINT) AS cum_share_ppm,
+           CAST(floor(rnk * 1000000.0 / n_cust) AS BIGINT) AS cust_share_ppm
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / revenue-concentration analysis: customers ranked by
+    lifetime revenue with cumulative revenue share vs cumulative
+    customer share (the 80/20 read-off), top-100 emitted. All money in
+    exact integer cents; shares are floor-ppm of exact-integer
+    divisions (identical doubles -> identical floor on both engines —
+    no round()-tie exposure). The running sum is one window over the
+    aggregated customer frame; the 1-row total is a broadcast scalar."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    tot = cust.agg(
+        F.sum("cents").alias("total_cents"), F.count("*").alias("n_cust")
+    )
+    w = W.orderBy(F.desc("cents"), "custkey")
+    ranked = (
+        cust.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cents",
+            F.sum("cents").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        .filter(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(tot))
+    )
+    return ranked.select(
+        "rnk",
+        "custkey",
+        "cents",
+        F.floor(F.col("cum_cents") * 1_000_000.0 / F.col("total_cents"))
+        .cast("long")
+        .alias("cum_share_ppm"),
+        F.floor(F.col("rnk") * 1_000_000.0 / F.col("n_cust"))
+        .cast("long")
+        .alias("cust_share_ppm"),
+    )
