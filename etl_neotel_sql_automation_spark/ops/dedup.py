@@ -364,3 +364,55 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         term = F.shiftleft(bit, i)
         sig = term if sig is None else sig + term
     return sums.select("id", sig.alias("simhash"))
+
+
+def token_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """ASYMMETRIC containment dedup: pairs where the SMALLER document's
+    token set is (nearly) contained in the larger's —
+    |A ∩ B| / |A| >= threshold with |A| <= |B|. Catches the crawl
+    shape Jaccard misses: page vs page-with-boilerplate-footer, quote
+    vs quoting article, excerpt vs full text — the union-normalized
+    Jaccard of a true subset can be arbitrarily low while containment
+    is 1.0. Same blocked self-equi-join + per-pair count plan as
+    :func:`token_jaccard_pairs` (at 100 TB the block is an LSH bucket);
+    output: contained_id, container_id, containment (round 6)."""
+    tok = _fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("blk"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    )
+    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_x"), F.col("b.id").alias("id_y"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sx, sy = sizes.alias("sx"), sizes.alias("sy")
+    j = inter.join(sx, F.col("id_x") == F.col("sx.id")).join(
+        sy, F.col("id_y") == F.col("sy.id")
+    )
+    # the smaller token set is the contained side; ties -> lower id
+    small_first = F.col("sx.sz") <= F.col("sy.sz")
+    contained = F.when(small_first, F.col("id_x")).otherwise(F.col("id_y"))
+    container = F.when(small_first, F.col("id_y")).otherwise(F.col("id_x"))
+    denom = F.least(F.col("sx.sz"), F.col("sy.sz"))
+    return (
+        j.select(
+            contained.alias("contained_id"),
+            container.alias("container_id"),
+            F.round(F.col("n_inter") / denom, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -132,6 +132,43 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.token_jaccard_pairs(table(spark, sf_dir, "documents"))
 
 
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id AS id, source AS blk, unnest(list_distinct({_SQL_TOKS})) AS tok
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM tok GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_x, b.id AS id_y, count(*) AS n_inter
+      FROM tok a JOIN tok b ON a.tok = b.tok AND a.blk = b.blk AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    scored AS (
+      SELECT CASE WHEN sx.sz <= sy.sz THEN id_x ELSE id_y END AS contained_id,
+             CASE WHEN sx.sz <= sy.sz THEN id_y ELSE id_x END AS container_id,
+             round(n_inter / least(sx.sz, sy.sz), 6) AS containment
+      FROM inter
+      JOIN sizes sx ON id_x = sx.id
+      JOIN sizes sy ON id_y = sy.id
+    )
+    SELECT contained_id, container_id, containment
+    FROM scored WHERE containment >= 0.7
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup — the crawl shape Jaccard misses:
+    an excerpt fully inside a longer page scores containment 1.0 while
+    its union-normalized Jaccard can be arbitrarily low. Smaller token
+    set is the contained side; blocked self-equi-join, same plan
+    family as the Jaccard pairs (see ops.dedup.token_containment_pairs
+    for the 100 TB blocking note)."""
+    return D.token_containment_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
 def _minhash_band_ctes(
     src: str, pfx: str, num_hashes: int = 32, bands: int = 8, shingle_n: int = 3
 ) -> str:

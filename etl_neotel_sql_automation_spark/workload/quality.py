@@ -488,3 +488,61 @@ def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intersect_ok"
         ),
     )
+
+
+@query(
+    "events_rolling_wau",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+    ),
+    u AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    )
+    SELECT d.day,
+           count(DISTINCT u.user_id) AS exact_wau,
+           TRUE AS wau_ok
+    FROM d JOIN u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU) the way it is actually
+    computable at 100 TB: EXACT windowed distinct needs a 7-way
+    re-scan self-join per day (the oracle does exactly that — fine at
+    test scale, ruinous at petabyte scale); the engine instead builds
+    ONE HLL sketch per day and merges 7 tiny sketches per window
+    (``hll_union_agg`` over a calendar RANGE frame) — daily sketch
+    state is KBs, the merge is milliseconds, and history is never
+    re-scanned. Derived-property oracle: the sketch estimate must sit
+    within 5% of the exact windowed distinct (computed engine-side by
+    the same self-join as the oracle), per day."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01"))).rangeBetween(-6, 0)
+    est = daily.select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
+    )
+    u = ev.select(day.alias("uday"), "user_id").distinct()
+    d = daily.select("day")
+    exact = (
+        d.join(u, (F.col("uday") >= F.date_sub("day", 6)) & (F.col("uday") <= F.col("day")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "exact_wau",
+            (F.abs(F.col("est") - F.col("exact_wau")) <= 0.05 * F.col("exact_wau"))
+            .alias("wau_ok"),
+        )
+        .orderBy("day")
+    )
