@@ -109,11 +109,18 @@ def identify_report_type(filename: str) -> str | None:
 
 
 def read_landing_dir(
-    spark: SparkSession, landing_dir: str | Path
+    spark: SparkSession, landing_dir: str | Path, with_provenance: bool = False
 ) -> dict[str, DataFrame]:
     """Read every recognized report file in a landing directory and
     union them per report type (multi-file days union by name, missing
     columns null-padded — conformance fixes shape downstream).
+
+    ``with_provenance=True`` attaches the source file name as
+    ``_src_file`` — row-level lineage, so a bad row in the warehouse
+    traces back to the exact landing file that delivered it (and a
+    re-delivered file's rows are identifiable for surgical reload).
+    Conformance's fixed projection drops the column before load unless
+    a spec carries it through.
 
     In-flight browser downloads (``.crdownload``/``.part``/``.tmp``,
     main.py:321-345) are ignored.
@@ -131,6 +138,8 @@ def read_landing_dir(
                 df = read_excel_bridge(spark, p)
             else:
                 df = read_csv_robust(spark, p)
+            if with_provenance:
+                df = df.withColumn("_src_file", F.lit(p.name))
         except Exception:  # noqa: BLE001 - per-file isolation (R-9, main.py:1362-1366)
             logger.exception("failed to read %s; skipping", p)
             continue

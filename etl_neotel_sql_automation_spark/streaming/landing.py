@@ -302,6 +302,50 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_landing_to_jdbc(
+    spark: SparkSession,
+    landing_dir: str | Path,
+    spec: ConformSpec,
+    writer,
+    table: str,
+    checkpoint_dir: str | Path,
+    available_now: bool = True,
+):
+    """Streaming landing -> conform -> WAREHOUSE: each micro-batch is
+    conformed and loaded through the transactional
+    :class:`~..io_sinks.JdbcStagingWriter`, one staging-transaction per
+    (batch, date). Composed with the writer's date-overwrite semantics
+    this is exactly-once per date at the warehouse: a re-delivered file
+    re-runs its date's DELETE+INSERT inside one DB transaction, so late
+    data CONVERGES in SQL Server just as it does in the parquet sink.
+    The checkpoint log provides the only other state — no dedup tables,
+    no manual bookkeeping. Returns the started StreamingQuery."""
+    schema, encoding, sep = infer_landing_schema(spark, landing_dir)
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("encoding", encoding)
+        .option("sep", sep)
+        .option("pathGlobFilter", "*.csv")
+        .option("maxFilesPerTrigger", 16)
+        .csv(str(landing_dir))
+    )
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        out = conform(batch_df, spec)
+        if out.isEmpty():
+            return
+        for r in out.select("fecha").distinct().collect():
+            fecha = str(r["fecha"])
+            writer.write(out.filter(F.col("fecha") == fecha), table, fecha)
+
+    w = src.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", str(checkpoint_dir)
+    )
+    trigger = {"availableNow": True} if available_now else {"processingTime": "30 seconds"}
+    return w.trigger(**trigger).start()
+
+
 def stream_anti_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static LEFT ANTI join — the incremental-ingestion dedup
     shape at 100 TB: each arriving micro-batch keeps only rows whose

@@ -326,3 +326,19 @@ def test_read_jsonl_docs_salvage_and_quarantine(spark, tmp_path):
     bad = [r._corrupt for r in quarantine.collect()]
     assert len(bad) == 2                            # garbage line + bad type
     assert "this is not json at all" in bad
+
+
+def test_read_landing_dir_provenance(spark, tmp_path):
+    """with_provenance=True stamps each row with its landing file name
+    (row-level lineage for surgical reloads); conformance's fixed
+    projection then drops it — provenance is an ingest concern."""
+    from etl_neotel_sql_automation_spark.conform import conform
+    from etl_neotel_sql_automation_spark.schema import CONDUCTA_SPEC
+
+    (tmp_path / "conducta_a.csv").write_text(CONDUCTA_CSV.format(d=";"))
+    (tmp_path / "conducta_b.csv").write_text(CONDUCTA_CSV.format(d=","))
+    out = read_landing_dir(spark, tmp_path, with_provenance=True)
+    rows = out["conducta"].collect()
+    assert {r["_src_file"] for r in rows} == {"conducta_a.csv", "conducta_b.csv"}
+    assert all(r["_src_file"] is not None for r in rows)
+    assert "_src_file" not in conform(out["conducta"], CONDUCTA_SPEC).columns

@@ -12,6 +12,7 @@ from etl_neotel_sql_automation_spark.streaming.landing import (
 )
 from etl_neotel_sql_automation_spark.schema import CONDUCTA_SPEC
 from etl_neotel_sql_automation_spark.workload import queries
+from tests.test_io_pipeline import _FakeConn
 
 CSV_DAY1 = (
     "Agente;Fecha;ID;Campaña;In;% In;Tiempo medio de respuesta IN\n"
@@ -100,3 +101,50 @@ def test_streaming_matches_batch_twin(spark):
     s = {tuple(map(str, r)) for r in streamed.collect()}
     b = {tuple(map(str, r)) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_landing_to_jdbc_transactional_per_date(spark, tmp_path):
+    """Streaming landing -> conform -> JdbcStagingWriter: each date in
+    each micro-batch loads through ONE staging transaction (DELETE +
+    INSERT ... SELECT + DROP, then commit); a re-delivered fixed file
+    re-runs its date's transaction so the warehouse CONVERGES — the
+    streaming twin of the batch loader's idempotence."""
+    from etl_neotel_sql_automation_spark.io_sinks import JdbcStagingWriter
+    from etl_neotel_sql_automation_spark.streaming.landing import (
+        stream_landing_to_jdbc,
+    )
+
+    log: list = []
+    captured: list = []
+    writer = JdbcStagingWriter(
+        url="jdbc:fake",
+        connect=lambda: _FakeConn(log),
+        spark_jdbc_write=lambda df, staging: captured.append(
+            (staging, {tuple(r) for r in df.select("agente", "fecha").collect()})
+        ),
+    )
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "conducta_day1.csv").write_text(CSV_DAY1)
+    (landing / "conducta_day2.csv").write_text(CSV_DAY2)
+    table = "tbl_neotel_conducta"
+    q = stream_landing_to_jdbc(
+        spark, landing, CONDUCTA_SPEC, writer, table, tmp_path / "ckpt"
+    )
+    q.awaitTermination()
+    # both dates loaded, each via its own staging transaction
+    assert {s for (s, _) in captured} and len(captured) == 2
+    dates_loaded = {str(f) for (_, rows) in captured for (_, f) in rows}
+    assert dates_loaded == {"2026-08-12", "2026-08-13"}
+    commits = [e for e in log if e[0] == "commit"]
+    deletes = [e for e in log if e[0] == "exec" and e[1].startswith("DELETE")]
+    assert len(commits) == 2 and len(deletes) == 2
+
+    # corrected re-delivery of day 2 -> exactly one more transaction
+    (landing / "conducta_day2_fix.csv").write_text(CSV_DAY2_FIX)
+    q2 = stream_landing_to_jdbc(
+        spark, landing, CONDUCTA_SPEC, writer, table, tmp_path / "ckpt"
+    )
+    q2.awaitTermination()
+    assert len(captured) == 3
+    assert {(a, str(f)) for (a, f) in captured[-1][1]} == {("eve", "2026-08-13")}
