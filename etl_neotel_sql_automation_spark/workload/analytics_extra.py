@@ -327,3 +327,68 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("monetary_cents").alias("segment_cents"),
         F.min("custkey").alias("example_custkey"),
     )
+
+
+@query(
+    "orders_gini_concentration",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, custkey) AS BIGINT) AS i
+      FROM cust
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(cents) AS HUGEINT) AS total,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS HUGEINT) AS weighted
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(total AS BIGINT) AS total_cents,
+           CAST(floor((2 * weighted - (n + 1) * total) * 1000000.0
+                      / (n * total)) AS BIGINT) AS gini_ppm
+    FROM s
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-revenue concentration — the
+    single-number complement to the Pareto top-100 listing, from the
+    exact rank-weighted form G = (2*Σ i*x_i − (n+1)*Σ x) / (n*Σ x)
+    over ascending exact cents (ties totally ordered by custkey). All
+    moments are exact integers (DECIMAL(38,0)/HUGEINT for the rank-
+    weighted sum), the single division is IEEE-identical, and the
+    output is floor-ppm — zero float-tie exposure. One window over the
+    aggregated customer frame + one global reduce."""
+    orders = table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(cents).alias("cents")
+    )
+    ranked = cust.withColumn(
+        "i", F.row_number().over(W.orderBy("cents", "custkey")).cast("long")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(dec(F.col("i")) * dec(F.col("cents"))).alias("weighted"),
+    )
+    n, total, weighted = dec(F.col("n")), dec(F.col("total")), F.col("weighted")
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        F.floor(
+            (2 * weighted - (n + 1) * total).cast("double")
+            * 1_000_000.0
+            / (n * total).cast("double")
+        )
+        .cast("long")
+        .alias("gini_ppm"),
+    )
