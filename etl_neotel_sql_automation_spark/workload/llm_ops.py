@@ -285,6 +285,106 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(table(spark, sf_dir, "documents"), hash_fn="md5")
 
 
+@query(
+    "dedup_minhash_quality",
+    oracle=f"""
+    WITH sh0 AS (
+      SELECT doc_id AS id,
+             unnest(CASE WHEN len({_SQL_TOKS}) >= 3 THEN
+                 list_distinct(list_transform(
+                     range(1, greatest(len({_SQL_TOKS}) - 2, 0) + 1),
+                     i -> array_to_string(list_slice({_SQL_TOKS}, i, i + 2), ' ')))
+                 ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM documents
+    ),
+    sizes AS (SELECT id, count(*) AS sz FROM sh0 GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON id_a = sa.id
+      JOIN sizes sb ON id_b = sb.id
+      WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+    ),
+    cand AS (
+      SELECT id_a, id_b FROM ({_minhash_oracle()})
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM cand) AS n_cand,
+           (SELECT count(*) FROM truth JOIN cand USING (id_a, id_b)) AS n_hit,
+           CAST(floor((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))
+                      * 1000000.0
+                      / greatest((SELECT count(*) FROM truth), 1)) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup stack's QUALITY METER, itself differentially checked:
+    MinHash-LSH candidate pairs scored against exact SHINGLE-Jaccard
+    ground truth (>= 0.5, global — matching the sketch's set family
+    and bucket scope) — true-pair count,
+    candidate count, hits, and recall in floor-ppm. This is the number
+    you watch when tuning (num_hashes, bands) on a new corpus; both
+    engines replay candidates AND truth bit-identically, so the meter
+    itself can't drift. (Precision is intentionally absent: LSH
+    candidates are a superset by design; the exact verify stage owns
+    precision.)"""
+    docs = table(spark, sf_dir, "documents")
+    # ground truth in SHINGLE space — the set family MinHash actually
+    # sketches (token-set Jaccard is a different, laxer similarity) —
+    # and GLOBAL, because the LSH buckets are global (no source blocks)
+    toks = X.tokens("text")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0)))
+    shingles = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 3)))
+        ),
+    ).otherwise(F.array())
+    sh = docs.select(F.col("doc_id").alias("id"), F.explode(shingles).alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    truth = (
+        inter.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.id"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.id"))
+        .filter(
+            F.round(
+                F.col("n_inter")
+                / (F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")),
+                6,
+            )
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+    )
+    cand = D.minhash_lsh_candidates(docs, hash_fn="md5").select("id_a", "id_b")
+    hits = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count("*").alias("n_true"))
+        .crossJoin(cand.agg(F.count("*").alias("n_cand")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.floor(
+                F.col("n_hit") * 1_000_000.0
+                / F.greatest(F.col("n_true"), F.lit(1))
+            )
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )
+
+
 @query("dedup_simhash", oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash on the cross-engine md5 hash (differentially
