@@ -815,6 +815,85 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_segment_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    segs AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1, 8),
+                    i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS seg,
+             generate_subscripts(range(1, len(toks) + 1, 8), 1) AS pos
+      FROM t
+    ),
+    common AS (
+      SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 5
+    ),
+    kept AS (
+      SELECT doc_id, seg, pos FROM segs
+      WHERE seg NOT IN (SELECT seg FROM common)
+    )
+    SELECT s.doc_id,
+           CAST(count(s.pos) AS BIGINT) AS n_segs,
+           CAST(count(s.pos) - count(k.pos) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '')) AS clean_md5
+    FROM segs s LEFT JOIN kept k ON s.doc_id = k.doc_id AND s.pos = k.pos
+    GROUP BY s.doc_id
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup, REMOVAL included (the CCNet cleaning step the
+    boilerplate DETECTOR feeds): documents are segmented
+    deterministically (8-token windows here — real corpora segment on
+    newlines; the algorithm is identical), segments appearing in >= 5
+    distinct documents are struck, and each document is REASSEMBLED
+    from its surviving segments in original order. Output: per doc,
+    segment counts, how many were removed, and the md5 of the cleaned
+    text — both engines must rebuild byte-identical documents. Shape:
+    one explode + one df-aggregate + one anti-join + one ordered
+    reassembly groupBy; segment strings become md5_long keys at
+    100 TB."""
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8))
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, 8)))
+        ).alias("pos0", "seg"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "seg")
+    common = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("seg")
+    )
+    kept = segs.join(common, "seg", "left_anti")
+    counts = segs.groupBy("doc_id").agg(F.count("*").alias("n_segs"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        counts.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+            F.md5(F.coalesce("clean_text", F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+@query(
     "pretrain_filter",
     oracle=f"""
     WITH feat AS (
