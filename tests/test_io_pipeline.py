@@ -342,3 +342,30 @@ def test_read_landing_dir_provenance(spark, tmp_path):
     assert {r["_src_file"] for r in rows} == {"conducta_a.csv", "conducta_b.csv"}
     assert all(r["_src_file"] is not None for r in rows)
     assert "_src_file" not in conform(out["conducta"], CONDUCTA_SPEC).columns
+
+
+def test_jdbc_staging_writer_rolls_back_on_midtxn_failure(spark):
+    """R-3 failure path: if any statement inside the transaction throws
+    (here: the INSERT..SELECT), the writer must roll back — the target
+    never shows a half-loaded date — close the connection, and
+    propagate the error to the caller (exit-code path)."""
+
+    class _ExplodingConn(_FakeConn):
+        def execute(self, sql, params=()):
+            super().execute(sql, params)
+            if sql.lstrip().startswith("INSERT"):
+                raise RuntimeError("deadlock victim")
+
+    log: list = []
+    writer = JdbcStagingWriter(
+        url="jdbc:fake",
+        connect=lambda: _ExplodingConn(log),
+        spark_jdbc_write=lambda df, staging: None,
+    )
+    df = spark.createDataFrame([("ana", "2026-08-13")], ["agente", "fecha"])
+    with pytest.raises(RuntimeError, match="deadlock victim"):
+        writer.write(df, "tbl_neotel_conducta", "2026-08-13")
+    assert ("rollback",) in log and ("commit",) not in log
+    assert ("close",) in log
+    # the DELETE ran before the blow-up; rollback undoes it atomically
+    assert any(e[0] == "exec" and e[1].startswith("DELETE") for e in log)
