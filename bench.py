@@ -91,16 +91,24 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # best-of-2 per query: min is the noise-robust estimator on a
-    # virtualized host (JIT/GC jitter swings single runs several-fold)
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+    # Best-of-3 per query, measured as 3 FULL PASSES over the suite
+    # rather than 3 back-to-back runs of each query: min is the
+    # noise-robust estimator on a virtualized host (JIT/GC jitter swings
+    # single runs several-fold), and spreading a query's repetitions
+    # across passes decorrelates them from any one burst of host
+    # contention. Every other pass runs in reverse order so paired
+    # variants that sit adjacent in HEADLINE (the md5/xxhash64 MinHash
+    # twins) each sample both early and late suite positions — r2 and r3
+    # both produced ordering-biased readings that contradicted
+    # controlled A/B measurement (ops/hashing.py).
+    times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for pass_i in range(3):
+        order = HEADLINE if pass_i % 2 == 0 else list(reversed(HEADLINE))
+        for name in order:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t0)
+    times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
     print(

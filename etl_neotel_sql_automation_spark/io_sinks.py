@@ -155,13 +155,30 @@ def drop_managed_table(spark, table: str) -> None:
     session does not know tables a previous session wrote, but their
     warehouse directories persist, and ``saveAsTable`` then fails with
     LOCATION_ALREADY_EXISTS even under mode("overwrite"). Idempotent
-    re-runs of index-building queries need both halves cleared."""
+    re-runs of index-building queries need both halves cleared.
+
+    Accepts only an UNQUALIFIED identifier in the default database on a
+    local-filesystem warehouse: a qualified ``db.table`` would map to
+    the wrong rmtree path, and a remote warehouse URI has no local
+    directory to clear — both are rejected rather than silently
+    half-done."""
     import shutil
     from urllib.parse import urlparse
 
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"table {table!r} must be an unqualified identifier "
+            "(default database; qualified names would rmtree the wrong path)"
+        )
+    parsed = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if parsed.scheme not in ("", "file"):
+        raise ValueError(
+            f"drop_managed_table only supports local-filesystem warehouses, "
+            f"got {parsed.scheme!r}; drop the table and clear its location "
+            "with the remote filesystem's own tooling"
+        )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    loc = f"{wh}/{table.lower()}"
+    loc = f"{parsed.path}/{table.lower()}"
     shutil.rmtree(loc, ignore_errors=True)
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import csv
 import logging
 from pathlib import Path
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,28 +152,41 @@ def read_landing_dir(
     return out
 
 
+class JsonlSplit(NamedTuple):
+    """Result of :func:`read_jsonl_docs`. ``raw`` is the cached parsed
+    frame both halves derive from — call ``raw.unpersist()`` once both
+    have been consumed so long-lived sessions release the cached
+    partitions deterministically instead of waiting for GC."""
+
+    good: DataFrame
+    quarantine: DataFrame
+    raw: DataFrame
+
+
 def read_jsonl_docs(
     spark: SparkSession,
     path: str | Path,
     schema: str = "doc_id bigint, text string, source string",
-) -> tuple[DataFrame, DataFrame]:
+) -> JsonlSplit:
     """Robust JSON-Lines corpus reader — the wire format crawl dumps
-    and dataset releases actually ship. Returns (good, quarantine):
-    rows matching ``schema`` (extra fields pruned by the explicit
+    and dataset releases actually ship. Returns (good, quarantine,
+    raw): rows matching ``schema`` (extra fields pruned by the explicit
     schema — never inferred, so a million-file corpus costs no
-    inference scan and drifting extra keys are ignored), and a
-    quarantine frame holding each malformed LINE verbatim for triage.
-    PERMISSIVE + columnNameOfCorruptRecord is the same salvage-vs-
-    reject split the CSV conformance path uses (R-2): one bad line
-    never fails a 100 TB ingest, and nothing is silently dropped."""
+    inference scan and drifting extra keys are ignored), a quarantine
+    frame holding each malformed LINE verbatim for triage, and the
+    cached parent frame (unpersist it when done — see
+    :class:`JsonlSplit`). PERMISSIVE + columnNameOfCorruptRecord is
+    the same salvage-vs-reject split the CSV conformance path uses
+    (R-2): one bad line never fails a 100 TB ingest, and nothing is
+    silently dropped."""
     full_schema = f"{schema}, _corrupt string"
     df = (
         spark.read.schema(full_schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(str(path))
-        .cache()  # split below reads it twice; unpersisted by GC at scale use checkpoint
+        .cache()  # the split below reads it twice; caller unpersists via .raw
     )
     good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
-    return good, quarantine
+    return JsonlSplit(good, quarantine, df)

@@ -349,9 +349,9 @@ def stream_landing_to_jdbc(
 def stream_anti_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static LEFT ANTI join — the incremental-ingestion dedup
     shape at 100 TB: each arriving micro-batch keeps only rows whose
-    key is absent from a static reference set (here: events from users
-    with no order history; in a training pipeline: documents whose
-    fingerprint is not already in the corpus index). Stateless for the
+    key is absent from a static reference set (here: the
+    positive-balance customer keys; in a training pipeline: documents
+    whose fingerprint is not already in the corpus index). Stateless for the
     join — the static side is re-planned (and, being key-only,
     broadcast) per micro-batch, so arbitrarily long streams hold ZERO
     join state, unlike stream-stream dedup which must watermark.

@@ -854,7 +854,14 @@ def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB."""
     docs = table(spark, sf_dir, "documents")
     toks = X.tokens("text")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8))
+    # Zero-token guard: an empty/whitespace-only document must produce
+    # NO segments (the oracle's range(1, len+1, 8) emits none), not one
+    # empty-string segment — the CASE keeps sequence() from seeing an
+    # illegal (1, 0) boundary on empty docs.
+    starts = F.when(
+        F.size(toks) >= 1,
+        F.sequence(F.lit(1), F.size(toks), F.lit(8)),
+    ).otherwise(F.array().cast("array<int>"))
     segs = docs.select(
         "doc_id",
         F.posexplode(

@@ -27,11 +27,33 @@ def test_oracle_keys_subset_of_queries():
     assert all("SELECT" in s.upper() for s in oracles.values())
 
 
+# Queries legitimately empty at the tiny sf0.001 fixture (selective
+# predicates over ~1.5k orders); all three are nonzero at sf0.01, where
+# tools/check_oracle.py enforces the hard floor. This list must stay
+# EXACT: an entry that starts returning rows here is stale and must be
+# removed, and a new empty query must be consciously added (or fixed).
+EMPTY_OK_SF0001 = {
+    "q11_important_parts",
+    "q21_waiting_supplier",
+    "set_except_lapsed_buyers",
+}
+
+
 def test_all_queries_run_sf0001(spark):
+    """Every registered query runs at sf0.001, and — except for the
+    documented allowlist — returns at least one row (the nonzero-row
+    floor: an empty result can match an empty oracle and go green
+    vacuously)."""
     failures = {}
+    empty = set()
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, SF).limit(5).collect()
+            if not fn(spark, SF).limit(1).collect():
+                empty.add(name)
         except Exception as e:  # noqa: BLE001
             failures[name] = f"{type(e).__name__}: {e}"
     assert not failures, failures
+    assert empty == EMPTY_OK_SF0001, (
+        f"unexpected empty: {sorted(empty - EMPTY_OK_SF0001)}; "
+        f"stale allowlist: {sorted(EMPTY_OK_SF0001 - empty)}"
+    )

@@ -318,7 +318,7 @@ def test_read_jsonl_docs_salvage_and_quarantine(spark, tmp_path):
         '{"doc_id": 3, "text": "missing source"}\n'
         '{"doc_id": "not-a-number", "text": "bad type", "source": "s2"}\n'
     )
-    good, quarantine = read_jsonl_docs(spark, p)
+    good, quarantine, raw = read_jsonl_docs(spark, p)
     rows = {r.doc_id: r for r in good.collect()}
     assert set(rows) == {1, 2, 3}
     assert "unknown_key" not in good.columns        # schema pruned
@@ -326,6 +326,11 @@ def test_read_jsonl_docs_salvage_and_quarantine(spark, tmp_path):
     bad = [r._corrupt for r in quarantine.collect()]
     assert len(bad) == 2                            # garbage line + bad type
     assert "this is not json at all" in bad
+    # deterministic cache release: the parent frame is exposed so a
+    # long-lived session can drop the cached partitions when done
+    assert raw.is_cached
+    raw.unpersist()
+    assert not raw.is_cached
 
 
 def test_read_landing_dir_provenance(spark, tmp_path):

@@ -501,3 +501,51 @@ def test_weighted_poisson_matches_python_reference(spark, tmp_path):
         < 3_000_000 * nt * n_docs
     }
     assert got == want and 0 < len(want) < n_docs
+
+
+def test_segment_dedup_empty_doc_matches_oracle(spark, tmp_path):
+    """Zero-token documents must be ABSENT from text_segment_dedup on
+    both engines: the oracle's range(1, len+1, 8) emits no segments for
+    an empty token list, and the Spark side must not emit a phantom
+    single empty segment (the guard on the start-index sequence).
+    Differential: both engines run on a fixture that includes empty and
+    whitespace-only docs plus enough copies of a common segment to
+    exercise removal."""
+    import duckdb
+
+    from etl_neotel_sql_automation_spark.workload import oracle_sql, queries
+
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, common + f" unique{i} tail", "en", "s", 0) for i in range(1, 7)]
+    rows += [(7, "", "en", "s", 0), (8, "   ", "en", "s", 0)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    df.coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    sdf = queries()["text_segment_dedup"](spark, str(sf))
+    s_rows = {r.doc_id: (r.n_segs, r.n_removed, r.clean_md5) for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        # Spark writes a parquet DIRECTORY; DuckDB needs the part-file glob
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    d_rows = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(oracle_sql()["text_segment_dedup"]).fetchall()
+    }
+    assert 7 not in s_rows and 8 not in s_rows  # empty docs absent
+    assert s_rows == d_rows
+    assert all(v[1] >= 1 for v in s_rows.values())  # the common 8-token segment was struck
+
+
+def test_drop_managed_table_rejects_unsafe_names(spark):
+    """drop_managed_table interpolates the name into SQL and maps it to
+    a warehouse rmtree path — qualified or malformed names must be
+    rejected before either happens."""
+    from etl_neotel_sql_automation_spark.io_sinks import drop_managed_table
+
+    for bad in ("db.table", "t; DROP TABLE x", "../../etc", ""):
+        with pytest.raises(ValueError):
+            drop_managed_table(spark, bad)

@@ -48,21 +48,65 @@ def test_no_python_in_relational_paths(spark):
         assert "EvalPython" not in _plan(spark, name), name
 
 
+# Queries too expensive to plan-check in the registry-wide tripwire:
+# streaming_* execute a stream to a memory table when called (their
+# result plan is a table scan; stateful-op policy is covered by
+# dedicated streaming tests), and the k-means-trained ANN queries run
+# driver-side training jobs at call time (their plan policy has
+# dedicated tests in test_ops/test_plans). This set is EXACT names, not
+# patterns — see test_tripwire_exclusions_are_exact below.
+TRIPWIRE_EXCLUDED = frozenset({
+    "dedup_embedding_indexed",
+    "sim_ivf_pq_topk",
+    "sim_ivf_topk",
+    "sim_pq_topk",
+    "streaming_anti_join_new_users",
+    "streaming_dedup_events",
+    "streaming_events_hourly",
+    "streaming_session_window",
+    "streaming_stateful_sessionize",
+    "streaming_static_enrich",
+    "streaming_stream_stream_join",
+})
+# The families the exclusions come from; used only by the meta-guard.
+TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
+
+
+def test_tripwire_exclusions_are_exact():
+    """Meta-guard on the exclusion list itself: every excluded name must
+    exist in the registry (no stale entries), and every registry name
+    matching a heavy-family pattern must be in the exact set — so a new
+    sim_pq_* / streaming_* query cannot silently dodge the row-UDF
+    tripwire; its author must consciously add it here AND give it a
+    dedicated plan/policy test in the same commit."""
+    from etl_neotel_sql_automation_spark.workload import queries as qreg
+
+    names = set(qreg())
+    stale = TRIPWIRE_EXCLUDED - names
+    assert not stale, f"excluded names not in registry: {sorted(stale)}"
+    pattern_matched = {
+        n for n in names
+        if n.startswith(TRIPWIRE_HEAVY_PATTERNS[0])
+        or any(h in n for h in TRIPWIRE_HEAVY_PATTERNS[1:])
+    }
+    undocumented = pattern_matched - TRIPWIRE_EXCLUDED
+    assert not undocumented, (
+        f"heavy-family queries missing from TRIPWIRE_EXCLUDED (add them "
+        f"explicitly with a dedicated plan test): {sorted(undocumented)}"
+    )
+
+
 def test_no_row_udfs_anywhere_in_registry(spark):
     """REGISTRY-WIDE tripwire: no registered query may plan a
     row-at-a-time Python UDF (BatchEvalPython) — the §2.10 policy,
-    enforced for every current and FUTURE query, not a named list.
-    Skipped: streaming_* (they execute a stream to a memory table —
-    their result plan is a table scan; the stateful-op policy is
-    covered by dedicated streaming tests) and the k-means-trained ANN
-    queries (driver-side training jobs at call time; their plan policy
-    has dedicated tests in test_ops/test_plans)."""
+    enforced for every current and FUTURE query. Only the EXACT names
+    in TRIPWIRE_EXCLUDED are skipped (guarded by
+    test_tripwire_exclusions_are_exact)."""
     from etl_neotel_sql_automation_spark.workload import queries as qreg
 
-    heavy = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
     offenders = []
     for name, fn in sorted(qreg().items()):
-        if name.startswith(heavy[0]) or any(h in name for h in heavy[1:]):
+        if name in TRIPWIRE_EXCLUDED:
             continue
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "BatchEvalPython" in plan:

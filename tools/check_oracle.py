@@ -102,6 +102,15 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
+        if not s_rows:
+            # Nonzero-row floor: a query that returns 0 rows can go
+            # "green" by matching an equally-empty oracle even when
+            # testdata drift has made the comparison vacuous (the
+            # degenerate-green trap in BUILDLOG). Every registered
+            # query must produce >=1 row at the checked sf.
+            print(f"FAIL  {name}: zero rows — nonzero-row floor violated")
+            failures += 1
+            continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue
