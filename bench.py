@@ -48,6 +48,9 @@ HEADLINE = [
     "pandas_grouped_outliers",
     "merge_upsert_orders",
     "q7_nation_volume",
+    # r4 additions (APPENDED — the 27 entries above stay byte-stable for
+    # round-over-round comparability):
+    "sim_ivf_pq_sampled",
 ]
 
 

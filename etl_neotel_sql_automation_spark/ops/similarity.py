@@ -162,23 +162,41 @@ def ivf_topk(
     )
 
 
+def hash_sample(df: DataFrame, id_col: str, fraction: float | None) -> DataFrame:
+    """Deterministic hash-sample for quantizer TRAINING — the 100 TB
+    recipe: k-means centroids/codebooks converge on a small sample of
+    the corpus, so the trainer must not scan (or iterate over) all of
+    it. ``xxhash64(id) % 10000`` keeps the sample reproducible across
+    runs, partitionings, and appends (``df.sample`` is seeded per
+    partition — repartitioning changes the rows it picks)."""
+    if fraction is None or fraction >= 1.0:
+        return df
+    return df.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(10000)) < int(fraction * 10000)
+    )
+
+
 def _train_centroids(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_centroids: int,
     seed: int,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """k-means coarse-quantizer centroids as a (cid, cvec) frame —
     driver-sized (n_centroids × dim floats) and broadcast at use sites.
-    Shared by :func:`ivf_topk` and :func:`ivf_pq_topk`."""
+    Shared by :func:`ivf_topk` and :func:`ivf_pq_topk`.
+    ``train_fraction`` trains on a deterministic hash-sample (see
+    :func:`hash_sample`) — at 100 TB the fit must touch a sample, not
+    the corpus; cell ASSIGNMENT below always stays full-corpus."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
     except ImportError as e:  # pragma: no cover
         raise NotImplementedError(f"IVF requires pyspark.ml: {e}") from e
 
-    train = corpus.select(
+    train = hash_sample(corpus, id_col, train_fraction).select(
         F.col(id_col), array_to_vector(_to_double(vec_col)).alias("features")
     )
     km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
@@ -220,13 +238,18 @@ def pq_train_codebooks(
     k: int = 16,
     dim: int = 64,
     seed: int = 42,
+    id_col: str = "vec_id",
+    train_fraction: float | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector is cut into
     ``m`` subspaces of ``dim // m`` dims, each with its own ``k``-means
     codebook (pyspark.ml, seeded). Returns ``codebooks[j][c] ->
     centroid`` (m × k × dim/m floats — driver-sized by construction,
-    like IVF's centroid list). At 100 TB you train on a hash-sample of
-    the corpus; encoding below stays full-scan."""
+    like IVF's centroid list). ``train_fraction`` trains on a
+    deterministic hash-sample (:func:`hash_sample`) — the 100 TB
+    recipe; encoding stays full-scan either way. The sampled frame is
+    cached across the ``m`` fits so the sample filter scans once, not
+    m times."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -235,13 +258,19 @@ def pq_train_codebooks(
 
     sub = dim // m
     v = _to_double(vec_col)
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        train = corpus.select(
-            array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
-        )
-        km = KMeans(k=k, seed=seed + j, maxIter=20).fit(train)
-        books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    base = hash_sample(corpus, id_col, train_fraction)
+    cached = base if train_fraction is None else base.cache()
+    try:
+        books: list[list[list[float]]] = []
+        for j in range(m):
+            train = cached.select(
+                array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
+            )
+            km = KMeans(k=k, seed=seed + j, maxIter=20).fit(train)
+            books.append([[float(x) for x in c] for c in km.clusterCenters()])
+    finally:
+        if cached is not base:
+            cached.unpersist()
     return books
 
 
@@ -396,6 +425,7 @@ def ivf_pq_topk(
     dim: int = 64,
     seed: int = 42,
     rerank: int | None = None,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF×PQ composed ANN — the 100 TB deploy shape (FAISS IVFPQ on a
     cluster): the coarse quantizer prunes the corpus to the queries'
@@ -412,11 +442,19 @@ def ivf_pq_topk(
     against exact search (k-means is engine-specific, so bit-exact
     oracles don't apply — same stance as IVF and PQ alone).
     Output: q_id, n_id, rank (1..k), sim (exact dot, round 6).
-    ``rerank`` defaults to max(50, corpus/10) — see :func:`pq_topk`."""
+    ``rerank`` defaults to max(50, corpus/10) — see :func:`pq_topk`.
+    ``train_fraction`` fits the coarse quantizer AND the codebooks on
+    a deterministic hash-sample (:func:`hash_sample`) — the deploy
+    configuration: at 100 TB the k-means iterations must scan a
+    sample, while cell assignment and encoding stay full-corpus."""
     if rerank is None:
         rerank = max(50, -(-corpus.count() // 10))
-    cent_df = _train_centroids(corpus, id_col, vec_col, n_centroids, seed)
-    books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
+    cent_df = _train_centroids(
+        corpus, id_col, vec_col, n_centroids, seed, train_fraction
+    )
+    books = pq_train_codebooks(
+        corpus, vec_col, m, n_codes, dim, seed, id_col, train_fraction
+    )
     corpus_f = _fan_out(corpus)
     # corpus side: home cell + PQ codes, joined once on id
     cells = _nearest_cells(corpus_f, cent_df, id_col, vec_col, "n_id", 1).select(

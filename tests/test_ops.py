@@ -549,3 +549,56 @@ def test_drop_managed_table_rejects_unsafe_names(spark):
     for bad in ("db.table", "t; DROP TABLE x", "../../etc", ""):
         with pytest.raises(ValueError):
             drop_managed_table(spark, bad)
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    """The quantizer-training sampler must pick the SAME rows across
+    runs and across repartitionings (df.sample is seeded per partition
+    and breaks this), and take roughly the requested fraction."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n = emb.count()
+    a = {r.vec_id for r in S.hash_sample(emb, "vec_id", 0.25).select("vec_id").collect()}
+    b = {
+        r.vec_id
+        for r in S.hash_sample(emb.repartition(13), "vec_id", 0.25)
+        .select("vec_id")
+        .collect()
+    }
+    assert a == b                         # partition-layout invariant
+    assert 0.15 * n <= len(a) <= 0.35 * n  # fraction roughly honored
+    assert S.hash_sample(emb, "vec_id", None) is emb  # no-op passthrough
+
+
+def test_ivf_pq_sampled_training_same_plan_and_recall(spark):
+    """The sampled-training IVF×PQ (the registered sim_ivf_pq_sampled
+    deploy shape) must keep the full-training variant's plan
+    properties — cell equi-join candidate generation, no corpus-wide
+    pair join — and clear the same recall floor: centroids fit on a
+    25% hash-sample lose no ranking quality at this scale."""
+    from pyspark.sql import Window as W
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    ann = S.ivf_pq_topk(emb, q, k=5, train_fraction=0.25)
+    plan = ann._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+    rows = ann.collect()
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+    assert set(per_q.values()) == {5}
+
+    qd = q.select(F.col("vec_id").alias("q_id"), S._to_double("embedding").alias("qv"))
+    cd = emb.select(F.col("vec_id").alias("n_id"), S._to_double("embedding").alias("nv"))
+    scored = cd.join(F.broadcast(qd), F.col("q_id") != F.col("n_id")).select(
+        "q_id", "n_id", S.dot(F.col("qv"), F.col("nv")).alias("ip")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("ip"), "n_id")
+    exact = scored.withColumn("r", F.row_number().over(w)).filter("r <= 5").collect()
+    a = {(r.q_id, r.n_id) for r in rows}
+    b = {(r.q_id, r.n_id) for r in exact}
+    assert len(a & b) / len(b) >= 0.6

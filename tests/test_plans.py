@@ -57,6 +57,7 @@ def test_no_python_in_relational_paths(spark):
 # patterns — see test_tripwire_exclusions_are_exact below.
 TRIPWIRE_EXCLUDED = frozenset({
     "dedup_embedding_indexed",
+    "sim_ivf_pq_sampled",
     "sim_ivf_pq_topk",
     "sim_ivf_topk",
     "sim_pq_topk",
