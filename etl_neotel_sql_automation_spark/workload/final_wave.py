@@ -87,7 +87,13 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-step funnel: first signup -> first subsequent purchase, with
     conversion latency. Aggregation-first (min per user) keeps both
     sides user-sized before the join — no event-level amplification."""
-    ev = table(spark, sf_dir, "events")
+    return funnel_frame(table(spark, sf_dir, "events"))
+
+
+def funnel_frame(ev: DataFrame) -> DataFrame:
+    """The events_funnel plan over any events-shaped frame (user_id,
+    ts, event_type) — shared with tools/scale_events_probe.py so the
+    scaling probe measures exactly the registered query's plan."""
     signup = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")

@@ -490,6 +490,26 @@ def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def wau_sketch_frame(ev: DataFrame) -> DataFrame:
+    """The scale path of events_rolling_wau over any events-shaped
+    frame: one mergeable HLL sketch per day, 7-sketch union per
+    calendar RANGE window -> (day, est). Shared with
+    tools/scale_events_probe.py so the scaling probe measures exactly
+    the registered query's sketch plan (the exact-distinct checker
+    half stays in the registered query — it exists to gate the
+    estimate, not to run at scale)."""
+    from pyspark.sql import Window as W
+
+    day = F.date_trunc("day", "ts").cast("date")
+    daily = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01"))).rangeBetween(-6, 0)
+    return daily.select(
+        "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
+    )
+
+
 @query(
     "events_rolling_wau",
     oracle="""
@@ -518,19 +538,11 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned. Derived-property oracle: the sketch estimate must sit
     within 5% of the exact windowed distinct (computed engine-side by
     the same self-join as the oracle), per day."""
-    from pyspark.sql import Window as W
-
     ev = table(spark, sf_dir, "events")
     day = F.date_trunc("day", "ts").cast("date")
-    daily = ev.select(day.alias("day"), "user_id").groupBy("day").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
-    )
-    w = W.orderBy(F.datediff(F.col("day"), F.lit("1970-01-01"))).rangeBetween(-6, 0)
-    est = daily.select(
-        "day", F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias("est")
-    )
+    est = wau_sketch_frame(ev)
     u = ev.select(day.alias("uday"), "user_id").distinct()
-    d = daily.select("day")
+    d = est.select("day")
     exact = (
         d.join(u, (F.col("uday") >= F.date_sub("day", 6)) & (F.col("uday") <= F.col("day")))
         .groupBy("day")
