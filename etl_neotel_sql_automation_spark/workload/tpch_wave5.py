@@ -191,7 +191,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_partkey,
            round(value_micro / 1e6, 4) AS part_value
     FROM v
-    WHERE value_micro > 0.001 * (SELECT sum(value_micro) FROM v)
+    WHERE value_micro > 2.0 * (SELECT sum(value_micro) FROM v)
+                            / (SELECT count(*) FROM v)
     ORDER BY part_value DESC, p_partkey
     """,
 )
@@ -210,7 +211,16 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle exchange, which Spark's ReuseExchange deduplicates.
     Values are summed in integer micro-units so the threshold
     comparison cannot flip on double summation order. Parity target:
-    SURVEY.md §2.4 grouping sets + scalar-subquery HAVING."""
+    SURVEY.md §2.4 grouping sets + scalar-subquery HAVING.
+
+    The importance threshold is DATA-DERIVED — 2x the mean per-part
+    value, with the part count computed in the same ()-slice — because
+    any fixed fraction thins to an EMPTY result as the catalog grows
+    (TPC-H itself scales q11's fraction as 0.0001/SF for the same
+    reason): the r4 nonzero-row floor caught exactly that at sf0.1,
+    where the old fixed 0.001 returned 0 rows against an equally-empty
+    oracle. 2x-mean is scale-stable: both engines compare the BIGINT
+    micro value against the identical IEEE-double 2*total/n."""
     li = table(spark, sf_dir, "lineitem")
     supp = table(spark, sf_dir, "supplier")
     nat = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
@@ -225,16 +235,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupingSets([["l_partkey"], []], "l_partkey")
         .agg(
             F.sum("m").alias("value_micro"),
+            # in the ()-slice this counts the distinct parts (|v|);
+            # aggregate exprs see original values, only grouping keys
+            # are null-extended by the expand
+            F.countDistinct("l_partkey").alias("n_parts"),
             F.grouping_id().alias("gid"),
         )
     )
     per_part = ga.filter(F.col("gid") == 0).select("l_partkey", "value_micro")
     total = ga.filter(F.col("gid") == 1).select(
-        F.col("value_micro").alias("total_micro")
+        F.col("value_micro").alias("total_micro"), "n_parts"
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value_micro") > 0.001 * F.col("total_micro"))
+        .filter(
+            F.col("value_micro") > 2.0 * F.col("total_micro") / F.col("n_parts")
+        )
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.round(F.col("value_micro") / 1e6, 4).alias("part_value"),
