@@ -57,3 +57,13 @@ def test_all_queries_run_sf0001(spark):
         f"unexpected empty: {sorted(empty - EMPTY_OK_SF0001)}; "
         f"stale allowlist: {sorted(EMPTY_OK_SF0001 - empty)}"
     )
+
+
+def test_allowlisted_empties_are_nonzero_at_sf001(spark):
+    """Each sf0.001-empty allowlisted query must produce rows one scale
+    up — otherwise it is empty everywhere and the allowlist is hiding a
+    degenerate query rather than a small fixture (q11's fixed threshold
+    was exactly this before it became data-derived)."""
+    qs = entrymod.queries()
+    for name in EMPTY_OK_SF0001:
+        assert qs[name](spark, "/root/testdata/sf0.01").limit(1).collect(), name

@@ -602,3 +602,29 @@ def test_ivf_pq_sampled_training_same_plan_and_recall(spark):
     a = {(r.q_id, r.n_id) for r in rows}
     b = {(r.q_id, r.n_id) for r in exact}
     assert len(a & b) / len(b) >= 0.6
+
+
+def test_dedup_probe_corpus_plants_are_found(spark):
+    """The dedup scaling probe's synthetic corpus must actually contain
+    what the operators are supposed to find — exact copies collapse in
+    exact_groups, near-copies surface as MinHash-LSH candidate pairs —
+    so the probe measures real dedup work, not scans over structureless
+    noise (the events-probe funnel taught this lesson)."""
+    from tools.scale_dedup_probe import BASE_DOCS, synth_docs
+
+    docs = synth_docs(spark, 1000).cache()
+    try:
+        n_exact_dups = docs.count() - docs.select("text").distinct().count()
+        assert n_exact_dups >= 30  # ~4% planted exact copies
+
+        cand = {
+            (r.id_a, r.id_b)
+            for r in D.minhash_lsh_candidates(docs, hash_fn="xxhash64").collect()
+        }
+        # every planted near-copy (doc_id % 25 == 2) pairs with its base
+        planted = {(d - 2, d) for d in range(2, 1000, 25)}
+        found = planted & cand
+        assert len(found) / len(planted) >= 0.8  # LSH recall on J~0.85 pairs
+    finally:
+        docs.unpersist()
+    assert BASE_DOCS == 5_000
