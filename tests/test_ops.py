@@ -628,3 +628,25 @@ def test_dedup_probe_corpus_plants_are_found(spark):
     finally:
         docs.unpersist()
     assert BASE_DOCS == 5_000
+
+
+def test_ann_probe_corpus_plants_are_found(spark):
+    """The ANN scaling probe's synthetic embeddings must contain planted
+    near-duplicates that the LSH path actually finds at the probe's own
+    scaled-planes configuration — same discipline as the dedup/events
+    probes: measure real retrieval work, not scans over noise."""
+    from tools.scale_ann_probe import ops_for, planes_for, synth_embeddings
+
+    emb = synth_embeddings(spark, 2000).cache()
+    try:
+        pairs = {
+            (r.id_a, r.id_b): r.sim
+            for r in ops_for(1)["lsh_near_dup"](emb).collect()
+        }
+        planted = {(d - 1, d) for d in range(1, 2000, 50)}
+        found = planted & set(pairs)
+        assert len(found) / len(planted) >= 0.9   # cosine ~0.999 pairs
+        assert all(pairs[p] >= 0.9 for p in found)
+    finally:
+        emb.unpersist()
+    assert planes_for(2000) == 6 and planes_for(200_000) == 13
