@@ -98,6 +98,7 @@ def _ensure_loaded() -> None:
             advanced2,
             breadth,
             corpus_stats,
+            curation,
             etl_surface,
             final_wave,
             graph_ops,
