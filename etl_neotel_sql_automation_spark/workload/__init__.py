@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
             scale_diag,
             sql_surface,
             llm_ops,
+            multimodal_extra,
             relational,
             tpch_extra,
             train_prep,

@@ -124,6 +124,72 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# k-NN graph construction
+# ---------------------------------------------------------------------------
+
+_KNN_K = 3
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_QV} AS qv
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_sql_bucket_expr(_SEM_PLANES)} AS bucket FROM e),
+    scored AS (
+      SELECT a.vec_id AS src_id, c.vec_id AS n_id,
+             round(list_cosine_similarity(a.v, c.v), 6) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT src_id, n_id, sim,
+             CAST(row_number() OVER (PARTITION BY src_id
+                                     ORDER BY sim DESC, n_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    SELECT src_id, n_id, rank, sim FROM ranked WHERE rank <= {_KNN_K}
+    """,
+)
+def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN graph over the whole corpus (every vector's
+    top-3 in-bucket neighbors) — the substrate SemDeDup-style
+    clustering, label propagation, and graph-based curation build on.
+    Differs from ``sim_lsh_topk`` (10 fixed query vectors) in being the
+    symmetric all-corpus construction: candidate edges come from the
+    SAME deterministic hyperplane buckets as ``dedup_semantic_prune``,
+    scored by exact cosine, ranked per source with a unique tiebreak.
+
+    Scale shape: one bucket self-equi-join (cost bounded by bucket
+    occupancy — raise ``planes`` with corpus size, or switch to the
+    multi-table family for recall) plus a per-source top-k window
+    partitioned on the graph's natural key. No all-pairs join; the
+    oracle replays bucketing and ranking bit-exactly.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    b = S.hyperplane_lsh_buckets(emb, planes=_SEM_PLANES).select(
+        "vec_id", "embedding", "bucket"
+    )
+    a, c = b.alias("a"), b.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.vec_id") != F.col("c.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src_id"),
+        F.col("c.vec_id").alias("n_id"),
+        F.round(S.cosine(F.col("a.embedding"), F.col("c.embedding")), 6).alias("sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _KNN_K)
+        .select("src_id", "n_id", "rank", "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style rule gate
 # ---------------------------------------------------------------------------
 
