@@ -11,6 +11,8 @@ MinHash-LSH dedup pipeline: explode-to-buckets, equi-join, re-rank.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -141,10 +143,10 @@ def ivf_topk(
     at n_probe 4/8/10 with 16 centroids — random vectors are the hard
     case; clustered real embeddings do far better).
     """
-    cent_df = _train_centroids(corpus, id_col, vec_col, n_centroids, seed)
+    cents = _train_centroid_list(corpus, id_col, vec_col, n_centroids, seed)
 
     def nearest_centroids(df: DataFrame, side_id: str, n: int) -> DataFrame:
-        return _nearest_cells(df, cent_df, id_col, vec_col, side_id, n)
+        return _nearest_cells(df, cents, id_col, vec_col, side_id, n)
 
     cb = nearest_centroids(_fan_out(corpus), "n_id", 1)  # corpus: home cell only
     qb = nearest_centroids(queries, "q_id", n_probe)     # queries: probe n cells
@@ -176,20 +178,102 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float | None) -> DataFrame
     )
 
 
-def _train_centroids(
+_LOCAL_TRAIN_CAP = 200_000  # rows; ~100 MB at 64 float64 dims
+
+
+def _kmeans_local(x, k: int, seed: int, max_iter: int = 20, n_init: int = 4):
+    """Deterministic Lloyd's k-means over an in-memory sample (numpy,
+    k-means++ init from a seeded RNG, matmul distance computation so
+    memory is n×k, never n×k×dim), best-of-``n_init`` restarts by
+    inertia — restarts are nearly free on a trainer-sized sample and
+    close the quality gap to k-means||. This is the trainer-node half
+    of the FAISS deploy shape: the *sample selection* is distributed
+    (:func:`hash_sample`), the *fit* runs where the sample fits in
+    RAM — hundreds of tiny per-iteration Spark jobs (pyspark.ml's
+    KMeans on a driver-sized sample) buy nothing at any scale."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    xsq = (x * x).sum(axis=1)
+
+    def d2_to(c):
+        # |x|^2 - 2 x.c + |c|^2, clipped at 0 (fp cancellation)
+        d = xsq[:, None] - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        return np.maximum(d, 0.0)
+
+    def one_fit(rng):
+        centers = x[rng.randint(n)][None, :]
+        while len(centers) < k:  # k-means++ seeding
+            d2 = d2_to(centers).min(axis=1)
+            tot = d2.sum()
+            idx = rng.choice(n, p=d2 / tot) if tot > 0 else rng.randint(n)
+            centers = np.vstack([centers, x[idx]])
+        for _ in range(max_iter):
+            assign = d2_to(centers).argmin(axis=1)
+            new = np.vstack(
+                [
+                    x[assign == j].mean(axis=0) if np.any(assign == j) else centers[j]
+                    for j in range(k)
+                ]
+            )
+            if np.allclose(new, centers):
+                break
+            centers = new
+        return d2_to(centers).min(axis=1).sum(), centers
+
+    best = min(
+        (one_fit(np.random.RandomState(seed + 1000 * r)) for r in range(n_init)),
+        key=lambda t: t[0],
+    )
+    return best[1]
+
+
+def _collect_train_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, train_fraction: float | None
+):
+    """Hash-sampled vectors collected for a local fit, with a hard cap
+    guarding the driver: at 100 TB ``train_fraction`` must be sized so
+    the sample is trainer-RAM-bounded (FAISS practice: ~1e5-1e6 vectors
+    regardless of corpus size)."""
+    rows = (
+        hash_sample(corpus, id_col, train_fraction)
+        .select(_to_double(vec_col).alias("v"))
+        .limit(_LOCAL_TRAIN_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _LOCAL_TRAIN_CAP:
+        raise ValueError(
+            f"local-backend training sample exceeds {_LOCAL_TRAIN_CAP} rows; "
+            "lower train_fraction (the sample must be trainer-RAM-sized)"
+        )
+    return [r.v for r in rows]
+
+
+def _train_centroid_list(
     corpus: DataFrame,
     id_col: str,
     vec_col: str,
     n_centroids: int,
     seed: int,
     train_fraction: float | None = None,
-) -> DataFrame:
-    """k-means coarse-quantizer centroids as a (cid, cvec) frame —
-    driver-sized (n_centroids × dim floats) and broadcast at use sites.
-    Shared by :func:`ivf_topk` and :func:`ivf_pq_topk`.
+    train_backend: str = "ml",
+) -> list[list[float]]:
+    """k-means coarse-quantizer centroids as a driver-side list
+    (n_centroids × dim floats — driver-sized by construction, like the
+    LSH sign matrices), inlined as literals at use sites. Shared by
+    :func:`ivf_topk` and :func:`ivf_pq_topk`.
     ``train_fraction`` trains on a deterministic hash-sample (see
     :func:`hash_sample`) — at 100 TB the fit must touch a sample, not
-    the corpus; cell ASSIGNMENT below always stays full-corpus."""
+    the corpus; cell ASSIGNMENT always stays full-corpus.
+    ``train_backend="local"`` collects the (capped) sample and fits
+    with :func:`_kmeans_local` — one Spark job for the sample scan
+    instead of ~20 per-iteration jobs; "ml" keeps the pyspark.ml fit
+    for samples that exceed one machine."""
+    if train_backend == "local":
+        sample = _collect_train_sample(corpus, id_col, vec_col, train_fraction)
+        centers = _kmeans_local(sample, n_centroids, seed)
+        return [[float(v) for v in c] for c in centers]
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -200,15 +284,12 @@ def _train_centroids(
         F.col(id_col), array_to_vector(_to_double(vec_col)).alias("features")
     )
     km = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
-    centroids = [
-        (i, [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
-    ]
-    return corpus.sparkSession.createDataFrame(centroids, "cid int, cvec array<double>")
+    return [[float(x) for x in c] for c in km.clusterCenters()]
 
 
 def _nearest_cells(
     df: DataFrame,
-    cent_df: DataFrame,
+    centroids: list[list[float]],
     id_col: str,
     vec_col: str,
     side_id: str,
@@ -216,18 +297,45 @@ def _nearest_cells(
 ) -> DataFrame:
     """(side_id, {side_id}_vec, cid) rows assigning each vector its
     ``n`` nearest centroids by cosine — the IVF cell key surface.
-    Centroids are broadcast; the per-row work is a codegen'd dot."""
-    scored = df.join(F.broadcast(cent_df)).select(
-        F.col(id_col).alias(side_id),
-        F.col(vec_col).alias(f"{side_id}_vec"),
-        "cid",
-        cosine(vec_col, "cvec").alias("csim"),
-    )
-    w = W.partitionBy(side_id).orderBy(F.desc("csim"), "cid")
-    return (
-        scored.withColumn("crank", F.row_number().over(w))
-        .filter(F.col("crank") <= n)
-        .drop("csim", "crank")
+
+    Centroids are INLINED AS LITERALS (normalized driver-side, so the
+    per-centroid score is one codegen'd dot and ranking by dot equals
+    ranking by cosine): assignment is a scan-side projection with ZERO
+    shuffle and zero row expansion. The previous formulation — a
+    broadcast join against a centroid frame followed by a per-vector
+    rank window — expanded the corpus n_centroids× and shuffled the
+    expansion, which at 100 TB is a 16× write amplification for what
+    is morally an argmax; this shape is why IVF cell assignment stays
+    scan-speed at any corpus size. Ties break toward the lowest cid
+    (struct max on (score, -cid)), matching the old window order.
+
+    The whole scores array is assembled as ONE SQL string handed to a
+    single ``F.expr`` — building n_centroids × dim literal terms
+    through the Column API costs thousands of py4j round trips and
+    dominated wall time on small corpora (measured ~3 s of pure plan
+    construction at 16×64). Each score stays the ``aggregate(zip_with)``
+    fold (bit-identical summation order to :func:`dot`): a fold
+    codegens as a LOOP, where an unrolled 64-term sum nested 16× in
+    one Project blows janino's method limits and drops the whole
+    stage to interpreted mode (measured: 14 codegen failures, 2-4×
+    slower than the fold form)."""
+    terms = []
+    for i, c in enumerate(centroids):
+        nrm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lits = ", ".join(f"{x / nrm!r}D" for x in c)
+        d = (
+            f"aggregate(zip_with(_qv, array({lits}), (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"named_struct('s', {d}, 'ncid', {-i})")
+    arr = f"array({', '.join(terms)})"
+    base = df.withColumn("_qv", _to_double(vec_col))
+    cols = [F.col(id_col).alias(side_id), F.col(vec_col).alias(f"{side_id}_vec")]
+    if n == 1:
+        return base.select(*cols, F.expr(f"-(array_max({arr}).ncid)").alias("cid"))
+    top = f"slice(sort_array({arr}, false), 1, {n})"
+    return base.select(
+        *cols, F.expr(f"explode(transform({top}, t -> -(t.ncid)))").alias("cid")
     )
 
 
@@ -240,6 +348,7 @@ def pq_train_codebooks(
     seed: int = 42,
     id_col: str = "vec_id",
     train_fraction: float | None = None,
+    train_backend: str = "ml",
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector is cut into
     ``m`` subspaces of ``dim // m`` dims, each with its own ``k``-means
@@ -249,7 +358,24 @@ def pq_train_codebooks(
     deterministic hash-sample (:func:`hash_sample`) — the 100 TB
     recipe; encoding stays full-scan either way. The sampled frame is
     cached across the ``m`` fits so the sample filter scans once, not
-    m times."""
+    m times. ``train_backend="local"`` collects the capped sample ONCE
+    and fits all ``m`` subspace codebooks in numpy
+    (:func:`_kmeans_local`) — one Spark job total instead of
+    m × maxIter."""
+    if train_backend == "local":
+        import numpy as np
+
+        sample = np.asarray(
+            _collect_train_sample(corpus, id_col, vec_col, train_fraction)
+        )
+        sub = dim // m
+        return [
+            [
+                [float(v) for v in c]
+                for c in _kmeans_local(sample[:, j * sub : (j + 1) * sub], k, seed + j)
+            ]
+            for j in range(m)
+        ]
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -310,29 +436,30 @@ def pq_encode(
 
 
 def _pq_query_lut(
-    codebooks: list[list[list[float]]], qv: Column, dim: int
+    codebooks: list[list[list[float]]], qv_col: str, dim: int
 ) -> Column:
     """Per-query ADC lookup table: subspace dot products of the query
     against every centroid (m × k doubles). Travels with the broadcast
-    query row, so pre-ranking a corpus vector is ``m`` lookups+adds."""
+    query row, so pre-ranking a corpus vector is ``m`` lookups+adds.
+    ``qv_col`` names a prepared array<double> column; the m × k × sub
+    literal terms are assembled as one SQL string (single py4j call —
+    the Column-API version cost ~2 s of plan construction per query
+    build), each subspace dot the same ``aggregate(zip_with)`` fold as
+    before (codegens as a loop; see :func:`_nearest_cells` on why
+    unrolled sums are worse)."""
     m = len(codebooks)
     n_codes = len(codebooks[0])
     sub = dim // m
-    return F.array(*[
-        F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.slice(qv, j * sub + 1, sub),
-                    F.array(*[F.lit(x) for x in codebooks[j][c]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    outer = []
+    for j in range(m):
+        cells = ", ".join(
+            f"aggregate(zip_with(slice({qv_col}, {j * sub + 1}, {sub}), "
+            "array(" + ", ".join(f"{x!r}D" for x in codebooks[j][c]) + "), "
+            "(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
             for c in range(n_codes)
-        ])
-        for j in range(m)
-    ])
+        )
+        outer.append(f"array({cells})")
+    return F.expr(f"array({', '.join(outer)})")
 
 
 def _pq_adc(m: int) -> Column:
@@ -383,10 +510,9 @@ def pq_topk(
     cb = pq_encode(corpus_cached, books, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), "codes"
     )
-    qv = _to_double(vec_col)
-    qb = queries.select(
-        F.col(id_col).alias("q_id"), qv.alias("q_vec"),
-        _pq_query_lut(books, qv, dim).alias("lut"),
+    qb = queries.withColumn("_qv", _to_double(vec_col)).select(
+        F.col(id_col).alias("q_id"), F.col("_qv").alias("q_vec"),
+        _pq_query_lut(books, "_qv", dim).alias("lut"),
     )
     adc = _pq_adc(m)
     pre = cb.join(F.broadcast(qb.select("q_id", "lut")), F.col("q_id") != F.col("n_id")).select(
@@ -426,6 +552,7 @@ def ivf_pq_topk(
     seed: int = 42,
     rerank: int | None = None,
     train_fraction: float | None = None,
+    train_backend: str = "ml",
 ) -> DataFrame:
     """IVF×PQ composed ANN — the 100 TB deploy shape (FAISS IVFPQ on a
     cluster): the coarse quantizer prunes the corpus to the queries'
@@ -449,15 +576,15 @@ def ivf_pq_topk(
     sample, while cell assignment and encoding stay full-corpus."""
     if rerank is None:
         rerank = max(50, -(-corpus.count() // 10))
-    cent_df = _train_centroids(
-        corpus, id_col, vec_col, n_centroids, seed, train_fraction
+    cents = _train_centroid_list(
+        corpus, id_col, vec_col, n_centroids, seed, train_fraction, train_backend
     )
     books = pq_train_codebooks(
-        corpus, vec_col, m, n_codes, dim, seed, id_col, train_fraction
+        corpus, vec_col, m, n_codes, dim, seed, id_col, train_fraction, train_backend
     )
     corpus_f = _fan_out(corpus)
     # corpus side: home cell + PQ codes, joined once on id
-    cells = _nearest_cells(corpus_f, cent_df, id_col, vec_col, "n_id", 1).select(
+    cells = _nearest_cells(corpus_f, cents, id_col, vec_col, "n_id", 1).select(
         "n_id", "cid"
     )
     codes = pq_encode(corpus_f, books, id_col, vec_col).select(
@@ -465,13 +592,12 @@ def ivf_pq_topk(
     )
     cb = cells.join(codes, "n_id")
     # query side: n_probe cells + the per-query ADC LUT (broadcast)
-    qv = _to_double(vec_col)
-    q_cells = _nearest_cells(queries, cent_df, id_col, vec_col, "q_id", n_probe).select(
+    q_cells = _nearest_cells(queries, cents, id_col, vec_col, "q_id", n_probe).select(
         "q_id", "cid"
     )
-    q_lut = queries.select(
-        F.col(id_col).alias("q_id"), qv.alias("q_vec"),
-        _pq_query_lut(books, qv, dim).alias("lut"),
+    q_lut = queries.withColumn("_qv", _to_double(vec_col)).select(
+        F.col(id_col).alias("q_id"), F.col("_qv").alias("q_vec"),
+        _pq_query_lut(books, "_qv", dim).alias("lut"),
     )
     # candidate generation: cell equi-join (corpus rows have exactly one
     # home cell, so (q_id, n_id) pairs are already distinct)
@@ -860,4 +986,87 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "sim")
+    )
+
+
+def semantic_prune(
+    df: DataFrame,
+    planes: int = 4,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style survivor pruning: deterministic hyperplane-LSH
+    buckets stand in for the paper's k-means clusters, and within each
+    bucket a vector is pruned iff a lower-id bucket-mate sits within
+    the cosine threshold (lowest id survives each near-dup set).
+
+    Output: (id, bucket, pruned). The only join is the within-bucket
+    self-equi-join — cost bounded by bucket occupancy; raise ``planes``
+    with corpus size (2^planes ~ k ~ sqrt(n), the SemDeDup heuristic)
+    exactly like the LSH dedup family. Registered as
+    ``dedup_semantic_prune`` (workload/curation.py) with a bit-exact
+    DuckDB replay of clustering + verdicts.
+    """
+    b = hyperplane_lsh_buckets(_fan_out(df), id_col, vec_col, planes, seed, dim)
+    a, c = b.alias("a"), b.alias("c")
+    pruned = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col(f"c.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .filter(
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 6)
+            >= threshold
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        b.select(id_col, "bucket")
+        .join(pruned, id_col, "left")
+        .select(id_col, "bucket", F.coalesce("hit", F.lit(False)).alias("pruned"))
+    )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate all-corpus k-NN graph: every vector's top-k
+    neighbors among its hyperplane-bucket mates, exact-cosine ranked
+    with a unique tiebreak — the edge list SemDeDup clustering, label
+    propagation and graph-based curation consume.
+
+    Output: (src_id, n_id, rank, sim). One bucket self-equi-join plus
+    a per-source top-k window; no all-pairs join. Raise ``planes``
+    with corpus size to hold bucket occupancy (and per-source
+    candidate count) constant. Registered as ``sim_knn_graph``
+    (workload/curation.py) with a bit-exact oracle.
+    """
+    b = hyperplane_lsh_buckets(_fan_out(df), id_col, vec_col, planes, seed, dim)
+    a, c = b.alias("a"), b.alias("c")
+    scored = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col(f"a.{id_col}") != F.col(f"c.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("src_id"),
+        F.col(f"c.{id_col}").alias("n_id"),
+        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 6).alias("sim"),
+    )
+    w = W.partitionBy("src_id").orderBy(F.desc("sim"), "n_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "n_id", "rank", "sim")
     )

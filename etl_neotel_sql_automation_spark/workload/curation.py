@@ -98,29 +98,7 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unique ``vec_id`` key.
     """
     emb = table(spark, sf_dir, "embeddings")
-    b = S.hyperplane_lsh_buckets(emb, planes=_SEM_PLANES).select(
-        "vec_id", "embedding", "bucket"
-    )
-    a, c = b.alias("a"), b.alias("c")
-    pruned = (
-        a.join(
-            c,
-            (F.col("a.bucket") == F.col("c.bucket"))
-            & (F.col("c.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(
-            F.round(S.cosine(F.col("a.embedding"), F.col("c.embedding")), 6)
-            >= _SEM_THRESHOLD
-        )
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
-        .withColumn("hit", F.lit(True))
-    )
-    return (
-        b.select("vec_id", "bucket")
-        .join(pruned, "vec_id", "left")
-        .select("vec_id", "bucket", F.coalesce("hit", F.lit(False)).alias("pruned"))
-    )
+    return S.semantic_prune(emb, planes=_SEM_PLANES, threshold=_SEM_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------
@@ -166,27 +144,7 @@ def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays bucketing and ranking bit-exactly.
     """
     emb = table(spark, sf_dir, "embeddings")
-    b = S.hyperplane_lsh_buckets(emb, planes=_SEM_PLANES).select(
-        "vec_id", "embedding", "bucket"
-    )
-    a, c = b.alias("a"), b.alias("c")
-    scored = a.join(
-        c,
-        (F.col("a.bucket") == F.col("c.bucket"))
-        & (F.col("a.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src_id"),
-        F.col("c.vec_id").alias("n_id"),
-        F.round(S.cosine(F.col("a.embedding"), F.col("c.embedding")), 6).alias("sim"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("src_id").orderBy(F.col("sim").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= _KNN_K)
-        .select("src_id", "n_id", "rank", "sim")
-    )
+    return S.knn_graph(emb, k=_KNN_K, planes=_SEM_PLANES)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +205,12 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token scan is O(distinct x len) per row, bounded by document
     length), so the whole gate is shuffle-free and Python-free.
     """
-    docs = table(spark, sf_dir, "documents")
+    return gopher_frame(table(spark, sf_dir, "documents"))
+
+
+def gopher_frame(docs: DataFrame) -> DataFrame:
+    """The gate itself over any documents-shaped frame (doc_id, text) —
+    shared by the registered query and tools/scale_curation_probe.py."""
     toks = X.tokens("text")
     n_words = F.size(toks).cast("long")
     n_chars = F.aggregate(
@@ -332,7 +295,12 @@ def quality_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     array sum), shuffle-free and Python-free; cost is linear in token
     count exactly like tokenization itself.
     """
-    docs = table(spark, sf_dir, "documents")
+    return classifier_frame(table(spark, sf_dir, "documents"))
+
+
+def classifier_frame(docs: DataFrame) -> DataFrame:
+    """The scorer over any documents-shaped frame (doc_id, text) —
+    shared by the registered query and tools/scale_curation_probe.py."""
     toks = X.tokens("text")
     weights = F.transform(
         toks,

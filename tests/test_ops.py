@@ -650,3 +650,62 @@ def test_ann_probe_corpus_plants_are_found(spark):
     finally:
         emb.unpersist()
     assert planes_for(2000) == 6 and planes_for(200_000) == 13
+
+
+def test_local_kmeans_deterministic_and_complete():
+    """The trainer-node k-means backend (ops.similarity._kmeans_local):
+    deterministic across calls for a fixed seed, returns exactly k
+    centers of the input dimensionality, and separates well-separated
+    blobs (each true center recovered within tolerance)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    blobs = np.concatenate(
+        [rng.normal(loc=mu, scale=0.05, size=(50, 4)) for mu in (-2.0, 0.0, 2.0)]
+    )
+    a = S._kmeans_local(blobs, 3, seed=42)
+    b = S._kmeans_local(blobs, 3, seed=42)
+    assert np.array_equal(a, b)
+    assert a.shape == (3, 4)
+    got = sorted(c[0] for c in a)
+    for want, g in zip((-2.0, 0.0, 2.0), got):
+        assert abs(want - g) < 0.1
+
+
+def test_local_train_sample_cap_guard(spark):
+    """train_backend='local' must refuse a sample larger than the
+    trainer cap instead of silently collecting it to the driver."""
+    import pytest as _pytest
+
+    big = spark.range(300_000).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+    )
+    old = S._LOCAL_TRAIN_CAP
+    try:
+        S._LOCAL_TRAIN_CAP = 1000
+        with _pytest.raises(ValueError, match="lower train_fraction"):
+            S._collect_train_sample(big, "vec_id", "embedding", 0.5)
+    finally:
+        S._LOCAL_TRAIN_CAP = old
+
+
+def test_ivf_cell_assignment_is_scan_side(spark):
+    """IVF cell assignment must be a scan-side projection — no join, no
+    Exchange, no row expansion (the old broadcast-join + rank-window
+    formulation expanded the corpus n_centroids× and shuffled it)."""
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000))
+                               / 500.0 - 1.0)).alias("embedding"),
+    )
+    cents = [[float((i * 7 + j) % 5 - 2) for j in range(8)] for i in range(4)]
+    plan = S._nearest_cells(
+        emb, cents, "vec_id", "embedding", "n_id", 1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    # and the n-probe variant explodes only n rows per vector, joinlessly
+    plan_n = S._nearest_cells(
+        emb, cents, "vec_id", "embedding", "q_id", 2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_n and "Join" not in plan_n

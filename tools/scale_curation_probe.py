@@ -1,0 +1,93 @@
+"""Scaling probe for the curation family: the Gopher rule gate and the
+hashed linear classifier over documents at 1x/10x/100x the sf0.1 volume
+(5k -> 50k -> 500k docs), and SemDeDup prune + kNN graph over
+embeddings at 1x/10x/100x (2k -> 20k -> 200k vectors).
+
+Corpora are the SAME pure-codegen synthetics the dedup and ANN probes
+use (imported, not re-derived), so numbers are comparable across probe
+files. The embedding legs apply the documented deploy knob — ``planes``
+scales with log2(corpus) so bucket occupancy (and per-bucket pair
+count) stays constant; fixed buckets would curve quadratic at 100x.
+
+Usage: python tools/scale_curation_probe.py [--scales=1,10,100]
+Committed numbers live in SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from etl_neotel_sql_automation_spark.ops import similarity as S
+from etl_neotel_sql_automation_spark.session import get_spark
+from etl_neotel_sql_automation_spark.workload.curation import (
+    classifier_frame,
+    gopher_frame,
+)
+from tools.scale_ann_probe import BASE_VECS, planes_for, synth_embeddings
+from tools.scale_dedup_probe import BASE_DOCS, synth_docs
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    spark = get_spark(app_name="scale_curation_probe")
+    synth_docs(spark, 1000).write.mode("overwrite").format("noop").save()  # warm
+
+    results: dict[int, dict[str, float]] = {}
+    for scale in scales:
+        docs = synth_docs(spark, BASE_DOCS * scale)
+        emb = synth_embeddings(spark, BASE_VECS * scale)
+        planes = planes_for(BASE_VECS * scale)
+        ops = {
+            "gopher_gate": lambda: gopher_frame(docs),
+            "hashed_classifier": lambda: classifier_frame(docs),
+            # threshold 0.9: the planted near-dups sit at cosine ~0.999,
+            # random pairs near 0 — the probe measures candidate-join
+            # cost, recall is pinned by the ANN probe's test
+            "semantic_prune": lambda: S.semantic_prune(
+                emb, planes=planes, threshold=0.9
+            ),
+            "knn_graph": lambda: S.knn_graph(emb, k=3, planes=planes),
+        }
+        times: dict[str, float] = {}
+        for name, op in ops.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                op().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 2)
+        results[scale] = times
+        print(
+            json.dumps(
+                {
+                    "scale": scale,
+                    "docs": BASE_DOCS * scale,
+                    "vectors": BASE_VECS * scale,
+                    "planes": planes,
+                    "times_sec": times,
+                }
+            ),
+            flush=True,
+        )
+
+    if len(results) > 1:
+        base = results[min(results)]
+        top = results[max(results)]
+        growth = max(results) / min(results)
+        ratios = {
+            n: round(top[n] / base[n] / growth, 3) for n in base if base[n] > 0
+        }
+        print(json.dumps({"linear_fraction_at_max_scale": ratios}), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
