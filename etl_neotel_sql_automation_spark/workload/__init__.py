@@ -102,6 +102,7 @@ def _ensure_loaded() -> None:
             etl_surface,
             final_wave,
             graph_ops,
+            insights,
             scale_diag,
             sql_surface,
             llm_ops,

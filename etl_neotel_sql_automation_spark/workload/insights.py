@@ -1,0 +1,205 @@
+"""Behavioral / content insight operators: Markov journey transitions,
+market-basket co-occurrence, and readability scoring — the analytics
+passes that sit downstream of the ETL core in a warehouse like the
+reference's (its t_diario_* report tables are the same genre: derived
+behavioral aggregates; reference main.py builds them with pandas
+groupbys, re-expressed here as single-pass Spark aggregations).
+
+Determinism rules: every probability/ratio is integer ppm arithmetic
+(``x * 1000000 div n`` on BIGINT — no float division), every window
+order carries a unique tiebreak, every top-k ORDER BY is fully keyed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import query, table
+
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.n,
+           t.n * 1000000 // tot.n_from AS p_ppm
+    FROM trans t JOIN tot ON t.prev_type = tot.prev_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event streams —
+    the user-journey model behind next-action prediction and funnel
+    diagnosis (which steps leak where). One lag window per user (ts +
+    event_id unique tiebreak), one combinable count aggregate, and the
+    per-source row normalization joins against the |event_types|²-sized
+    transition table — dimension-sized, broadcast for free.
+
+    Scale shape: the window shuffles on user_id (bounded per-key
+    state), the transition count combines map-side to at most
+    |types|² rows. Probabilities are integer ppm (BIGINT multiply +
+    ``div``), never float division.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return trans.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("n * 1000000 div n_from").alias("p_ppm"),
+    )
+
+
+@query(
+    "orders_market_basket",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    ),
+    freq AS (
+      SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.part_a, p.part_b, p.support, f.n_orders AS n_a,
+           p.support * 1000000 // f.n_orders AS conf_ppm
+    FROM pairs p JOIN freq f ON p.part_a = f.l_partkey
+    ORDER BY p.support DESC, p.part_a, p.part_b
+    LIMIT 100
+    """,
+)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same
+    order, with support and confidence(a→b) — the association-rule
+    primitive behind cross-sell analytics. Confidence is integer ppm
+    (support × 1e6 div orders-containing-a); lift derives downstream
+    from the same columns without risking BIGINT overflow at extreme
+    corpus sizes (support × total_orders × 1e6 can exceed 2^63 where
+    support × 1e6 cannot).
+
+    Scale shape: the pair self-join is keyed on l_orderkey, so pair
+    expansion is bounded by order SIZE squared (TPC-H ≤ 7 lines/order
+    — a per-key constant), never corpus-quadratic; support counting
+    and part frequencies combine map-side; the top-100 sort runs on
+    the support-filtered pair table (TakeOrderedAndProject), fully
+    tiebroken for determinism.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    freq = li.groupBy(F.col("l_partkey").alias("part_a")).agg(
+        F.countDistinct("l_orderkey").alias("n_a")
+    )
+    return (
+        pairs.join(freq, "part_a")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "n_a",
+            F.expr("support * 1000000 div n_a").alias("conf_ppm"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(100)
+    )
+
+
+@query(
+    "text_readability_scores",
+    oracle=f"""
+    WITH feat AS (SELECT doc_id, {_SQL_TOKS} AS toks, text FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(list_sum(list_transform(toks,
+                   t -> greatest(len(regexp_extract_all(lower(t), '[aeiouy]+')),
+                                 1))) AS BIGINT) AS n_syllables
+      FROM feat
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           n_words * 1000000 // n_sentences     AS wps_ppm,
+           n_syllables * 1000000 // n_words     AS spw_ppm,
+           (n_syllables * 2 <= n_words * 3)     AS flag_easy
+    FROM m
+    """,
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (the Flesch-Kincaid feature family):
+    words/sentence and syllables/word per document, with syllables
+    approximated as vowel-group count (the standard heuristic) and a
+    boolean easy-text flag at 1.5 syllables/word — a curation signal
+    complementary to the Gopher gate (structural complexity rather
+    than junk detection).
+
+    Everything is one codegen'd projection: sentence and vowel-group
+    counts via regexp_extract_all, per-token syllables via an array
+    HOF, ratios as integer ppm and the flag as an integer
+    cross-multiplication (``2 × syllables <= 3 × words``) — no float
+    anywhere, no shuffle, no Python.
+    """
+    from ..ops import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    n_words = F.size(toks).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    ).cast("long")
+    feat = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        F.expr(
+            "aggregate(transform("
+            "filter(split(trim(text), '\\\\s+'), t -> t != ''), "
+            "t -> CAST(greatest(size(regexp_extract_all(lower(t), '[aeiouy]+', 0)), 1) AS BIGINT)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("n_syllables"),
+    )
+    return feat.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.expr("n_words * 1000000 div n_sentences").alias("wps_ppm"),
+        F.expr("n_syllables * 1000000 div n_words").alias("spw_ppm"),
+        (F.col("n_syllables") * 2 <= F.col("n_words") * 3).alias("flag_easy"),
+    )
