@@ -51,6 +51,8 @@ HEADLINE = [
     # r4 additions (APPENDED — the 27 entries above stay byte-stable for
     # round-over-round comparability):
     "sim_ivf_pq_sampled",
+    "dedup_semantic_prune",
+    "quality_gopher_rules",
 ]
 
 

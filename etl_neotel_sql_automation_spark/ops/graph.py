@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import logging
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
@@ -185,3 +185,54 @@ def pagerank_int(
         )
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous majority-vote label propagation (community
+    detection): labels start as node ids; each iteration every node
+    adopts the most frequent label among its neighbors, ties broken by
+    the SMALLEST label, isolated nodes keeping their own — fully
+    deterministic, so a fixed-``iters`` run unrolls into an exact SQL
+    oracle (the same stance as :func:`pagerank_int`; unlike
+    :func:`connected_components`' min-label rule, the majority vote
+    respects edge density, splitting bridged-but-sparse clusters).
+
+    ``edges`` are taken as undirected (symmetrized here). Returns
+    (id, label) after ``iters`` rounds.
+
+    Scale: per round, one equi-join of edges to the label table and one
+    (dst, label) combinable count + per-node argmax window — the
+    standard distributed LPA step; lineage is checkpoint-truncated per
+    round like the other iterative ops.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    sym = sym.distinct()
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("label").alias("new_label"))
+        )
+        labels = (
+            labels.join(winner, "id", "left")
+            .select("id", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -80,3 +80,71 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_int(edges, iters=3, scale=_SCALE).select(
         "id", F.col("rank").alias("rank_int")
     )
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    head = f"""
+    WITH raw AS (
+      SELECT DISTINCT o_custkey AS a, {_SUPP_OFFSET} + l_suppkey AS b
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges0 AS (SELECT a AS src, b AS dst FROM raw
+               UNION ALL SELECT b AS src, a AS dst FROM raw),
+    edges AS (SELECT DISTINCT src, dst FROM edges0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    l0 AS (SELECT id, id AS label FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    v{i} AS (
+      SELECT e.src AS id, l.label, count(*) AS votes
+      FROM edges e JOIN l{i - 1} l ON e.dst = l.id
+      GROUP BY e.src, l.label
+    ),
+    w{i} AS (
+      SELECT id, label,
+             row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) AS rn
+      FROM v{i}
+    ),
+    l{i} AS (
+      SELECT n.id, coalesce(w.label, p.label) AS label
+      FROM nodes n
+      JOIN l{i - 1} p ON n.id = p.id
+      LEFT JOIN (SELECT id, label FROM w{i} WHERE rn = 1) w ON n.id = w.id
+    )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"\n    SELECT id, CAST(label AS BIGINT) AS label FROM l{iters}\n    "
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous majority-vote label
+    propagation (3 fixed rounds, ties to the smallest label) over the
+    same customer-supplier purchase graph as graph_pagerank — the
+    second graph-analytics modality (density-respecting communities vs
+    connected components' pure reachability). Fully integer/count
+    arithmetic, so the unrolled-CTE oracle reproduces every round
+    bit-for-bit. See ops.graph.label_propagation for the at-scale
+    shape (one edge join + combinable vote count + argmax window per
+    round, lineage checkpoint-truncated)."""
+    from ..ops.graph import label_propagation
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.lit(_SUPP_OFFSET) + F.col("l_suppkey")).alias("b"),
+        )
+        .distinct()
+    )
+    edges = raw.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return label_propagation(nodes, edges, iters=3)

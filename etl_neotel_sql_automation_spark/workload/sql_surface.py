@@ -74,3 +74,50 @@ def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantically the windowed top-k, syntactically the ANSI LATERAL
     form. Same SQL string on both engines."""
     return _run_sql(spark, sf_dir, _LATERAL_SQL, ("nation", "customer"))
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus                                   AS status_val,
+           CAST(2 AS INTEGER)                              AS n_keys,
+           TRUE                                            AS has_status,
+           o_orderpriority                                 AS prio_val,
+           concat(o_orderstatus, ':', o_orderpriority)     AS packed
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed scalar surface: map_from_arrays construction,
+    element_at lookup, map_keys cardinality, map_contains_key,
+    transform_values, and a map_entries fold — exercised on the Spark
+    side, while the oracle states the EXPECTED scalar results directly
+    from the underlying columns (maps never cross the comparison
+    boundary: the driver canonicalizer hashes scalars, and the lookup
+    results are pure functions of the row). All lookups hit inside the
+    map, so no ANSI out-of-key concerns."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    m = F.map_from_arrays(
+        F.array(F.lit("status"), F.lit("priority")),
+        F.array(F.col("o_orderstatus"), F.col("o_orderpriority")),
+    )
+    packed = F.aggregate(
+        F.map_entries(F.map_filter(m, lambda k, v: k == "status")),
+        F.lit("").cast("string"),
+        lambda acc, e: F.concat(acc, e["value"]),
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, F.lit("status")).alias("status_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_contains_key(m, F.lit("status")).alias("has_status"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), F.lit("priority")
+        ).alias("prio_val"),
+        F.concat(packed, F.lit(":"), F.element_at(m, F.lit("priority"))).alias(
+            "packed"
+        ),
+    )
