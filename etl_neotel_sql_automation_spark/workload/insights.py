@@ -203,3 +203,151 @@ def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_syllables * 1000000 div n_words").alias("spw_ppm"),
         (F.col("n_syllables") * 2 <= F.col("n_words") * 3).alias("flag_easy"),
     )
+
+
+@query(
+    "events_user_lifecycle",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, week,
+             lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week
+      FROM act
+    ),
+    cls AS (
+      SELECT week,
+             CASE WHEN prev_week IS NULL THEN 'new'
+                  WHEN week - prev_week = 1 THEN 'retained'
+                  ELSE 'resurrected' END AS lifecycle
+      FROM seq
+    )
+    SELECT week, lifecycle, CAST(count(*) AS BIGINT) AS n_users
+    FROM cls GROUP BY week, lifecycle
+    """,
+)
+def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth-accounting lifecycle classification: per active week,
+    every user is new (first activity), retained (active the previous
+    week too) or resurrected (returned after a gap) — the standard
+    weekly growth decomposition (churn is the retained-complement,
+    derivable from these counts). Week ids are integer epoch-weeks
+    (``epoch div 604800``), so the classification is pure integer
+    arithmetic on both engines.
+
+    Scale shape: DISTINCT (user, week) combines map-side to bounded
+    per-user state, the lag window shuffles once on user_id, the final
+    count is dimension-sized (weeks × 3). Nothing scans history twice.
+    """
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id",
+        F.expr("CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)").alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = act.withColumn("prev_week", F.lag("week").over(w))
+    cls = seq.select(
+        "week",
+        F.when(F.col("prev_week").isNull(), "new")
+        .when(F.col("week") - F.col("prev_week") == 1, "retained")
+        .otherwise("resurrected")
+        .alias("lifecycle"),
+    )
+    return cls.groupBy("week", "lifecycle").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "sample_stratified_exact_k",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substr(md5(concat('topk:', CAST(doc_id AS VARCHAR))), 1, 15))
+                  AS BIGINT) AS hk
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id)
+                  AS INTEGER) AS rk
+      FROM keyed
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= 10
+    """,
+)
+def sample_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k-per-stratum deterministic sampling — the eval-set /
+    inspection-sample shape (rate-based ``sample_hash_stratified``
+    keeps a proportional share; this keeps exactly k per source
+    regardless of stratum size): rank rows inside each stratum by a
+    salted md5 of their id and keep the first k. The hash order is a
+    pure function of (id, salt), so re-runs, retried tasks, appends
+    and other engines pick the IDENTICAL k rows — and because the hash
+    is uniform, the k rows are a uniform draw from the stratum.
+
+    Scale shape: one per-stratum top-k window (rank streams through
+    the sort, no full materialization); at extreme stratum sizes the
+    same semantics can pre-prune with an approximate hash threshold
+    before ranking — the window stays the canonical form.
+    """
+    from ..ops.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        md5_long(F.concat(F.lit("topk:"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select("doc_id", "source", "rk")
+    )
+
+
+@query(
+    "scalar_struct_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus                                     AS status_field,
+           (o_totalprice >= 100000.0)                        AS big_struct_flag,
+           concat(o_orderstatus, '|', o_orderpriority)       AS packed,
+           CAST(2 AS INTEGER)                                AS n_fields
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-typed scalar surface: struct construction, dotted field
+    access, struct comparison (field-by-field ordering), a
+    struct-array fold, and field counting — exercised Spark-side while
+    the oracle states the expected scalars from the base columns
+    (structs never cross the comparison boundary, same stance as
+    scalar_map_funcs). The comparison struct carries a tie field that
+    makes (price, 'x') > (100000.0, '') equivalent to price >= 1e5 —
+    exercising the field-by-field tie rule ON the cent-grid boundary
+    rather than dodging it."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("prio")
+    )
+    threshold = F.struct(
+        F.lit(100000.0).alias("price"), F.lit("").alias("tie")
+    )
+    probe = F.struct(
+        F.col("o_totalprice").cast("double").alias("price"), F.lit("x").alias("tie")
+    )
+    packed = F.aggregate(
+        F.array(s),
+        F.lit("").cast("string"),
+        lambda acc, e: F.concat(acc, e["status"], F.lit("|"), e["prio"]),
+    )
+    return o.select(
+        "o_orderkey",
+        s["status"].alias("status_field"),
+        (probe > threshold).alias("big_struct_flag"),
+        packed.alias("packed"),
+        F.size(F.json_object_keys(F.to_json(s))).alias("n_fields"),
+    )
