@@ -351,3 +351,133 @@ def scalar_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         packed.alias("packed"),
         F.size(F.json_object_keys(F.to_json(s))).alias("n_fields"),
     )
+
+
+@query(
+    "orders_repeat_purchase_curve",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ),
+    gap AS (
+      SELECT CAST(datediff('day', f.o_orderdate, s.o_orderdate) AS BIGINT)
+               AS gap_days
+      FROM r f JOIN r s ON f.o_custkey = s.o_custkey AND f.rn = 1 AND s.rn = 2
+    ),
+    b AS (
+      SELECT CAST(least(gap_days // 30, 12) AS BIGINT) AS bucket_30d
+      FROM gap
+    )
+    SELECT bucket_30d, CAST(count(*) AS BIGINT) AS n_customers
+    FROM b GROUP BY bucket_30d
+    """,
+)
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-second-purchase curve: for every customer with 2+
+    orders, the day gap between first and second order, bucketed into
+    30-day bins (capped at 12 = one year+) — the repeat-purchase
+    distribution behind retention and reorder-window decisions.
+
+    Scale shape: one customer-keyed rank window (unique tiebreak
+    o_orderkey), a self-equi-join on (custkey, fixed rn) — at most one
+    row per side per customer — and a dimension-sized histogram. Day
+    gaps and buckets are pure integer date arithmetic on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = o.select(
+        "o_custkey", "o_orderdate", F.row_number().over(w).alias("rn")
+    )
+    first = r.filter(F.col("rn") == 1).select(
+        "o_custkey", F.col("o_orderdate").alias("d1")
+    )
+    second = r.filter(F.col("rn") == 2).select(
+        "o_custkey", F.col("o_orderdate").alias("d2")
+    )
+    gap = first.join(second, "o_custkey").select(
+        F.datediff("d2", "d1").cast("long").alias("gap_days")
+    )
+    return (
+        gap.select(
+            F.least(F.expr("gap_days div 30"), F.lit(12).cast("long")).alias(
+                "bucket_30d"
+            )
+        )
+        .groupBy("bucket_30d")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "emb_quantile_clip_bounds",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(range(1, len(embedding)+1)) AS d,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   v -> CAST(round(v * 1000000) AS BIGINT))) AS val
+      FROM embeddings
+    ),
+    s AS (
+      SELECT d,
+             CAST(quantile_disc(val, 0.01) AS BIGINT) AS lo_micro,
+             CAST(quantile_disc(val, 0.99) AS BIGINT) AS hi_micro,
+             CAST(count(*) AS BIGINT) AS n
+      FROM x GROUP BY d
+    )
+    SELECT CAST(s.d AS INTEGER) AS d, s.lo_micro, s.hi_micro,
+           CAST((SELECT count(*) FROM x
+                 WHERE x.d = s.d AND (x.val < s.lo_micro OR x.val > s.hi_micro))
+                AS BIGINT) AS n_clipped
+    FROM s
+    """,
+)
+def emb_quantile_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension p1/p99 clipping bounds for embedding
+    preprocessing (outlier winsorization before quantization or
+    indexing), plus how many values each bound would clip. Quantiles
+    are DISCRETE (an actual data value, computed on integer micro-unit
+    values) so both engines pick the identical element — interpolated
+    percentiles of floats are a cross-engine tie bomb, discrete ones
+    are not.
+
+    Scale shape: posexplode -> one (dim)-keyed exact percentile
+    aggregate (64 groups — dimension-sized), then the clip count joins
+    the tiny bounds table back to the exploded values as one more
+    combinable aggregate. Two passes over rows x dims, no window over
+    the full corpus.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1_000_000).cast("long"),
+    )
+    x = emb.select(F.posexplode(q).alias("d0", "val")).select(
+        (F.col("d0") + 1).cast("int").alias("d"), "val"
+    )
+    s = x.groupBy("d").agg(
+        F.expr("percentile_disc(0.01) WITHIN GROUP (ORDER BY val)")
+        .cast("long")
+        .alias("lo_micro"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY val)")
+        .cast("long")
+        .alias("hi_micro"),
+        F.count("*").alias("n"),
+    )
+    clipped = (
+        x.join(F.broadcast(s.select("d", "lo_micro", "hi_micro")), "d")
+        .filter((F.col("val") < F.col("lo_micro")) | (F.col("val") > F.col("hi_micro")))
+        .groupBy("d")
+        .agg(F.count("*").alias("n_clipped"))
+    )
+    return (
+        s.join(clipped, "d", "left")
+        .select(
+            "d",
+            "lo_micro",
+            "hi_micro",
+            F.coalesce("n_clipped", F.lit(0).cast("long")).alias("n_clipped"),
+        )
+    )
