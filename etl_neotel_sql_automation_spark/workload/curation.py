@@ -399,3 +399,56 @@ def emb_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("label", "vec_id", "rank", "sqdist")
     )
+
+
+@query(
+    "text_bpe_merge_stats",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS t FROM documents),
+    pairs AS (
+      SELECT substr(t, CAST(i AS INTEGER), 2) AS pair
+      FROM tok, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    counted AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY pair
+    )
+    SELECT pair, n,
+           CAST(row_number() OVER (ORDER BY n DESC, pair) AS INTEGER) AS rank
+    FROM counted ORDER BY n DESC, pair LIMIT 20
+    """,
+)
+def text_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first step of BPE tokenizer INDUCTION: corpus-wide adjacent
+    symbol-pair frequencies (the statistic each BPE merge round
+    maximizes), emitted as the top-20 merge candidates. Complements the
+    BPE-ish token counter (ops.text.bpe_token_count) — counting applies
+    a tokenizer, this is the pass that trains one; iterated rounds
+    re-run the same shape on the merged symbol stream.
+
+    Scale shape: explode token chars to pairs (output ~ corpus bytes —
+    the same bound as tokenization), one combinable count whose
+    distinct key space is at most |alphabet|², then a tiny fully-keyed
+    top-k sort. No Python, no joins.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens("text")
+    pair_lists = F.flatten(
+        F.transform(
+            F.filter(toks, lambda t: F.length(t) >= 2),
+            lambda t: F.transform(
+                F.sequence(F.lit(1), F.length(t) - 1),
+                lambda i: t.substr(i, F.lit(2)),
+            ),
+        )
+    )
+    pairs = docs.select(F.explode(pair_lists).alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
