@@ -709,3 +709,28 @@ def test_ivf_cell_assignment_is_scan_side(spark):
         emb, cents, "vec_id", "embedding", "q_id", 2
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_n and "Join" not in plan_n
+
+
+def test_chunk_udtf_matches_codegen_chunker(spark):
+    """Spark-4 Python UDTF surface: the chunk_tokens table function
+    must reproduce the codegen chunker (workload.chunk_documents)
+    row-for-row on real data — the API is covered, while the policy
+    (UDTFs stay out of registered hot paths) is enforced separately by
+    the plan tripwire."""
+    from etl_neotel_sql_automation_spark.ops.udtf_ops import register_chunk_udtf
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    name = register_chunk_udtf(spark)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        50
+    ).createOrReplaceTempView("docs_subset")
+    via_udtf = spark.sql(
+        f"SELECT t.* FROM docs_subset, LATERAL {name}(doc_id, text) t"
+    )
+    codegen = (
+        queries()["chunk_documents"](spark, "/root/testdata/sf0.001")
+        .join(via_udtf.select("doc_id").distinct(), "doc_id")
+    )
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in codegen.collect()}
+    assert a and a == b
