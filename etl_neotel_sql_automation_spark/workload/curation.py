@@ -452,3 +452,62 @@ def text_bpe_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@query(
+    "dedup_semantic_quality",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_QV} AS qv
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_sql_bucket_expr(_SEM_PLANES)} AS bucket FROM e),
+    exact_p AS (
+      SELECT DISTINCT a.vec_id
+      FROM e a JOIN e c
+        ON c.vec_id < a.vec_id
+       AND round(list_cosine_similarity(a.v, c.v), 6) >= {_SEM_THRESHOLD}
+    ),
+    lsh_p AS (
+      SELECT DISTINCT a.vec_id
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND c.vec_id < a.vec_id
+       AND round(list_cosine_similarity(a.v, c.v), 6) >= {_SEM_THRESHOLD}
+    )
+    SELECT CAST((SELECT count(*) FROM exact_p) AS BIGINT) AS n_exact_pruned,
+           CAST((SELECT count(*) FROM lsh_p) AS BIGINT)   AS n_lsh_pruned,
+           CAST((SELECT count(*) FROM lsh_p) * 1000000
+                // (SELECT count(*) FROM exact_p) AS BIGINT) AS recall_ppm
+    """,
+)
+def dedup_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential QUALITY meter for the semantic-prune family: how
+    many prune verdicts the bucketed SemDeDup pass recovers vs the
+    exact all-pairs ground truth at the same threshold (the bucketed
+    verdict set is a strict subset — a same-bucket pair is also a
+    global pair — so the ratio IS recall). Same discipline as
+    ``dedup_minhash_quality``: the accuracy claim itself is
+    differentially checked, not asserted, because both sides are
+    deterministic in both engines (bit-exact buckets, round-6 cosine).
+
+    Scale stance: the all-pairs side is the VALIDATION pass — run it
+    on a hash-sample to meter production recall at 100 TB; the
+    bucketed side is the production path. The broadcast in
+    ops.similarity.cosine_near_dup_pairs carries the corpus only at
+    validation sizes by construction.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    exact_n = (
+        S.cosine_near_dup_pairs(emb, threshold=_SEM_THRESHOLD)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .agg(F.count("*").alias("n_exact_pruned"))
+    )
+    lsh_n = (
+        S.semantic_prune(emb, planes=_SEM_PLANES, threshold=_SEM_THRESHOLD)
+        .filter(F.col("pruned"))
+        .agg(F.count("*").alias("n_lsh_pruned"))
+    )
+    return exact_n.crossJoin(lsh_n).select(
+        "n_exact_pruned",
+        "n_lsh_pruned",
+        F.expr("n_lsh_pruned * 1000000 div n_exact_pruned").alias("recall_ppm"),
+    )
