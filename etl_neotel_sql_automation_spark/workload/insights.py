@@ -481,3 +481,124 @@ def emb_quantile_clip_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_clipped", F.lit(0).cast("long")).alias("n_clipped"),
         )
     )
+
+
+@query(
+    "dq_order_reconciliation",
+    oracle="""
+    WITH d AS (
+      SELECT l_orderkey,
+             sum(CAST(l_extendedprice AS DECIMAL(38, 6))
+                 * (1 + CAST(l_tax AS DECIMAL(38, 6)))
+                 * (1 - CAST(l_discount AS DECIMAL(38, 6)))) AS calc
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderstatus,
+             (d.l_orderkey IS NULL) AS no_lines,
+             CASE WHEN d.l_orderkey IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST(abs(round((CAST(o.o_totalprice AS DECIMAL(38, 6))
+                                       - d.calc) * 100, 0)) AS BIGINT)
+             END AS diff_cents
+      FROM orders o LEFT JOIN d ON o.o_orderkey = d.l_orderkey
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)                                AS n_orders,
+           CAST(sum(CASE WHEN no_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_no_lines,
+           CAST(sum(CASE WHEN NOT no_lines AND diff_cents = 0
+                         THEN 1 ELSE 0 END) AS BIGINT)             AS n_reconciled,
+           CAST(sum(diff_cents) AS BIGINT)                         AS total_abs_diff_cents
+    FROM j GROUP BY o_orderstatus
+    """,
+)
+def dq_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-detail reconciliation audit: does each order's header
+    total equal the sum of its line amounts (extendedprice × (1+tax) ×
+    (1−discount))? Emits, per order status, the order count, orders
+    with NO lines at all (referential gap), orders that reconcile to
+    the cent, and the total absolute drift in cents — the classic
+    warehouse closing-the-books check (and on this synthetic data a
+    deliberate red: the generator does not enforce the identity, which
+    is exactly what the audit exists to catch).
+
+    Determinism: line amounts are summed in DECIMAL(38,6) (the
+    products live on a 6-decimal grid, so the cast is lossless and the
+    sum is exact in any order — float summation here would be a
+    cross-engine tie bomb); diffs are integer cents. One lineitem
+    aggregate (combines map-side), one orderkey equi-join, one
+    status rollup.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    dec = "decimal(38,6)"
+    d = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast(dec)
+            * (F.lit(1).cast(dec) + F.col("l_tax").cast(dec))
+            * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+        ).alias("calc")
+    )
+    j = o.join(d, o.o_orderkey == d.l_orderkey, "left").select(
+        "o_orderstatus",
+        F.col("l_orderkey").isNull().alias("no_lines"),
+        F.when(F.col("l_orderkey").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.abs(
+                F.round(
+                    (F.col("o_totalprice").cast(dec) - F.col("calc")) * 100, 0
+                )
+            ).cast("long")
+        )
+        .alias("diff_cents"),
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.when(F.col("no_lines"), 1).otherwise(0)).cast("long").alias("n_no_lines"),
+        F.sum(
+            F.when(~F.col("no_lines") & (F.col("diff_cents") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum("diff_cents").cast("long").alias("total_abs_diff_cents"),
+    )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+             CAST(dayofweek(ts) + 1 AS INTEGER) AS day_of_week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM base)
+    SELECT hour_of_day, day_of_week, n,
+           n * 1000000 // tot.total AS share_ppm
+    FROM base, tot
+    """,
+)
+def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity seasonality profile: the hour-of-day × day-of-week
+    event matrix with integer-ppm shares — the baseline load shape
+    behind capacity planning and anomaly baselining (events_anomaly_mad
+    flags deviations; this is the calendar structure they deviate
+    from). Sunday-based day numbering pinned to Spark's dayofweek
+    (1=Sunday; the oracle shifts DuckDB's 0-based to match), hours in
+    the session's pinned UTC.
+
+    Scale shape: one combinable count to at most 168 cells, then the
+    1-row total broadcast back — dimension-sized end to end.
+    """
+    ev = table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.dayofweek("ts").cast("int").alias("day_of_week"),
+    ).agg(F.count("*").alias("n"))
+    tot = base.agg(F.sum("n").alias("total"))
+    return base.crossJoin(F.broadcast(tot)).select(
+        "hour_of_day",
+        "day_of_week",
+        "n",
+        F.expr("n * 1000000 div total").alias("share_ppm"),
+    )
