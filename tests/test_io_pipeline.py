@@ -374,3 +374,29 @@ def test_jdbc_staging_writer_rolls_back_on_midtxn_failure(spark):
     assert ("close",) in log
     # the DELETE ran before the blow-up; rollback undoes it atomically
     assert any(e[0] == "exec" and e[1].startswith("DELETE") for e in log)
+
+
+def test_orc_roundtrip_preserves_conformed_frame(spark, tmp_path):
+    """ORC sink/source parity (the second columnar format Spark ships
+    natively): a conformed frame written as ORC reads back identical —
+    schema and values — and column pruning reaches the ORC scan."""
+    import pyspark.sql.functions as F
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("int").alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("name"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    path = str(tmp_path / "orc_out")
+    df.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    # files always read back nullable; compare names and types
+    assert [(f.name, f.dataType) for f in back.schema] == [
+        (f.name, f.dataType) for f in df.schema
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    plan = (
+        back.select("k", "grp")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ReadSchema: struct<k:bigint,grp:int>" in plan
