@@ -56,7 +56,12 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types|² rows. Probabilities are integer ppm (BIGINT multiply +
     ``div``), never float division.
     """
-    ev = table(spark, sf_dir, "events")
+    return markov_frame(table(spark, sf_dir, "events"))
+
+
+def markov_frame(ev: DataFrame) -> DataFrame:
+    """The transition matrix over any events-shaped frame — shared by
+    the registered query and tools/scale_events_probe.py."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
@@ -242,7 +247,12 @@ def events_user_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user state, the lag window shuffles once on user_id, the final
     count is dimension-sized (weeks × 3). Nothing scans history twice.
     """
-    ev = table(spark, sf_dir, "events")
+    return lifecycle_frame(table(spark, sf_dir, "events"))
+
+
+def lifecycle_frame(ev: DataFrame) -> DataFrame:
+    """The weekly lifecycle classification over any events-shaped
+    frame — shared by the registered query and the scaling probe."""
     act = ev.select(
         "user_id",
         F.expr("CAST(floor(unix_timestamp(ts) / 604800) AS BIGINT)").alias("week"),

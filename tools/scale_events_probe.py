@@ -27,6 +27,10 @@ sys.path.insert(0, "/root/repo")
 from etl_neotel_sql_automation_spark.ops.asof import session_stats
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.final_wave import funnel_frame
+from etl_neotel_sql_automation_spark.workload.insights import (
+    lifecycle_frame,
+    markov_frame,
+)
 from etl_neotel_sql_automation_spark.workload.quality import wau_sketch_frame
 
 BASE_ROWS = 100_000   # sf0.1 events volume
@@ -52,6 +56,8 @@ OPS = {
     "sessionize": lambda ev: session_stats(ev, gap_minutes=30.0),
     "funnel": funnel_frame,
     "rolling_wau_sketch": wau_sketch_frame,
+    "markov_transitions": markov_frame,
+    "lifecycle_weekly": lifecycle_frame,
 }
 
 
