@@ -511,3 +511,82 @@ def dedup_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_lsh_pruned",
         F.expr("n_lsh_pruned * 1000000 div n_exact_pruned").alias("recall_ppm"),
     )
+
+
+def _communities_oracle(iters: int = 3) -> str:
+    head = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_SQL_QV} AS qv
+               FROM embeddings),
+    b AS (SELECT vec_id, v, {_sql_bucket_expr(_SEM_PLANES)} AS bucket FROM e),
+    scored AS (
+      SELECT a.vec_id AS src_id, c.vec_id AS n_id,
+             round(list_cosine_similarity(a.v, c.v), 6) AS sim
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT src_id, n_id,
+             row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, n_id)
+               AS rank
+      FROM scored
+    ),
+    knn AS (SELECT src_id, n_id FROM ranked WHERE rank <= {_KNN_K}),
+    edges0 AS (SELECT src_id AS src, n_id AS dst FROM knn
+               UNION ALL SELECT n_id AS src, src_id AS dst FROM knn),
+    edges AS (SELECT DISTINCT src, dst FROM edges0),
+    nodes AS (SELECT vec_id AS id FROM e),
+    l0 AS (SELECT id, id AS label FROM nodes)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    v{i} AS (
+      SELECT g.src AS id, l.label, count(*) AS votes
+      FROM edges g JOIN l{i - 1} l ON g.dst = l.id
+      GROUP BY g.src, l.label
+    ),
+    w{i} AS (
+      SELECT id, label,
+             row_number() OVER (PARTITION BY id ORDER BY votes DESC, label) AS rn
+      FROM v{i}
+    ),
+    l{i} AS (
+      SELECT n.id, coalesce(w.label, p.label) AS label
+      FROM nodes n
+      JOIN l{i - 1} p ON n.id = p.id
+      LEFT JOIN (SELECT id, label FROM w{i} WHERE rn = 1) w ON n.id = w.id
+    )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"""
+    SELECT id AS vec_id, CAST(label AS BIGINT) AS community FROM l{iters}
+    """
+    )
+
+
+@query("emb_semantic_communities", oracle=_communities_oracle())
+def emb_semantic_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SemDeDup-style clustering pipeline COMPOSED end to end:
+    deterministic hyperplane buckets -> exact-cosine k-NN graph
+    (``sim_knn_graph``'s edges) -> majority-vote label propagation
+    (``ops.graph.label_propagation``, 3 rounds, ties to smallest
+    label) -> one community label per vector. Every stage is
+    deterministic in both engines, so the oracle replays bucketing,
+    graph construction AND all three vote rounds bit-for-bit —
+    the composition is checked, not just its parts. Vectors isolated
+    in their bucket (no k-NN edges) keep their own id as label.
+
+    Scale: inherits each stage's shape — scan-side bucketing, bucket
+    self-equi-join bounded by occupancy, per-round edge join +
+    combinable vote count + argmax window. Community size then drives
+    downstream curation (per-community survivor quotas, diversity
+    sampling) the way ``dedup_semantic_prune`` drives pair pruning.
+    """
+    from ..ops.graph import label_propagation
+
+    emb = table(spark, sf_dir, "embeddings")
+    edges = S.knn_graph(emb, k=_KNN_K, planes=_SEM_PLANES).select(
+        F.col("src_id").alias("src"), F.col("n_id").alias("dst")
+    )
+    nodes = emb.select(F.col("vec_id").alias("id"))
+    return label_propagation(nodes, edges, iters=3).select(
+        F.col("id").alias("vec_id"), F.col("label").alias("community")
+    )
