@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
             analytics_extra,
             advanced2,
             breadth,
+            corpus_mining,
             corpus_stats,
             curation,
             etl_surface,

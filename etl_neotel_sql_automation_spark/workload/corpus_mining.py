@@ -1,0 +1,573 @@
+"""Corpus-mining wave: duplicated-span statistics, BM25 retrieval,
+PMI collocations, DSIR-style importance weights, and margin-based
+embedding pair mining.
+
+These are the corpus-analysis passes a pretraining-data pipeline runs
+between raw ingest and shard export (reference parity: the reference's
+report layer computes derived per-entity statistics from cleaned
+loads — main.py:1069+ builds t_diario_* aggregate tables with pandas
+groupbys; this wave is the same genre re-expressed as distributed
+Spark passes over the document/embedding corpus).
+
+Determinism rules (house style, see workload/__init__ docstring):
+integer counts stay BIGINT end-to-end (oracle sums cast away
+HUGEINT); float expressions are written with ``e0``-suffixed literals
+so both engines parse DOUBLE (a bare ``0.5`` is DECIMAL in both
+parsers); every float is derived from exact integers via one
+identically-structured IEEE expression and rounded to 6 on both
+sides; sums over float sets are avoided entirely (micro-unit BIGINT
+sums) or fixed in textual order (BM25's three-term total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from . import query, table
+from ..ops.similarity import dot, norm
+from ..ops.text import tokens
+
+_SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# Duplicated-span statistics (the span-level exact-dedup signal of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better": find every 5-token window that occurs more than once in the
+# corpus, then merge a document's duplicated windows into maximal
+# contiguous spans and report the duplicated-token fraction).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 5  # window length in tokens
+
+
+@query(
+    "text_dup_span_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(list_slice(toks, pos, pos + {_SPAN_N - 1}), ' ') AS gram
+      FROM pg
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+    d AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+    m AS (
+      SELECT doc_id, n_tokens, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN lp IS NULL THEN {_SPAN_N}
+                  ELSE least({_SPAN_N}, pos - lp) END AS contrib,
+             CASE WHEN lp IS NULL OR pos - lp > {_SPAN_N} THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_dup_grams,
+             CAST(sum(contrib) AS BIGINT) AS covered_tokens,
+             CAST(sum(brk) AS BIGINT) AS n_dup_spans
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_dup_grams, covered_tokens, n_dup_spans,
+           covered_tokens * 1000000 // n_tokens AS dup_ppm
+    FROM s
+    """,
+)
+def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication audit: every 5-token window hashed by
+    content, windows occurring >= 2x anywhere in the corpus marked
+    duplicated, and each document's duplicated windows merged into
+    maximal contiguous spans (gaps-and-islands over window start
+    positions). Output per affected doc: token count, duplicated
+    window count, covered-token count, span count, duplicated-token
+    ppm — the quantity span-removal dedup (Lee et al. 2021) acts on,
+    and the number CCNet-style pipelines report per shard.
+
+    Scale shape: one explode (docs x windows, same order as the
+    MinHash shingle pass), one count aggregate keyed by the window
+    text (map-side combinable; at 100 TB you'd key by xxhash64(gram)
+    to keep shuffle rows at 8 bytes — the md5-free twin of
+    ops/hashing.py), one semi-join back, and a per-document window.
+    Interval merging is O(windows) with integer arithmetic only —
+    equal-length intervals sorted by start have a monotone running
+    end, so each window's new-coverage contribution is
+    least(5, pos - lag(pos)).
+    """
+    return dup_span_frame(table(spark, sf_dir, "documents"))
+
+
+def dup_span_frame(docs: DataFrame) -> DataFrame:
+    """The text_dup_span_stats plan over any documents-shaped frame
+    (doc_id, text) — exposed so tests can drive it with crafted
+    corpora where the expected islands are known by construction."""
+    toks = tokens(F.col("text"))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= _SPAN_N, F.sequence(F.lit(1), cnt - (_SPAN_N - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    g = (
+        docs.select(
+            "doc_id",
+            cnt.cast("long").alias("n_tokens"),
+            toks.alias("toks"),
+            F.explode(idx).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _SPAN_N)).alias("gram"),
+        )
+    )
+    dup = g.groupBy("gram").agg(F.count("*").alias("n_occ")).filter(F.col("n_occ") >= 2)
+    d = g.join(dup.select("gram"), "gram")
+    lp = F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    c = d.select(
+        "doc_id",
+        "n_tokens",
+        F.when(lp.isNull(), F.lit(_SPAN_N))
+        .otherwise(F.least(F.lit(_SPAN_N), F.col("pos") - lp))
+        .alias("contrib"),
+        F.when(lp.isNull() | (F.col("pos") - lp > _SPAN_N), 1).otherwise(0).alias("brk"),
+    )
+    s = c.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count("*").alias("n_dup_grams"),
+        F.sum("contrib").cast("long").alias("covered_tokens"),
+        F.sum("brk").cast("long").alias("n_dup_spans"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_dup_grams",
+        "covered_tokens",
+        "n_dup_spans",
+        F.expr("covered_tokens * 1000000 div n_tokens").alias("dup_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi BM25, k1=1.2, b=0.75) for a fixed query.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "merge", "window")
+
+# Per-(doc, term) BM25 contribution. Identical text runs on both
+# engines: every literal is e0-suffixed DOUBLE, every name is a BIGINT
+# column, so the IEEE evaluation order is pinned by the expression
+# tree itself.
+_BM25_TERM_SCORE = (
+    "round(ln((n_docs - df_t + 0.5e0) / (df_t + 0.5e0) + 1.0e0)"
+    " * (tf * 2.2e0)"
+    " / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl / (tot_tokens * 1.0e0 / n_docs))), 6)"
+)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ),
+    tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_tokens FROM dl),
+    qt AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term IN ('hash', 'merge', 'window')
+      GROUP BY doc_id, term
+    ),
+    dft AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+      FROM tok WHERE term IN ('hash', 'merge', 'window')
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT qt.doc_id, qt.term, {_BM25_TERM_SCORE} AS s
+      FROM qt
+      JOIN dl USING (doc_id) JOIN dft USING (term)
+      CROSS JOIN scal CROSS JOIN tot
+    ),
+    piv AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN term = 'hash' THEN s END), 0.0e0) AS s_hash,
+             coalesce(max(CASE WHEN term = 'merge' THEN s END), 0.0e0) AS s_merge,
+             coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0e0) AS s_window
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, s_hash, s_merge, s_window,
+           round(s_hash + s_merge + s_window, 6) AS score
+    FROM piv
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for the fixed query {hash, merge, window}
+    (k1=1.2, b=0.75) — the sparse-retrieval ranker a RAG/search layer
+    runs beside the dense ANN family. Spark side: one explode, two
+    hash aggregations (per-doc length, per-(doc,term) tf restricted
+    to query terms by a pushed-down IN filter), a broadcast of the
+    |query|-sized df table, and two broadcast 1-row scalar aggregates
+    (corpus size, total tokens) — no driver-side counts.
+
+    The three per-term scores are pivoted to fixed columns and summed
+    in a pinned textual order (s_hash + s_merge + s_window) so the
+    3-double total cannot vary with aggregation order; the per-term
+    expression is the same e0-literal string on both engines. Top-10
+    is a distributed TakeOrdered with doc_id tiebreak.
+
+    Scale shape: the IN-filter prunes the token explode to query
+    terms before any shuffle; everything downstream is query-sized x
+    matching docs. At 100 TB the df/idf table is still |query| rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("tot_tokens"))
+    qtok = tok.filter(F.col("term").isin(*_BM25_TERMS))
+    qt = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    scored = (
+        qt.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    piv = scored.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(F.col("term") == "hash", F.col("s"))), F.lit(0.0)).alias("s_hash"),
+        F.coalesce(F.max(F.when(F.col("term") == "merge", F.col("s"))), F.lit(0.0)).alias("s_merge"),
+        F.coalesce(F.max(F.when(F.col("term") == "window", F.col("s"))), F.lit(0.0)).alias("s_window"),
+    )
+    return (
+        piv.select(
+            "doc_id",
+            "s_hash",
+            "s_merge",
+            "s_window",
+            F.round(F.col("s_hash") + F.col("s_merge") + F.col("s_window"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI / lift collocations over adjacent token bigrams.
+# ---------------------------------------------------------------------------
+
+_PMI_LIFT = (
+    "round((n_xy * 1.0e0 / n_pairs)"
+    " / ((n_x * 1.0e0 / n_tok) * (n_y * 1.0e0 / n_tok)), 6)"
+)
+
+
+@query(
+    "text_pmi_bigrams",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, unnest(range(1, len(toks))) AS pos, toks FROM tok
+    ),
+    b AS (SELECT toks[pos] AS w1, toks[pos + 1] AS w2 FROM pg),
+    big AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      FROM b GROUP BY w1, w2 HAVING count(*) >= 5
+    ),
+    uni AS (
+      SELECT unnest(toks) AS term FROM tok
+    ),
+    cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY term),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tok FROM uni
+    ),
+    np AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_pairs FROM (
+             SELECT w1, w2, count(*) AS n_xy FROM b GROUP BY w1, w2)),
+    j AS (
+      SELECT big.w1, big.w2, big.n_xy, cx.n AS n_x, cy.n AS n_y,
+             scal.n_tok, np.n_pairs
+      FROM big
+      JOIN cnt cx ON big.w1 = cx.term
+      JOIN cnt cy ON big.w2 = cy.term
+      CROSS JOIN scal CROSS JOIN np
+    )
+    SELECT w1, w2, n_xy, {_PMI_LIFT} AS lift
+    FROM j
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: lift (the exp of PMI) of adjacent token
+    bigrams vs their unigram frequencies — the statistic phrase
+    extraction and tokenizer-vocabulary audits rank by. Counting is
+    pure BIGINT; the single float, lift, is one identically-written
+    IEEE expression over exact integers rounded to 6 on both sides.
+
+    Note n_pairs (the bigram-position total) is summed over ALL
+    bigrams before the support filter, so probabilities stay proper;
+    the >= 5 support cut only prunes the ranked output.
+
+    Scale shape: one positional explode, two hash aggregations
+    (bigrams, unigrams), a broadcast of the vocabulary-sized unigram
+    table onto the bigram table twice, and two broadcast 1-row
+    scalars. At 100 TB the only big shuffle is the bigram count, and
+    it combines map-side.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    b = docs.select(toks.alias("toks"), F.explode(idx).alias("pos")).select(
+        F.element_at("toks", F.col("pos")).alias("w1"),
+        F.element_at("toks", F.col("pos") + 1).alias("w2"),
+    )
+    big_all = b.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    big = big_all.filter(F.col("n_xy") >= 5)
+    uni = docs.select(F.explode(toks).alias("term"))
+    ucnt = uni.groupBy("term").agg(F.count("*").alias("n"))
+    n_tok = uni.agg(F.count("*").alias("n_tok"))
+    n_pairs = big_all.agg(F.sum("n_xy").cast("long").alias("n_pairs"))
+    j = (
+        big.join(F.broadcast(ucnt.select(F.col("term").alias("w1"), F.col("n").alias("n_x"))), "w1")
+        .join(F.broadcast(ucnt.select(F.col("term").alias("w2"), F.col("n").alias("n_y"))), "w2")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pairs))
+    )
+    return (
+        j.select("w1", "w2", "n_xy", F.expr(_PMI_LIFT).alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): per-document sum of
+# per-token log-likelihood ratios between a target domain's unigram
+# LM and the whole-corpus unigram LM, in integer micro-nats.
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_SOURCE = "src0"
+
+_DSIR_LR = (
+    "CAST(round(ln(((coalesce(tgt_tf, CAST(0 AS BIGINT)) + 1) * 1.0e0 / (tgt_tot + v_sz))"
+    " / ((all_tf + 1) * 1.0e0 / (all_tot + v_sz))) * 1.0e6) AS BIGINT)"
+)
+
+
+@query(
+    "quality_dsir_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    allc AS (SELECT term, CAST(count(*) AS BIGINT) AS all_tf FROM tok GROUP BY term),
+    tgtc AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS tgt_tf
+      FROM tok WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY term
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS all_tot,
+             CAST(count(DISTINCT term) AS BIGINT) AS v_sz
+      FROM tok
+    ),
+    tscal AS (
+      SELECT CAST(count(*) AS BIGINT) AS tgt_tot
+      FROM tok WHERE source = '{_DSIR_TARGET_SOURCE}'
+    ),
+    lr AS (
+      SELECT allc.term,
+             {_DSIR_LR} AS lr_unats
+      FROM allc
+      LEFT JOIN tgtc USING (term)
+      CROSS JOIN scal CROSS JOIN tscal
+    ),
+    doc AS (
+      SELECT tok.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr.lr_unats) AS BIGINT) AS score_unats
+      FROM tok JOIN lr USING (term)
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens, score_unats
+    FROM doc
+    ORDER BY score_unats DESC, doc_id
+    LIMIT 100
+    """,
+)
+def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: score every document by how much
+    more likely its tokens are under the target domain's (source
+    'src0') Laplace-smoothed unigram LM than under the whole-corpus
+    LM — the importance-resampling selection signal of Xie et al.
+    2023, kept exactly engine-reproducible by quantizing each
+    per-token log-ratio to integer micro-nats BEFORE the per-document
+    sum (a float sum over an exploded token set has no deterministic
+    order; a BIGINT sum is order-free).
+
+    Missing-from-target vocabulary gets the +1 Laplace floor through
+    a coalesce on the count itself (tgt_tf -> 0 -> smoothed 1), so a
+    term the target domain never uses scores its honest negative
+    log-ratio instead of a neutral 0.
+
+    Scale shape: the log-ratio table is vocabulary-sized and
+    broadcast; the document score is one explode + one combinable
+    BIGINT aggregation. At 100 TB this is the cheapest useful quality
+    signal there is: two token-count passes and a hash agg.
+    """
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    allc = tok.groupBy("term").agg(F.count("*").alias("all_tf"))
+    tgtc = (
+        tok.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("term")
+        .agg(F.count("*").alias("tgt_tf"))
+    )
+    scal = tok.agg(
+        F.count("*").alias("all_tot"), F.countDistinct("term").alias("v_sz")
+    )
+    tscal = tok.filter(F.col("source") == _DSIR_TARGET_SOURCE).agg(
+        F.count("*").alias("tgt_tot")
+    )
+    lr = (
+        allc.join(tgtc, "term", "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(tscal))
+        .select("term", F.expr(_DSIR_LR).alias("lr_unats"))
+    )
+    doc = (
+        tok.join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_unats").cast("long").alias("score_unats"),
+        )
+    )
+    return doc.select("doc_id", "n_tokens", "score_unats").orderBy(
+        F.desc("score_unats"), "doc_id"
+    ).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based pair mining (Artetxe & Schwenk 2019 "margin criterion"
+# for bitext mining): score cross-set pairs by cosine normalized by
+# the mean cosine of each endpoint's nearest neighbors.
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4
+
+
+@query(
+    "sim_margin_pairs",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av
+               FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
+          FROM embeddings WHERE label = 1),
+    m AS (
+      SELECT a_id, b_id,
+             CAST(round(round(list_cosine_similarity(av, bv), 6) * 1000000.0e0)
+                  AS BIGINT) AS cos_u
+      FROM a CROSS JOIN b
+    ),
+    ra AS (
+      SELECT a_id, cos_u,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rn
+      FROM m
+    ),
+    sa AS (SELECT a_id, CAST(sum(cos_u) AS BIGINT) AS sa_u
+           FROM ra WHERE rn <= {_MARGIN_K} GROUP BY a_id),
+    rb AS (
+      SELECT b_id, cos_u,
+             row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rn
+      FROM m
+    ),
+    sb AS (SELECT b_id, CAST(sum(cos_u) AS BIGINT) AS sb_u
+           FROM rb WHERE rn <= {_MARGIN_K} GROUP BY b_id),
+    j AS (
+      SELECT m.a_id, m.b_id, m.cos_u,
+             round(m.cos_u * {2 * _MARGIN_K}.0e0 / (sa.sa_u + sb.sb_u), 6) AS margin
+      FROM m JOIN sa USING (a_id) JOIN sb USING (b_id)
+    )
+    SELECT a_id, b_id, cos_u, margin FROM j
+    ORDER BY margin DESC, a_id, b_id
+    LIMIT 20
+    """,
+)
+def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-criterion pair mining between two embedding populations
+    (label 0 vs label 1 — the bitext-mining shape of Artetxe &
+    Schwenk 2019: a pair is strong if its cosine beats the average
+    cosine of each endpoint's own k nearest neighbors, which cancels
+    hubness). Cosines are quantized to BIGINT micro-units after the
+    established round-6 boundary, so the top-k neighborhood sums are
+    order-free integer arithmetic; the final margin is one IEEE
+    division of exact integers rounded identically on both engines.
+
+    This is the brute-force baseline twin of sim_cosine_topk: the
+    |A| x |B| cross-label matrix is computed once and reused for both
+    neighborhood windows and the pair scores. At 100 TB the matrix
+    build is replaced by the LSH/IVF candidate joins (ops/similarity)
+    and the windows run per bucket — the margin arithmetic is
+    unchanged; checkpoint the candidate matrix so the three consumers
+    scan it once.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast("array<double>").alias("av"),
+    ).withColumn("a_norm", norm(F.col("av")))
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("bv"),
+    ).withColumn("b_norm", norm(F.col("bv")))
+    m = b.crossJoin(F.broadcast(a)).select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+    ra = F.row_number().over(W.partitionBy("a_id").orderBy(F.desc("cos_u"), "b_id"))
+    sa = (
+        m.withColumn("rn", ra)
+        .filter(F.col("rn") <= _MARGIN_K)
+        .groupBy("a_id")
+        .agg(F.sum("cos_u").cast("long").alias("sa_u"))
+    )
+    rb = F.row_number().over(W.partitionBy("b_id").orderBy(F.desc("cos_u"), "a_id"))
+    sb = (
+        m.withColumn("rn", rb)
+        .filter(F.col("rn") <= _MARGIN_K)
+        .groupBy("b_id")
+        .agg(F.sum("cos_u").cast("long").alias("sb_u"))
+    )
+    j = m.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id",
+        "b_id",
+        "cos_u",
+        F.round(
+            F.col("cos_u") * F.lit(float(2 * _MARGIN_K)) / (F.col("sa_u") + F.col("sb_u")),
+            6,
+        ).alias("margin"),
+    )
+    return j.orderBy(F.desc("margin"), "a_id", "b_id").limit(20)

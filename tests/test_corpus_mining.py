@@ -1,0 +1,61 @@
+"""Unit tests for the corpus-mining wave: duplicated-span island
+merging on crafted corpora where the expected spans are known by
+construction. (Differential parity for the whole wave runs via
+tools/check_oracle.py at all three SFs.)"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_neotel_sql_automation_spark.workload.corpus_mining import dup_span_frame
+
+P = "p1 p2 p3 p4 p5 p6"  # shared 6-token phrase -> 2 duplicated windows
+
+
+def _rows(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dup_span_frame(df).collect()
+    return {r["doc_id"]: r.asDict() for r in out}
+
+
+def test_identical_docs_fully_covered(spark):
+    text = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    got = _rows(spark, [(1, text), (2, text), (3, "z1 z2 z3 z4 z5 z6 z7")])
+    # doc 3 is fully unique -> absent from the report
+    assert set(got) == {1, 2}
+    for d in (1, 2):
+        r = got[d]
+        assert r["n_tokens"] == 12
+        assert r["n_dup_grams"] == 8  # all 12-5+1 windows duplicated
+        assert r["covered_tokens"] == 12
+        assert r["n_dup_spans"] == 1
+        assert r["dup_ppm"] == 1_000_000
+
+
+def test_shared_prefix_partial_coverage(spark):
+    # doc 20 shares its first 6 tokens with doc 10 -> windows at pos 1,2
+    # -> one island covering tokens 1..6 of each.
+    base = P + " b1 b2 b3 b4 b5 b6"
+    other = P + " c1 c2 c3 c4 c5"
+    got = _rows(spark, [(10, base), (20, other)])
+    assert set(got) == {10, 20}
+    assert got[20]["n_dup_grams"] == 2
+    assert got[20]["covered_tokens"] == 6  # 5 + least(5, 2-1)
+    assert got[20]["n_dup_spans"] == 1
+    assert got[20]["dup_ppm"] == 6 * 1_000_000 // 11
+
+
+def test_within_doc_repeat_makes_two_islands(spark):
+    # P ... 7 unique fillers ... P again: dup windows at pos {1,2,14,15};
+    # the 12-position gap (> span length) splits coverage into two
+    # islands of 6 tokens each.
+    text = P + " u1 u2 u3 u4 u5 u6 u7 " + P
+    got = _rows(spark, [(30, text)])
+    r = got[30]
+    assert r["n_tokens"] == 19
+    assert r["n_dup_grams"] == 4
+    assert r["covered_tokens"] == 12
+    assert r["n_dup_spans"] == 2
+    assert r["dup_ppm"] == 12 * 1_000_000 // 19
