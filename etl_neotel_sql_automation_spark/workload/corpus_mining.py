@@ -107,46 +107,58 @@ def text_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_frame(table(spark, sf_dir, "documents"))
 
 
-def dup_span_frame(docs: DataFrame) -> DataFrame:
-    """The text_dup_span_stats plan over any documents-shaped frame
-    (doc_id, text) — exposed so tests can drive it with crafted
-    corpora where the expected islands are known by construction."""
+def _windows_frame(docs: DataFrame, span_n: int = _SPAN_N) -> DataFrame:
+    """(doc_id, n_tokens, pos, gram): every span_n-token sliding
+    window of every document, with its 1-based start position."""
     toks = tokens(F.col("text"))
     cnt = F.size(toks)
-    idx = F.when(cnt >= _SPAN_N, F.sequence(F.lit(1), cnt - (_SPAN_N - 1))).otherwise(
+    idx = F.when(cnt >= span_n, F.sequence(F.lit(1), cnt - (span_n - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    g = (
-        docs.select(
-            "doc_id",
-            cnt.cast("long").alias("n_tokens"),
-            toks.alias("toks"),
-            F.explode(idx).alias("pos"),
-        )
-        .select(
-            "doc_id",
-            "n_tokens",
-            "pos",
-            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _SPAN_N)).alias("gram"),
-        )
-    )
-    dup = g.groupBy("gram").agg(F.count("*").alias("n_occ")).filter(F.col("n_occ") >= 2)
-    d = g.join(dup.select("gram"), "gram")
-    lp = F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
-    c = d.select(
+    return docs.select(
+        "doc_id",
+        cnt.cast("long").alias("n_tokens"),
+        toks.alias("toks"),
+        F.explode(idx).alias("pos"),
+    ).select(
         "doc_id",
         "n_tokens",
-        F.when(lp.isNull(), F.lit(_SPAN_N))
-        .otherwise(F.least(F.lit(_SPAN_N), F.col("pos") - lp))
-        .alias("contrib"),
-        F.when(lp.isNull() | (F.col("pos") - lp > _SPAN_N), 1).otherwise(0).alias("brk"),
+        "pos",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), span_n)).alias("gram"),
     )
-    s = c.groupBy("doc_id").agg(
+
+
+def _island_stats(marked: DataFrame, span_n: int = _SPAN_N) -> DataFrame:
+    """Merge a document's marked window positions into maximal
+    contiguous covered spans (gaps-and-islands: equal-length intervals
+    sorted by start have a monotone running end, so each window's new
+    coverage is least(span_n, pos - lag(pos))). Input: (doc_id,
+    n_tokens, pos); output per doc: n_tokens, n_dup_grams,
+    covered_tokens, n_dup_spans."""
+    lp = F.lag("pos").over(W.partitionBy("doc_id").orderBy("pos"))
+    c = marked.select(
+        "doc_id",
+        "n_tokens",
+        F.when(lp.isNull(), F.lit(span_n))
+        .otherwise(F.least(F.lit(span_n), F.col("pos") - lp))
+        .alias("contrib"),
+        F.when(lp.isNull() | (F.col("pos") - lp > span_n), 1).otherwise(0).alias("brk"),
+    )
+    return c.groupBy("doc_id").agg(
         F.max("n_tokens").alias("n_tokens"),
         F.count("*").alias("n_dup_grams"),
         F.sum("contrib").cast("long").alias("covered_tokens"),
         F.sum("brk").cast("long").alias("n_dup_spans"),
     )
+
+
+def dup_span_frame(docs: DataFrame) -> DataFrame:
+    """The text_dup_span_stats plan over any documents-shaped frame
+    (doc_id, text) — exposed so tests can drive it with crafted
+    corpora where the expected islands are known by construction."""
+    g = _windows_frame(docs)
+    dup = g.groupBy("gram").agg(F.count("*").alias("n_occ")).filter(F.col("n_occ") >= 2)
+    s = _island_stats(g.join(dup.select("gram"), "gram"))
     return s.select(
         "doc_id",
         "n_tokens",
@@ -154,6 +166,92 @@ def dup_span_frame(docs: DataFrame) -> DataFrame:
         "covered_tokens",
         "n_dup_spans",
         F.expr("covered_tokens * 1000000 div n_tokens").alias("dup_ppm"),
+    )
+
+
+# Contamination windows are 4 tokens — the same 4-gram granularity
+# decontaminate_train matches on (train_prep.py), one under the
+# dup-span length so eval overlap is caught more aggressively than
+# corpus-internal duplication.
+_CONTAM_N = 4
+
+
+@query(
+    "decontaminate_span_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             unnest(range(1, greatest(len(toks) - {_CONTAM_N - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, n_tokens, pos,
+             array_to_string(list_slice(toks, pos, pos + {_CONTAM_N - 1}), ' ') AS gram
+      FROM pg
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+    d AS (SELECT g.doc_id, g.n_tokens, g.pos
+          FROM g JOIN ev USING (gram) WHERE g.doc_id % 50 <> 0),
+    m AS (
+      SELECT doc_id, n_tokens, pos,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lp
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN lp IS NULL THEN {_CONTAM_N}
+                  ELSE least({_CONTAM_N}, pos - lp) END AS contrib,
+             CASE WHEN lp IS NULL OR pos - lp > {_CONTAM_N} THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_shared_grams,
+             CAST(sum(contrib) AS BIGINT) AS contaminated_tokens,
+             CAST(sum(brk) AS BIGINT) AS n_contam_spans
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_shared_grams, contaminated_tokens,
+           n_contam_spans,
+           contaminated_tokens * 1000000 // n_tokens AS contam_ppm
+    FROM s
+    """,
+)
+def decontaminate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark-contamination report: which exact 4-gram
+    spans of each TRAINING document also occur in the eval slice
+    (doc_id ≡ 0 mod 50 and 4-token windows — the same eval split and
+    gram length decontaminate_train matches on), merged into maximal
+    contiguous token ranges. decontaminate_train answers "which docs
+    are contaminated"; this answers "which spans do I excise" — the
+    surgical removal serious pipelines prefer over dropping whole
+    documents, and the eval-overlap twin of text_dup_span_stats.
+
+    Scale shape: the eval gram set is benchmark-sized — tiny against
+    the corpus — so the marking join broadcasts at 100 TB (left
+    unhinted here so both engines stay exact); islands are one
+    per-document window over integer positions.
+    """
+    return contam_span_frame(table(spark, sf_dir, "documents"))
+
+
+def contam_span_frame(docs: DataFrame) -> DataFrame:
+    """The decontaminate_span_stats plan over any documents-shaped
+    frame (doc_id, text); eval slice = doc_id ≡ 0 mod 50."""
+    g = _windows_frame(docs, span_n=_CONTAM_N)
+    ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    marked = g.filter(F.col("doc_id") % 50 != 0).join(ev, "gram")
+    s = _island_stats(marked, span_n=_CONTAM_N)
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_dup_grams").alias("n_shared_grams"),
+        F.col("covered_tokens").alias("contaminated_tokens"),
+        F.col("n_dup_spans").alias("n_contam_spans"),
+        F.expr("covered_tokens * 1000000 div n_tokens").alias("contam_ppm"),
     )
 
 

@@ -9,7 +9,10 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-from etl_neotel_sql_automation_spark.workload.corpus_mining import dup_span_frame
+from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+    contam_span_frame,
+    dup_span_frame,
+)
 
 P = "p1 p2 p3 p4 p5 p6"  # shared 6-token phrase -> 2 duplicated windows
 
@@ -45,6 +48,26 @@ def test_shared_prefix_partial_coverage(spark):
     assert got[20]["covered_tokens"] == 6  # 5 + least(5, 2-1)
     assert got[20]["n_dup_spans"] == 1
     assert got[20]["dup_ppm"] == 6 * 1_000_000 // 11
+
+
+def test_contamination_marks_only_train_docs(spark):
+    # doc 50 is in the eval slice (50 % 50 == 0); train doc 51 embeds
+    # the eval phrase P (6 tokens -> 4-gram windows at pos 1,2,3 ->
+    # one island of 6 tokens); train doc 52 is clean.
+    docs = [
+        (50, P),
+        (51, P + " t1 t2 t3 t4"),
+        (52, "v1 v2 v3 v4 v5 v6 v7 v8"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in contam_span_frame(df).collect()}
+    assert set(got) == {51}  # eval doc itself and clean doc absent
+    r = got[51]
+    assert r["n_tokens"] == 10
+    assert r["n_shared_grams"] == 3
+    assert r["contaminated_tokens"] == 6
+    assert r["n_contam_spans"] == 1
+    assert r["contam_ppm"] == 6 * 1_000_000 // 10
 
 
 def test_within_doc_repeat_makes_two_islands(spark):
