@@ -53,6 +53,8 @@ HEADLINE = [
     "sim_ivf_pq_sampled",
     "dedup_semantic_prune",
     "quality_gopher_rules",
+    "text_dup_span_stats",
+    "quality_dsir_weights",
 ]
 
 

@@ -612,3 +612,155 @@ def events_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("n * 1000000 div total").alias("share_ppm"),
     )
+
+
+# Pooled two-proportion z statistic from the four exact counts; one
+# identically-written e0-literal IEEE expression on both engines.
+_AB_Z = (
+    "round((c0 * 1.0e0 / n0 - c1 * 1.0e0 / n1)"
+    " / sqrt(((c0 + c1) * 1.0e0 / (n0 + n1))"
+    "        * (1.0e0 - (c0 + c1) * 1.0e0 / (n0 + n1))"
+    "        * (1.0e0 / n0 + 1.0e0 / n1)), 6)"
+)
+
+
+@query(
+    "events_ab_test",
+    oracle=f"""
+    WITH c AS (
+      SELECT
+        count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS n0,
+        count(DISTINCT CASE WHEN user_id % 2 = 0 AND event_type = 'purchase'
+                            AND value > 150.0e0 THEN user_id END) AS c0,
+        count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS n1,
+        count(DISTINCT CASE WHEN user_id % 2 = 1 AND event_type = 'purchase'
+                            AND value > 150.0e0 THEN user_id END) AS c1
+      FROM events
+    )
+    SELECT n0, c0, n1, c1,
+           c0 * 1000000 // n0 AS cr0_ppm,
+           c1 * 1000000 // n1 AS cr1_ppm,
+           {_AB_Z} AS z
+    FROM c
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test readout: users hash-split into variants
+    (user_id parity — the deterministic stand-in for an assignment
+    column), conversion = any 'purchase' event, and the pooled
+    two-proportion z statistic computed from the four exact distinct
+    counts in one e0-literal IEEE expression rounded identically on
+    both engines. This is the experimentation-readout operator every
+    product-analytics warehouse ends up running nightly.
+
+    Scale shape: ONE pass over events — four conditional
+    count-distincts in a single hash aggregate (each is a user-keyed
+    distinct, combinable map-side) — then scalar arithmetic on a
+    1-row frame. No joins, no windows; at 100 TB the cost is the one
+    distinct-user shuffle, shared by all four counts.
+    """
+    ev = table(spark, sf_dir, "events")
+    even = F.col("user_id") % 2 == 0
+    purch = (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
+    c = ev.agg(
+        F.countDistinct(F.when(even, F.col("user_id"))).alias("n0"),
+        F.countDistinct(F.when(even & purch, F.col("user_id"))).alias("c0"),
+        F.countDistinct(F.when(~even, F.col("user_id"))).alias("n1"),
+        F.countDistinct(F.when(~even & purch, F.col("user_id"))).alias("c1"),
+    )
+    return c.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.expr("c0 * 1000000 div n0").alias("cr0_ppm"),
+        F.expr("c1 * 1000000 div n1").alias("cr1_ppm"),
+        F.expr(_AB_Z).alias("z"),
+    )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS n_customers
+      FROM first_order GROUP BY cohort_month
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.cohort_month) * 12 + month(f.cohort_month)) AS age_months,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+               AS revenue
+      FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    ),
+    curve AS (
+      SELECT cohort_month, age_months, revenue,
+             CAST(sum(revenue) OVER (PARTITION BY cohort_month
+                                     ORDER BY age_months) AS DECIMAL(38,2))
+               AS cum_revenue
+      FROM rev
+    )
+    SELECT c.cohort_month, c.age_months, s.n_customers, c.revenue,
+           c.cum_revenue,
+           CAST(c.cum_revenue * 100 AS BIGINT) // s.n_customers
+             AS ltv_cents_per_customer
+    FROM curve c JOIN sizes s ON c.cohort_month = s.cohort_month
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue accumulated by order age in months, normalized to
+    cents per cohort member — the cohorted-LTV report subscription
+    and retention teams read (events_retention_cohorts counts
+    presence; this accumulates VALUE). Money stays on the exact
+    DECIMAL(18,2) grid through every sum (the house rule from
+    q1_pricing_summary) so cumulative windows are order-free, and
+    the per-customer normalization is integer cents.
+
+    Scale shape: one customer-keyed min aggregate, one
+    customer-keyed join (AQE-planned; cohort table is
+    customer-sized), one (cohort, age) aggregate — at most
+    months x months cells — and a window over that dimension-sized
+    curve. Nothing here grows faster than the customer table.
+    """
+    orders = table(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    sizes = first_order.groupBy("cohort_month").agg(
+        F.count("*").alias("n_customers")
+    )
+    age = (
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).alias("age_months")
+    rev = (
+        orders.join(first_order, "o_custkey")
+        .groupBy("cohort_month", age)
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("cohort_month").orderBy("age_months")
+    curve = rev.withColumn(
+        "cum_revenue", F.sum("revenue").over(w).cast("decimal(38,2)")
+    )
+    return curve.join(sizes, "cohort_month").select(
+        "cohort_month",
+        "age_months",
+        "n_customers",
+        "revenue",
+        "cum_revenue",
+        F.expr("CAST(cum_revenue * 100 AS BIGINT) div n_customers").alias(
+            "ltv_cents_per_customer"
+        ),
+    )

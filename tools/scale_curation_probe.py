@@ -1,5 +1,6 @@
-"""Scaling probe for the curation family: the Gopher rule gate and the
-hashed linear classifier over documents at 1x/10x/100x the sf0.1 volume
+"""Scaling probe for the curation family: the Gopher rule gate, the
+hashed linear classifier, and the duplicated/contaminated span-island
+reports over documents at 1x/10x/100x the sf0.1 volume
 (5k -> 50k -> 500k docs), and SemDeDup prune + kNN graph over
 embeddings at 1x/10x/100x (2k -> 20k -> 200k vectors).
 
@@ -23,6 +24,10 @@ sys.path.insert(0, "/root/repo")
 
 from etl_neotel_sql_automation_spark.ops import similarity as S
 from etl_neotel_sql_automation_spark.session import get_spark
+from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+    contam_span_frame,
+    dup_span_frame,
+)
 from etl_neotel_sql_automation_spark.workload.curation import (
     classifier_frame,
     gopher_frame,
@@ -48,6 +53,12 @@ def main() -> None:
         ops = {
             "gopher_gate": lambda: gopher_frame(docs),
             "hashed_classifier": lambda: classifier_frame(docs),
+            # span legs ride the same planted-duplicate corpus: the ~8%
+            # exact/near copies guarantee duplicated windows at every
+            # scale, and cost is dominated by the docs x windows explode
+            # + gram-keyed count — the shuffle that must stay linear
+            "dup_span": lambda: dup_span_frame(docs),
+            "contam_span": lambda: contam_span_frame(docs),
             # threshold 0.9: the planted near-dups sit at cosine ~0.999,
             # random pairs near 0 — the probe measures candidate-join
             # cost, recall is pinned by the ANN probe's test
