@@ -453,3 +453,69 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingestion guard: documents stream in and any doc
+    sharing a 4-gram window with the STATIC eval slice (doc_id ≡ 0
+    mod 50 — the split decontaminate_span_stats reports on) is
+    flagged before it ever reaches the corpus. Stream-static LEFT
+    SEMI join — stateless on the join itself (the static gram set is
+    benchmark-sized and re-planned per micro-batch, broadcasting at
+    scale) — followed by a stateful ``dropDuplicates`` on doc_id so a
+    document exploding into many contaminated windows emits once.
+    availableNow -> finite; must equal the batch semi-join.
+
+    This is the shape a pretraining intake actually deploys: the
+    gram blocklist updates between micro-batches (new benchmarks
+    land), and contaminated docs divert to quarantine instead of the
+    training corpus.
+    """
+    from ..ops.text import tokens
+
+    contam_n = 4
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col("text"))
+        cnt = F.size(toks)
+        idx = F.when(cnt >= contam_n, F.sequence(F.lit(1), cnt - (contam_n - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return df.select(
+            "doc_id", toks.alias("toks"), F.explode(idx).alias("pos")
+        ).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), contam_n)).alias("gram"),
+        )
+
+    static_eval = grams(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 50 == 0
+        )
+    ).select("gram").distinct()
+    flagged = (
+        grams(src.filter(F.col("doc_id") % 50 != 0))
+        .join(static_eval, "gram", "left_semi")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )
+    name = f"contam_guard_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

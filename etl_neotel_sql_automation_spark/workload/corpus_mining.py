@@ -681,3 +681,35 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("margin"),
     )
     return j.orderBy(F.desc("margin"), "a_id", "b_id").limit(20)
+
+
+@query(
+    "streaming_contam_guard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(toks) - {_CONTAM_N - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, pos, pos + {_CONTAM_N - 1}), ' ') AS gram
+      FROM pg
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+    SELECT DISTINCT g.doc_id
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id % 50 <> 0
+    """,
+)
+def streaming_contam_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of streaming.landing.stream_contamination_guard
+    (see that docstring): a REAL streaming run (availableNow) of the
+    stream-static contamination semi-join, checked against the batch
+    distinct-contaminated-docs oracle. The streaming twin of
+    decontaminate_span_stats' doc set."""
+    from ..streaming.landing import stream_contamination_guard
+
+    return stream_contamination_guard(spark, sf_dir)

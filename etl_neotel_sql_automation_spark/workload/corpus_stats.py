@@ -176,3 +176,161 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sum_freq * 1000 div n_tokens").alias("mean_freq_milli"),
         F.expr("rare_cnt * 1000000 div n_tokens").alias("rare_ppm"),
     )
+
+
+# Least-squares fit over integer micro-nat points: every ln() is
+# quantized to BIGINT micro-nats per term, so the five accumulators
+# (n, Sx, Sy, Sxy, Sxx, Syy) are order-free integer sums and the
+# slope/intercept/r2 are single identically-written IEEE expressions.
+_ZIPF_SLOPE = "round((n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx), 6)"
+_ZIPF_INTERCEPT = (
+    "round((sy * 1.0e0 - ((n * sxy - sx * sy) * 1.0e0 / (n * sxx - sx * sx)) * sx)"
+    " / n, 6)"
+)
+_ZIPF_R2 = (
+    "round(((n * sxy - sx * sy) * 1.0e0 * (n * sxy - sx * sy))"
+    " / ((n * sxx - sx * sx) * 1.0e0 * (n * syy - sy * sy)), 6)"
+)
+
+
+@query(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY term),
+    ranked AS (
+      SELECT term, f,
+             CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(round(ln(rnk * 1.0e0) * 1.0e6) AS BIGINT) AS x,
+             CAST(round(ln(f * 1.0e0) * 1.0e6) AS BIGINT) AS y
+      FROM ranked
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_vocab, {_ZIPF_SLOPE} AS slope,
+           {_ZIPF_INTERCEPT} AS intercept, {_ZIPF_R2} AS r2
+    FROM acc
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) (a healthy natural-language corpus
+    sits near slope -1; synthetic, templated, or spam-heavy corpora
+    flatten or step — this is the single cheapest corpus-health
+    number there is). Each point's logs are quantized to BIGINT
+    micro-nats BEFORE accumulation so all five regression sums are
+    order-free integer arithmetic; slope/intercept/r² are one
+    identically-written IEEE expression each (units cancel in slope
+    and r²; intercept is in micro-nats).
+
+    Scale shape: one token explode + one vocabulary-sized count; the
+    rank window and the 6-sum accumulator run on the VOCABULARY
+    (thousands of rows at 100 TB), not the corpus — the global
+    window is deliberate and safe.
+    """
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.desc("f"), "term")).cast("long")
+    pts = freq.withColumn("rnk", rnk).select(
+        F.expr("CAST(round(ln(rnk * 1.0e0) * 1.0e6) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(f * 1.0e0) * 1.0e6) AS BIGINT)").alias("y"),
+    )
+    acc = pts.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    return acc.select(
+        F.col("n").alias("n_vocab"),
+        F.expr(_ZIPF_SLOPE).alias("slope"),
+        F.expr(_ZIPF_INTERCEPT).alias("intercept"),
+        F.expr(_ZIPF_R2).alias("r2"),
+    )
+
+
+@query(
+    "emb_centroid_drift",
+    oracle="""
+    WITH half AS (
+      SELECT vec_id % 2 AS h, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    comp AS (
+      SELECT h, unnest(range(1, len(v) + 1)) AS dim, v FROM half
+    ),
+    q AS (
+      SELECT h, dim,
+             CAST(round(v[dim] * 1.0e6) AS BIGINT) AS q_micro
+      FROM comp
+    ),
+    agg AS (
+      SELECT dim,
+             CAST(count(CASE WHEN h = 0 THEN 1 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN h = 0 THEN q_micro ELSE 0 END) AS BIGINT) AS s0,
+             CAST(count(CASE WHEN h = 1 THEN 1 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN h = 1 THEN q_micro ELSE 0 END) AS BIGINT) AS s1
+      FROM q GROUP BY dim
+    )
+    SELECT dim, n0, n1,
+           round(s0 * 1.0e0 / n0, 6) AS mean0_micro,
+           round(s1 * 1.0e0 / n1, 6) AS mean1_micro,
+           round(s0 * 1.0e0 / n0 - s1 * 1.0e0 / n1, 6) AS shift_micro
+    FROM agg
+    """,
+)
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding-distribution drift between two corpus
+    halves (vec_id parity — the deterministic stand-in for
+    before/after-a-pipeline-change cohorts): component means in
+    micro-units and their shift. This is the drift monitor run when
+    an embedding model, preprocessing step, or upstream corpus
+    changes — per-dimension mean shift localizes WHICH dimensions
+    moved (a single hot dimension usually means a preprocessing bug;
+    uniform drift means a model change).
+
+    Components are quantized to BIGINT micro-units before summation
+    (float sums over a shuffled explode have no deterministic order;
+    integer sums do), then both halves aggregate in ONE pass via
+    conditional sums — no join, one shuffle keyed by the 64
+    dimensions. At 100 TB the aggregate state is dimension-sized.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("h"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select(
+        "h",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("CAST(round(val * 1.0e6) AS BIGINT)").alias("q_micro"),
+    )
+    agg = q.groupBy("dim").agg(
+        F.count(F.when(F.col("h") == 0, 1)).alias("n0"),
+        F.sum(F.when(F.col("h") == 0, F.col("q_micro")).otherwise(0)).cast("long").alias("s0"),
+        F.count(F.when(F.col("h") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("h") == 1, F.col("q_micro")).otherwise(0)).cast("long").alias("s1"),
+    )
+    return agg.select(
+        "dim",
+        "n0",
+        "n1",
+        F.expr("round(s0 * 1.0e0 / n0, 6)").alias("mean0_micro"),
+        F.expr("round(s1 * 1.0e0 / n1, 6)").alias("mean1_micro"),
+        F.expr("round(s0 * 1.0e0 / n0 - s1 * 1.0e0 / n1, 6)").alias("shift_micro"),
+    )

@@ -148,3 +148,112 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return label_propagation(nodes, edges, iters=3)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node
+    ),
+    de AS (
+      SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS s,
+             CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS t
+      FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+    ),
+    wedge AS (SELECT a.s AS x, a.t AS y, b.t AS z
+              FROM de a JOIN de b ON a.t = b.s),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM wedge w JOIN de c ON w.x = c.s AND w.z = c.t),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT stats.n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           stats.n_wedges,
+           tri.n_triangles,
+           3 * tri.n_triangles * 1000000 // stats.n_wedges AS gcc_ppm
+    FROM stats CROSS JOIN tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the
+    part co-purchase graph (parts sharing an order are adjacent) via
+    DEGREE-ORDERED ORIENTATION — the distributed-triangle algorithm
+    (Cohen 2009 / Suri-Vassilvitskii MR model): orient every edge from
+    its lower-(degree, id) endpoint to the higher, enumerate directed
+    wedges x->y->z (each triangle yields exactly ONE wedge, from its
+    smallest vertex in the total order), and close them with one
+    equi-join on the oriented edge (x, z).
+
+    Orientation is the 100 TB trick: undirected wedge enumeration is
+    sum(deg^2) and explodes on hubs; oriented out-degrees are bounded
+    by O(sqrt(E)) so total wedge work is O(E^1.5) worst case, and the
+    closure is a plain shuffle equi-join (no OR-disjunction — a
+    disjunctive closing condition degenerates to a nested loop on
+    both engines; the total order guarantees the closing edge is
+    oriented x->z). Clustering coefficient is integer ppm:
+    3*triangles / undirected wedges.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    de = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    wa, wb = de.alias("wa"), de.alias("wb")
+    wedge = wa.join(wb, F.col("wa.t") == F.col("wb.s")).select(
+        F.col("wa.s").alias("x"), F.col("wa.t").alias("y"), F.col("wb.t").alias("z")
+    )
+    closing = de.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = wedge.join(closing, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("3 * n_triangles * 1000000 div n_wedges").alias("gcc_ppm"),
+        )
+    )

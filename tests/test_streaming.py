@@ -148,3 +148,23 @@ def test_stream_landing_to_jdbc_transactional_per_date(spark, tmp_path):
     q2.awaitTermination()
     assert len(captured) == 3
     assert {(a, str(f)) for (a, f) in captured[-1][1]} == {("eve", "2026-08-13")}
+
+
+def test_contam_guard_stream_equals_batch(spark):
+    """The streaming contamination guard (stream-static semi-join +
+    stateful doc dedup) must emit exactly the batch contaminated-doc
+    set — the availableNow finite-run parity contract every streaming
+    twin in this repo holds (its DuckDB oracle runs in check_oracle;
+    this pins the ENGINE-side batch/stream equivalence)."""
+    from etl_neotel_sql_automation_spark.streaming.landing import (
+        stream_contamination_guard,
+    )
+    from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+        contam_span_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"] for r in stream_contamination_guard(spark, sf).collect()}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    want = {r["doc_id"] for r in contam_span_frame(docs).select("doc_id").collect()}
+    assert got == want and got
