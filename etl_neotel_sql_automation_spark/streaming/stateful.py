@@ -144,3 +144,121 @@ def sessionize_stream(events: DataFrame, timeout_ms: int | None = None) -> DataF
         if timeout_ms is not None
         else GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same session operator on Spark 4's transformWithState API — the
+# successor to GroupState with named state variables, timers, and TTL.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class SessionProcessor(StatefulProcessor):
+    """transformWithStateInPandas twin of ``_make_session_fn``: one
+    ValueState (start_us, end_us, n) per user; a micro-batch's events
+    fold into the open session, closed sessions emit. Timer-less
+    (timeMode "none") so finite availableNow runs are deterministic —
+    open sessions stay in state, matching the batch operator's
+    trailing-session semantics."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("session", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+        (user_id,) = key
+        times: list[int] = []
+        for pdf in rows:
+            times.extend(int(t) for t in pdf["us"])
+        times.sort()
+        cur = self._state.get() if self._state.exists() else None
+        start, end, n = cur if cur is not None else (None, None, None)
+        closed: list[list[int]] = []
+        for t in times:
+            if start is None:
+                start, end, n = t, t, 1
+            elif t - end <= GAP_US:
+                end, n = t, n + 1
+            else:
+                closed.append([user_id, start, end, n])
+                start, end, n = t, t, 1
+        if start is not None:
+            self._state.update((start, end, n))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_SCHEMA]
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_stream_tws(events: DataFrame) -> DataFrame:
+    """events(user_id, us) stream -> closed-session stream via
+    ``transformWithStateInPandas`` (Spark 4 arbitrary-state v2)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=SESSION_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def run_sessionize_stream_tws(spark, sf_dir: str) -> DataFrame:
+    """Drive :func:`sessionize_stream_tws` over the events parquet as
+    a real availableNow streaming query. transformWithState requires
+    the RocksDB state store provider; it is set for the run and the
+    previous provider restored after (no lasting session mutation —
+    the r3-verdict conf-hygiene rule)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .landing import events_stream
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(Spark's TransformWithStateInPySpark runner speaks protobuf "
+            "to the JVM state server); install 'protobuf' to enable. The "
+            "GroupState twin (run_sessionize_stream) has no such "
+            "dependency and computes the same sessions."
+        ) from ex
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        src = events_stream(spark, sf_dir)
+        events = src.select("user_id", F.unix_micros("ts").alias("us"))
+        out = sessionize_stream_tws(events)
+        name = f"tws_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            if q.isActive:
+                q.stop()
+        return spark.table(name)
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)

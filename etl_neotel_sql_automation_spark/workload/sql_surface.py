@@ -121,3 +121,24 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "packed"
         ),
     )
+
+
+@query("lateral_topk_dfapi", oracle=_LATERAL_SQL)
+def lateral_topk_dfapi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same LATERAL top-3-per-nation as sql_lateral_topk, but
+    through Spark 4's DataFrame ``lateralJoin`` API with an
+    ``.outer()`` correlated column reference — the programmatic face
+    of the ANSI LATERAL form, sharing the identical DuckDB oracle
+    text. Catalyst decorrelates both into the same join +
+    per-key-limit plan; registering both pins SQL-string and
+    DataFrame-API entry points to one semantics."""
+    from pyspark.sql import functions as F
+
+    n = table(spark, sf_dir, "nation").alias("n")
+    c = table(spark, sf_dir, "customer").alias("c")
+    return n.lateralJoin(
+        c.where(F.col("c.c_nationkey") == F.col("n.n_nationkey").outer())
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(3)
+    ).select("n_name", "c_custkey", "c_acctbal")

@@ -64,3 +64,28 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     }
     assert len(batch_closed) > 0
     assert streamed == batch_closed
+
+
+def test_tws_sessionize_gated_or_equivalent(spark):
+    """transformWithStateInPandas twin: when protobuf is absent (this
+    container) the operator must fail fast with the documented
+    NotImplementedError gate BEFORE starting a stream; when protobuf
+    is available it must emit exactly the GroupState twin's closed
+    sessions."""
+    import pytest
+
+    from etl_neotel_sql_automation_spark.streaming.stateful import (
+        run_sessionize_stream,
+        run_sessionize_stream_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            run_sessionize_stream_tws(spark, sf)
+        return
+    got = {tuple(r) for r in run_sessionize_stream_tws(spark, sf).collect()}
+    want = {tuple(r) for r in run_sessionize_stream(spark, sf).collect()}
+    assert got == want and got
