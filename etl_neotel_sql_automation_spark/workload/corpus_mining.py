@@ -713,3 +713,101 @@ def streaming_contam_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.landing import stream_contamination_guard
 
     return stream_contamination_guard(spark, sf_dir)
+
+
+@query(
+    "text_dup_span_removal",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos, pos + {_SPAN_N - 1}), ' ') AS gram
+      FROM pg
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n_occ
+      FROM g
+    ),
+    dp AS (
+      SELECT doc_id, list_sort(list(pos)) AS dps
+      FROM marked WHERE n_occ >= 2 GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT t.doc_id, t.toks,
+             CASE WHEN dp.dps IS NULL THEN CAST([] AS BIGINT[]) ELSE dp.dps END AS dps
+      FROM tok t LEFT JOIN dp ON t.doc_id = dp.doc_id
+    ),
+    cleaned AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             list_filter(
+               list_transform(range(1, len(toks) + 1),
+                 i -> CASE WHEN len(list_filter(dps,
+                              p -> i >= p AND i <= p + {_SPAN_N - 1})) > 0
+                           THEN NULL ELSE toks[i] END),
+               x -> x IS NOT NULL) AS kept
+      FROM joined
+    )
+    SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept,
+           (n_tokens - len(kept)) * 1000000 // greatest(n_tokens, 1) AS removed_ppm,
+           md5(coalesce(array_to_string(kept, ' '), '')) AS cleaned_md5
+    FROM cleaned
+    """,
+)
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRANSFORM text_dup_span_stats reports on: excise every
+    duplicated 5-token span and REBUILD the cleaned document, with
+    both engines reconstructing byte-identical text (md5-compared —
+    the same end-to-end reconstruction guarantee text_segment_dedup
+    gives at segment granularity, here at exact-span granularity).
+    Aggressive excision semantics: every occurrence of a duplicated
+    window is removed (the conservative keep-one variant is the
+    segment-dedup query; pipelines pick per corpus).
+
+    Scale shape: the window marking is the dup-span single-shuffle
+    plan; each document's duplicated positions then collect into a
+    per-doc array (bounded by windows-per-doc, the segment-dedup
+    precedent) and one codegen projection rebuilds the kept token
+    list — no second explode, no per-token join.
+    """
+    docs = table(spark, sf_dir, "documents")
+    g = _windows_frame(docs)
+    marked = g.withColumn(
+        "n_occ", F.count("*").over(W.partitionBy("gram"))
+    ).filter(F.col("n_occ") >= 2)
+    dp = marked.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dps")
+    )
+    toks = tokens(F.col("text"))
+    joined = docs.select("doc_id", toks.alias("toks")).join(dp, "doc_id", "left")
+    dps = F.coalesce(F.col("dps").cast("array<long>"), F.array().cast("array<long>"))
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks")),
+            lambda i: F.when(
+                F.exists(dps, lambda p: (i >= p) & (i <= p + (_SPAN_N - 1))),
+                F.lit(None).cast("string"),
+            ).otherwise(F.element_at("toks", i)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    cleaned = joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        kept.alias("kept"),
+    )
+    return cleaned.select(
+        "doc_id",
+        "n_tokens",
+        F.size("kept").cast("long").alias("n_kept"),
+        F.expr(
+            "(n_tokens - size(kept)) * 1000000 div greatest(n_tokens, 1)"
+        ).alias("removed_ppm"),
+        F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_md5"),
+    )

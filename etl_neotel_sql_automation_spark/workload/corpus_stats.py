@@ -334,3 +334,89 @@ def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("round(s1 * 1.0e0 / n1, 6)").alias("mean1_micro"),
         F.expr("round(s0 * 1.0e0 / n0 - s1 * 1.0e0 / n1, 6)").alias("shift_micro"),
     )
+
+
+# Per-pair add-one-smoothed bigram log-likelihood in BIGINT micro-nats:
+# quantized per (w1, w2) pair BEFORE per-document summation, so doc
+# scores are order-free integer sums.
+_BIGRAM_LR = (
+    "CAST(round(ln((n_xy + 1) * 1.0e0 / (n_x + v_sz)) * 1.0e6) AS BIGINT)"
+)
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (SELECT doc_id, unnest(range(1, len(toks))) AS pos, toks FROM tok),
+    b AS (SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2 FROM pg),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy FROM b GROUP BY w1, w2),
+    uc AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_x FROM b GROUP BY w1),
+    scal AS (SELECT CAST(count(DISTINCT w1) AS BIGINT) AS v_sz FROM b),
+    lm AS (
+      SELECT bc.w1, bc.w2, {_BIGRAM_LR} AS lp_unats
+      FROM bc JOIN uc USING (w1) CROSS JOIN scal
+    ),
+    doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(lm.lp_unats) AS BIGINT) AS logp_unats
+      FROM b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_pairs, logp_unats,
+           round(-logp_unats * 1.0e0 / n_pairs, 6) AS nll_per_pair_unats
+    FROM doc
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring of every document under an
+    add-one-smoothed bigram LM trained on the corpus itself — the
+    classical perplexity-filter stand-in (a KenLM-shaped gate without
+    the external model): documents whose per-pair negative
+    log-likelihood is far above corpus norm are boilerplate, spam, or
+    wrong-language. Per-pair log-probs are quantized to BIGINT
+    micro-nats at the vocabulary-sized LM table, so per-doc sums are
+    order-free; the one float (mean NLL) is a single IEEE division
+    rounded on both sides.
+
+    Scale shape: LM training is two hash aggregations to at most
+    vocab² + vocab rows — broadcast back onto the bigram stream; the
+    doc score is one combinable BIGINT aggregation. The 100 TB cost
+    is two passes over the token stream, nothing model-shaped.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    b = docs.select(
+        "doc_id", toks.alias("toks"), F.explode(idx).alias("pos")
+    ).select(
+        "doc_id",
+        F.element_at("toks", F.col("pos")).alias("w1"),
+        F.element_at("toks", F.col("pos") + 1).alias("w2"),
+    )
+    bc = b.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
+    uc = b.groupBy("w1").agg(F.count("*").alias("n_x"))
+    scal = b.agg(F.countDistinct("w1").alias("v_sz"))
+    lm = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(scal))
+        .select("w1", "w2", F.expr(_BIGRAM_LR).alias("lp_unats"))
+    )
+    doc = (
+        b.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("lp_unats").cast("long").alias("logp_unats"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_pairs",
+        "logp_unats",
+        F.expr("round(-logp_unats * 1.0e0 / n_pairs, 6)").alias("nll_per_pair_unats"),
+    )
