@@ -108,6 +108,7 @@ def _ensure_loaded() -> None:
             sql_surface,
             llm_ops,
             multimodal_extra,
+            native_aggs,
             relational,
             tpch_extra,
             train_prep,
