@@ -764,3 +764,73 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_customer"
         ),
     )
+
+
+@query(
+    "orders_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT o_custkey,
+             (year(max(o_orderdate)) * 12 + month(max(o_orderdate)))
+               - (year(min(o_orderdate)) * 12 + month(min(o_orderdate)))
+               AS tenure_months
+      FROM orders GROUP BY o_custkey
+    ),
+    d AS (
+      SELECT tenure_months, CAST(count(*) AS BIGINT) AS n_churned
+      FROM span GROUP BY tenure_months
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM span),
+    curve AS (
+      SELECT d.tenure_months, d.n_churned,
+             CAST(sum(d.n_churned) OVER (ORDER BY d.tenure_months DESC
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk,
+             tot.n_total
+      FROM d CROSS JOIN tot
+    )
+    SELECT tenure_months, n_churned, n_at_risk,
+           n_churned * 1000000 // n_at_risk AS hazard_ppm,
+           n_at_risk * 1000000 // n_total AS surv_ppm
+    FROM curve
+    """,
+)
+def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-tenure survival and hazard curve: tenure = months
+    between a customer's first and last order; per tenure month, the
+    at-risk population (reverse cumulative count), discrete hazard
+    (churners / at-risk, ppm), and the survival function (at-risk /
+    total, ppm). With full observation the Kaplan-Meier product
+    telescopes to this complementary CDF, so the curve is pure
+    integer arithmetic — no float products to drift between engines.
+    The retention-team companion to orders_cohort_ltv (value) and
+    events_retention_cohorts (presence).
+
+    Scale shape: one customer-keyed min/max aggregate, one count to
+    at most months-of-history rows, then a window over that
+    dimension-sized curve. The reverse running sum orders by tenure
+    DESC so n_at_risk(t) = sum of churners at >= t in one pass.
+    """
+    orders = table(spark, sf_dir, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        (
+            (F.year(F.max("o_orderdate")) * 12 + F.month(F.max("o_orderdate")))
+            - (F.year(F.min("o_orderdate")) * 12 + F.month(F.min("o_orderdate")))
+        ).alias("tenure_months")
+    )
+    d = span.groupBy("tenure_months").agg(F.count("*").alias("n_churned"))
+    tot = span.agg(F.count("*").alias("n_total"))
+    w = (
+        Window.orderBy(F.desc("tenure_months"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = d.crossJoin(F.broadcast(tot)).withColumn(
+        "n_at_risk", F.sum("n_churned").over(w).cast("long")
+    )
+    return curve.select(
+        "tenure_months",
+        "n_churned",
+        "n_at_risk",
+        F.expr("n_churned * 1000000 div n_at_risk").alias("hazard_ppm"),
+        F.expr("n_at_risk * 1000000 div n_total").alias("surv_ppm"),
+    )
