@@ -82,3 +82,31 @@ def test_within_doc_repeat_makes_two_islands(spark):
     assert r["covered_tokens"] == 12
     assert r["n_dup_spans"] == 2
     assert r["dup_ppm"] == 12 * 1_000_000 // 19
+
+
+def test_removal_and_stats_agree(spark):
+    """Cross-query invariant: the span-removal transform and the
+    span-stats report must describe the same excision — for every doc
+    in the report, kept tokens == n_tokens - covered_tokens; docs
+    absent from the report keep everything. Catches either query
+    drifting (window length, island merge, marking rule) while its
+    own oracle still matches."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    stats = {
+        r["doc_id"]: r for r in dup_span_frame(docs).collect()
+    }
+    from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+        text_dup_span_removal,
+    )
+
+    removal = {
+        r["doc_id"]: r for r in text_dup_span_removal(spark, sf).collect()
+    }
+    assert set(stats) <= set(removal)
+    for did, r in removal.items():
+        if did in stats:
+            s = stats[did]
+            assert r["n_kept"] == s["n_tokens"] - s["covered_tokens"], did
+        else:
+            assert r["n_kept"] == r["n_tokens"], did
