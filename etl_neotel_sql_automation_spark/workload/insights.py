@@ -659,7 +659,13 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row frame. No joins, no windows; at 100 TB the cost is the one
     distinct-user shuffle, shared by all four counts.
     """
-    ev = table(spark, sf_dir, "events")
+    return ab_test_frame(table(spark, sf_dir, "events"))
+
+
+def ab_test_frame(ev: DataFrame) -> DataFrame:
+    """The events_ab_test plan over any events-shaped frame (user_id,
+    event_type, value) — shared with tools/scale_events_probe.py so
+    the scaling probe measures the registered query's exact plan."""
     even = F.col("user_id") % 2 == 0
     purch = (F.col("event_type") == "purchase") & (F.col("value") > 150.0)
     c = ev.agg(

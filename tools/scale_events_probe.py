@@ -28,6 +28,7 @@ from etl_neotel_sql_automation_spark.ops.asof import session_stats
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.final_wave import funnel_frame
 from etl_neotel_sql_automation_spark.workload.insights import (
+    ab_test_frame,
     lifecycle_frame,
     markov_frame,
 )
@@ -58,6 +59,7 @@ OPS = {
     "rolling_wau_sketch": wau_sketch_frame,
     "markov_transitions": markov_frame,
     "lifecycle_weekly": lifecycle_frame,
+    "ab_test_readout": ab_test_frame,
 }
 
 
