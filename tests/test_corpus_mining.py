@@ -110,3 +110,48 @@ def test_removal_and_stats_agree(spark):
             assert r["n_kept"] == s["n_tokens"] - s["covered_tokens"], did
         else:
             assert r["n_kept"] == r["n_tokens"], did
+
+
+def test_dup_span_fuzz_parity(spark):
+    """Fuzz parity against an independent Python model: random token
+    streams over a 4-word alphabet (collision-rich), island stats
+    computed brute-force (mark every 5-gram occurring >= 2x anywhere,
+    union the [p, p+4] intervals, count contiguous runs) must equal
+    the engine's gaps-and-islands arithmetic for every document."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    docs = {
+        d: [rng.choice("abcd") + str(rng.randint(0, 1)) for _ in range(rng.randint(0, 25))]
+        for d in range(150)
+    }
+    grams = Counter()
+    wins = {}
+    for d, toks in docs.items():
+        ws = [tuple(toks[i : i + 5]) for i in range(len(toks) - 4)] if len(toks) >= 5 else []
+        wins[d] = ws
+        grams.update(ws)
+    want = {}
+    for d, ws in wins.items():
+        pos = [i + 1 for i, w in enumerate(ws) if grams[w] >= 2]
+        if not pos:
+            continue
+        covered: set[int] = set()
+        for p in pos:
+            covered.update(range(p, p + 5))
+        spans, prev = 0, None
+        for c in sorted(covered):
+            if prev is None or c > prev + 1:
+                spans += 1
+            prev = c
+        want[d] = (len(docs[d]), len(pos), len(covered), spans)
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_grams"], r["covered_tokens"], r["n_dup_spans"])
+        for r in dup_span_frame(df).collect()
+    }
+    assert got == want and want  # nonempty by construction at this alphabet
