@@ -811,3 +811,192 @@ def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("removed_ppm"),
         F.md5(F.concat_ws(" ", F.col("kept"))).alias("cleaned_md5"),
     )
+
+
+_FP_SQL = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+@query(
+    "pretrain_pipeline_e2e",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, source, lang, text, {_FP_SQL} AS fingerprint
+      FROM documents
+    ),
+    keep AS (
+      SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY fingerprint
+    ),
+    survivors AS (
+      SELECT fp.doc_id, fp.source, fp.lang, fp.text
+      FROM fp JOIN keep ON fp.fingerprint = keep.fingerprint
+                       AND fp.doc_id = keep.keeper
+    ),
+    tok AS (SELECT doc_id, source, lang, {_SQL_TOKS} AS toks FROM survivors),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(toks) - {_SPAN_N - 1}, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos, pos + {_SPAN_N - 1}), ' ') AS gram
+      FROM pg
+    ),
+    marked AS (
+      SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS n_occ FROM g
+    ),
+    cov AS (
+      SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered FROM (
+        SELECT doc_id,
+               CASE WHEN lag(pos) OVER w IS NULL THEN {_SPAN_N}
+                    ELSE least({_SPAN_N}, pos - lag(pos) OVER w) END AS contrib
+        FROM marked WHERE n_occ >= 2
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      ) GROUP BY doc_id
+    ),
+    cleaned AS (
+      SELECT t.doc_id, t.source, t.lang,
+             CAST(len(t.toks) AS BIGINT)
+               - CAST(coalesce(cov.covered, 0) AS BIGINT) AS n_kept
+      FROM tok t LEFT JOIN cov ON t.doc_id = cov.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, source, n_kept FROM cleaned
+      WHERE lang = 'en' AND n_kept >= 10
+    ),
+    allc AS (
+      SELECT t2.term, CAST(count(*) AS BIGINT) AS all_tf FROM (
+        SELECT unnest({_SQL_TOKS}) AS term FROM documents) t2 GROUP BY t2.term
+    ),
+    tgtc AS (
+      SELECT t3.term, CAST(count(*) AS BIGINT) AS tgt_tf FROM (
+        SELECT unnest({_SQL_TOKS}) AS term FROM documents
+        WHERE source = '{_DSIR_TARGET_SOURCE}') t3 GROUP BY t3.term
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS all_tot,
+             CAST(count(DISTINCT term) AS BIGINT) AS v_sz
+      FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents)
+    ),
+    tscal AS (
+      SELECT CAST(count(*) AS BIGINT) AS tgt_tot
+      FROM (SELECT unnest({_SQL_TOKS}) AS term FROM documents
+            WHERE source = '{_DSIR_TARGET_SOURCE}')
+    ),
+    lr AS (
+      SELECT allc.term, {_DSIR_LR} AS lr_unats
+      FROM allc LEFT JOIN tgtc USING (term)
+      CROSS JOIN scal CROSS JOIN tscal
+    ),
+    dscore AS (
+      SELECT dtok.doc_id, CAST(sum(lr.lr_unats) AS BIGINT) AS score_unats
+      FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents) dtok
+      JOIN lr USING (term)
+      WHERE dtok.doc_id IN (SELECT doc_id FROM gated)
+      GROUP BY dtok.doc_id
+    ),
+    ranked AS (
+      SELECT gg.doc_id, gg.source, gg.n_kept, ds.score_unats,
+             CAST(sum(gg.n_kept) OVER (PARTITION BY gg.source
+                  ORDER BY ds.score_unats DESC, gg.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+             CAST(sum(gg.n_kept) OVER (PARTITION BY gg.source) AS BIGINT)
+               AS source_tokens
+      FROM gated gg JOIN dscore ds ON gg.doc_id = ds.doc_id
+    )
+    SELECT doc_id, source, n_kept, score_unats, cum_tokens
+    FROM ranked
+    WHERE cum_tokens * 10 <= source_tokens * 4
+    """,
+)
+def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline COMPOSED end to end, exactly
+    engine-reproducible at every stage: (1) fingerprint dedup keeps
+    the min-id survivor per normalized-text hash; (2) duplicated
+    5-gram spans are excised from survivors (island coverage
+    arithmetic — only the kept-token COUNT flows on); (3) a quality
+    gate keeps English docs with >= 10 surviving tokens; (4) each doc
+    is scored by DSIR target-likelihood ratio in BIGINT micro-nats;
+    (5) each source spends a 40% token budget on its best-scoring
+    docs (running kept-token sum in score order, integer 40% test via
+    cross-multiplication). This is the pipeline the individual
+    queries exist to feed — pretrain_filter composes the cheap gates;
+    this composes the EXPENSIVE passes (dedup + span excision + DSIR
+    + budgeting) and the oracle replays all five stages bit-for-bit.
+
+    Scale shape: every stage is a shape already proven at 10x-100x in
+    isolation (fingerprint groupBy; single-shuffle span window;
+    vocabulary-sized broadcast LM; per-source budget windows); the
+    composition adds joins on doc_id — uniform keys — and nothing
+    else. At 100 TB you'd persist each stage boundary as a table and
+    the plan per stage is unchanged.
+    """
+    docs = table(spark, sf_dir, "documents")
+    from ..ops.text import fingerprint_md5
+
+    fp = docs.select("doc_id", "source", "lang", "text", fingerprint_md5("text").alias("fingerprint"))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("keeper"))
+    survivors = fp.join(keep, "fingerprint").filter(
+        F.col("doc_id") == F.col("keeper")
+    ).select("doc_id", "source", "lang", "text")
+
+    g = _windows_frame(survivors)
+    markedw = g.withColumn("n_occ", F.count("*").over(W.partitionBy("gram"))).filter(
+        F.col("n_occ") >= 2
+    )
+    cov = _island_stats(markedw.select("doc_id", "n_tokens", "pos")).select(
+        "doc_id", F.col("covered_tokens").alias("covered")
+    )
+    cleaned = (
+        survivors.select(
+            "doc_id", "source", "lang", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+        )
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            (F.col("nt") - F.coalesce(F.col("covered"), F.lit(0))).alias("n_kept"),
+        )
+    )
+    gated = cleaned.filter((F.col("lang") == "en") & (F.col("n_kept") >= 10)).select(
+        "doc_id", "source", "n_kept"
+    )
+
+    tok = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
+    allc = tok.groupBy("term").agg(F.count("*").alias("all_tf"))
+    tgtc = tok.filter(F.col("source") == _DSIR_TARGET_SOURCE).groupBy("term").agg(
+        F.count("*").alias("tgt_tf")
+    )
+    scal = tok.agg(F.count("*").alias("all_tot"), F.countDistinct("term").alias("v_sz"))
+    tscal = tok.filter(F.col("source") == _DSIR_TARGET_SOURCE).agg(
+        F.count("*").alias("tgt_tot")
+    )
+    lr = (
+        allc.join(tgtc, "term", "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(tscal))
+        .select("term", F.expr(_DSIR_LR).alias("lr_unats"))
+    )
+    dscore = (
+        tok.join(F.broadcast(gated.select("doc_id")), "doc_id", "left_semi")
+        .join(F.broadcast(lr), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_unats").cast("long").alias("score_unats"))
+    )
+
+    wrun = (
+        W.partitionBy("source")
+        .orderBy(F.desc("score_unats"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("source")
+    ranked = (
+        gated.join(dscore, "doc_id")
+        .withColumn("cum_tokens", F.sum("n_kept").over(wrun).cast("long"))
+        .withColumn("source_tokens", F.sum("n_kept").over(wtot).cast("long"))
+    )
+    return ranked.filter(
+        F.col("cum_tokens") * 10 <= F.col("source_tokens") * 4
+    ).select("doc_id", "source", "n_kept", "score_unats", "cum_tokens")
