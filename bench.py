@@ -55,6 +55,7 @@ HEADLINE = [
     "quality_gopher_rules",
     "text_dup_span_stats",
     "quality_dsir_weights",
+    "pretrain_pipeline_e2e",
 ]
 
 
