@@ -420,3 +420,121 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logp_unats",
         F.expr("round(-logp_unats * 1.0e0 / n_pairs, 6)").alias("nll_per_pair_unats"),
     )
+
+
+# --- exact-integer power iteration for the top principal direction ---
+#
+# All corpus-sized sums are exact integers/decimals (order-free); the
+# only floats are per-dim normalization expressions over exact scalars,
+# written identically on both engines. Inputs quantize to centi units
+# (round(x*100)) so every product chain stays provably in range:
+# proj <= 64*58*1000 ~ 3.7e6 (BIGINT), S_d <= 58*3.7e6*n_vecs ~ 1e12
+# (BIGINT at sf<=1), S_d^2 via DECIMAL(19,0)xDECIMAL(19,0) ->
+# DECIMAL(38,0) exact, and the norm^2 is integer-divided by 1e12
+# (POSITIVE, so floor == trunc on both engines) down into exact-double
+# territory (< 2^53) before the one sqrt.
+
+_PCA_ITERS = 3
+_PCA_VNEW = (
+    "CAST(round(s_d * 1000.0e0 / (1.0e6 * sqrt(CAST(n2s AS DOUBLE) + 1.0e0)))"
+    " AS BIGINT)"
+)
+
+
+def _pca_oracle() -> str:
+    q = """
+    q AS (
+      SELECT vec_id, unnest(range(1, len(v) + 1)) AS dim, v
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    x AS (
+      SELECT vec_id, dim, CAST(round(v[dim] * 100.0e0) AS BIGINT) AS x_c FROM q
+    ),
+    v0 AS (SELECT DISTINCT dim, CAST(1000 AS BIGINT) AS v_milli FROM x)
+    """
+    steps = []
+    prev = "v0"
+    for i in range(1, _PCA_ITERS + 1):
+        steps.append(f"""
+    proj{i} AS (
+      SELECT x.vec_id, CAST(sum(x.x_c * {prev}.v_milli) AS BIGINT) AS proj
+      FROM x JOIN {prev} USING (dim) GROUP BY x.vec_id
+    ),
+    s{i} AS (
+      SELECT x.dim, CAST(sum(CAST(x.x_c * proj{i}.proj AS DECIMAL(38,0)))
+                         AS DECIMAL(38,0)) AS s_dec
+      FROM x JOIN proj{i} USING (vec_id) GROUP BY x.dim
+    ),
+    sb{i} AS (SELECT dim, CAST(s_dec AS BIGINT) AS s_d FROM s{i}),
+    n{i} AS (
+      SELECT CAST(sum(CAST(s_d AS DECIMAL(19,0)) * CAST(s_d AS DECIMAL(19,0)))
+                  // CAST(1000000000000 AS DECIMAL(38,0)) AS BIGINT) AS n2s
+      FROM sb{i}
+    ),
+    v{i} AS (
+      SELECT sb{i}.dim, {_PCA_VNEW} AS v_milli
+      FROM sb{i} CROSS JOIN n{i}
+    )""")
+        prev = f"v{i}"
+    return (
+        "WITH " + q + "," + ",".join(steps)
+        + f"\n    SELECT dim, v_milli AS loading_milli FROM {prev} ORDER BY dim"
+    )
+
+
+@query("emb_pca_power_iteration", oracle=_pca_oracle())
+def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION with every corpus-sized reduction exact: components
+    quantize to centi units, each iteration is one codegen'd
+    projection pass (proj = x·v per vector, BIGINT), one per-dim sum
+    (DECIMAL(38,0) — order-free), and one normalization over exact
+    scalars (squares as DECIMAL(19,0)² so they stay representable;
+    the positive norm² integer-divides down below 2^53 before the
+    single sqrt, so the double conversion is exact on both engines).
+    Three unrolled iterations from the all-ones start — the same
+    exact-arithmetic discipline as graph_pagerank, applied to
+    numerical linear algebra. The loading vector is what embedding
+    whitening / ABTT-style postprocessing ("all-but-the-top") removes
+    first.
+
+    Scale shape: per iteration, one vector-keyed aggregate and one
+    dim-keyed aggregate (64 rows) with the 64-row v broadcast back —
+    shuffle O(corpus x dims) per pass and nothing driver-sized but
+    the direction itself.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim0", "val"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        F.expr("CAST(round(val * 100.0e0) AS BIGINT)").alias("x_c"),
+    )
+    v = x.select("dim").distinct().select("dim", F.lit(1000).cast("long").alias("v_milli"))
+    for _ in range(_PCA_ITERS):
+        proj = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(F.expr("x_c * v_milli")).cast("long").alias("proj"))
+        )
+        s = (
+            x.join(proj, "vec_id")
+            .groupBy("dim")
+            .agg(
+                F.sum(F.expr("CAST(x_c * proj AS DECIMAL(38,0))"))
+                .cast("decimal(38,0)")
+                .alias("s_dec")
+            )
+        ).select("dim", F.col("s_dec").cast("long").alias("s_d"))
+        n = s.agg(
+            F.expr(
+                "CAST(sum(CAST(s_d AS DECIMAL(19,0)) * CAST(s_d AS DECIMAL(19,0)))"
+                " div CAST(1000000000000 AS DECIMAL(38,0)) AS BIGINT)"
+            ).alias("n2s")
+        )
+        v = s.crossJoin(F.broadcast(n)).select(
+            "dim", F.expr(_PCA_VNEW).alias("v_milli")
+        )
+    return v.select("dim", F.col("v_milli").alias("loading_milli")).orderBy("dim")
