@@ -16,6 +16,7 @@ oracles (``//`` floor division, same operands) match bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..ops import text as X
@@ -243,8 +244,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("f"))
     )
-    from pyspark.sql import Window as W
-
     rnk = F.row_number().over(W.orderBy(F.desc("f"), "term")).cast("long")
     pts = freq.withColumn("rnk", rnk).select(
         F.expr("CAST(round(ln(rnk * 1.0e0) * 1.0e6) AS BIGINT)").alias("x"),
@@ -538,3 +537,123 @@ def emb_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dim", F.expr(_PCA_VNEW).alias("v_milli")
         )
     return v.select("dim", F.col("v_milli").alias("loading_milli")).orderBy("dim")
+
+
+_RAKE_STOPS = "('a', 'an', 'the', 'of', 'and', 'to', 'in', 'is', 'it')"
+
+
+@query(
+    "text_keyword_rake",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    ),
+    t AS (
+      SELECT doc_id, pos, toks[pos] AS term,
+             CASE WHEN toks[pos] IN {_RAKE_STOPS} THEN 1 ELSE 0 END AS is_stop
+      FROM tok
+    ),
+    ph AS (
+      SELECT doc_id, pos, term, phrase_id FROM (
+        SELECT doc_id, pos, term, is_stop,
+               CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS phrase_id
+        FROM t
+      ) WHERE is_stop = 0
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS n_words
+      FROM ph GROUP BY doc_id, phrase_id
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM ph GROUP BY term),
+    deg AS (
+      SELECT ph.term, CAST(sum(plen.n_words) AS BIGINT) AS d
+      FROM ph JOIN plen USING (doc_id, phrase_id)
+      GROUP BY ph.term
+    ),
+    wscore AS (
+      SELECT freq.term, deg.d * 1000000 // freq.f AS score_u
+      FROM freq JOIN deg USING (term)
+    ),
+    pscore AS (
+      SELECT ph.doc_id, ph.phrase_id,
+             string_agg(ph.term, ' ' ORDER BY ph.pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wscore.score_u) AS BIGINT) AS score_u
+      FROM ph JOIN wscore USING (term)
+      GROUP BY ph.doc_id, ph.phrase_id
+    )
+    SELECT doc_id, phrase, n_words, score_u
+    FROM pscore WHERE n_words >= 2
+    ORDER BY score_u DESC, doc_id, phrase_id
+    LIMIT 15
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (gaps-and-islands keyed by a
+    running stopword count), each word scores degree/frequency
+    (degree = summed length of phrases it appears in), and a phrase
+    scores the sum of its word scores — top-15 multi-word keyphrases.
+    Word scores quantize to integer ppm BEFORE the per-phrase sum, so
+    phrase scores are order-free BIGINT arithmetic; phrase text
+    reassembles in position order on both engines.
+
+    Scale shape: one positional explode, one running-sum window per
+    document (bounded per-key state), two vocabulary-sized
+    aggregates broadcast back, and one phrase-keyed aggregate whose
+    collect is bounded by phrase length — the segment-dedup
+    reassembly precedent.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+    t = tok.withColumn(
+        "is_stop",
+        F.when(F.col("term").isin("a", "an", "the", "of", "and", "to", "in", "is", "it"), 1).otherwise(0),
+    )
+    wrun = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ph = (
+        t.withColumn("phrase_id", F.sum("is_stop").over(wrun).cast("long"))
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "term", "phrase_id")
+    )
+    plen = ph.groupBy("doc_id", "phrase_id").agg(F.count("*").alias("n_words"))
+    freq = ph.groupBy("term").agg(F.count("*").alias("f"))
+    deg = (
+        ph.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("term")
+        .agg(F.sum("n_words").cast("long").alias("d"))
+    )
+    wscore = freq.join(deg, "term").select(
+        "term", F.expr("d * 1000000 div f").alias("score_u")
+    )
+    pscore = (
+        ph.join(F.broadcast(wscore), "term")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda s: s["term"],
+                ),
+            ).alias("phrase"),
+            F.count("*").alias("n_words"),
+            F.sum("score_u").cast("long").alias("score_u"),
+        )
+    )
+    return (
+        pscore.filter(F.col("n_words") >= 2)
+        .orderBy(F.desc("score_u"), "doc_id", "phrase_id")
+        .limit(15)
+        .select("doc_id", "phrase", "n_words", "score_u")
+    )

@@ -558,3 +558,66 @@ def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "dq_benford_totalprice",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    dig AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit FROM cents
+    ),
+    obs AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM dig GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM obs)
+    SELECT obs.digit, obs.n,
+           obs.n * 1000000 // tot.total AS obs_ppm,
+           CAST(round(ln(1.0e0 + 1.0e0 / obs.digit) / ln(10.0e0) * 1.0e6)
+                AS BIGINT) AS benford_ppm,
+           obs.n * 1000000 // tot.total
+             - CAST(round(ln(1.0e0 + 1.0e0 / obs.digit) / ln(10.0e0) * 1.0e6)
+                    AS BIGINT) AS dev_ppm
+    FROM obs CROSS JOIN tot
+    ORDER BY obs.digit
+    """,
+)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality test (fabricated or re-binned monetary data
+    drifts from the log distribution; this generator's uniform-ish
+    totals SHOULD deviate, which is exactly what the audit reports).
+    The first significant digit is extracted EXACTLY via the cents
+    integer's decimal string — never floor(log10(x)), whose last-ulp
+    error flips the digit at power-of-ten boundaries. Expected Benford
+    shares quantize ln-ratios to integer ppm with one identical
+    expression per engine; observed shares are integer ppm.
+
+    Scale shape: one projection + one 9-row aggregate + a 1-row total
+    broadcast. Free at any scale.
+    """
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    dig = o.select(
+        F.expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    obs = dig.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = obs.agg(F.sum("n").cast("long").alias("total"))
+    benford = (
+        "CAST(round(ln(1.0e0 + 1.0e0 / digit) / ln(10.0e0) * 1.0e6) AS BIGINT)"
+    )
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.expr("n * 1000000 div total").alias("obs_ppm"),
+            F.expr(benford).alias("benford_ppm"),
+            F.expr(f"n * 1000000 div total - {benford}").alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
