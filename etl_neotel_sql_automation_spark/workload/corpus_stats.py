@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..ops import text as X
+from ..ops.similarity import dot, norm
 from . import query, table
 
 # DuckDB token list mirroring ops.text.tokens (same as llm_ops._SQL_TOKS)
@@ -656,4 +657,120 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_u"), "doc_id", "phrase_id")
         .limit(15)
         .select("doc_id", "phrase", "n_words", "score_u")
+    )
+
+
+# Cosine DISTANCE in micro-units (1e6 - cos_u): exact integers, so
+# two-NN selection is deterministic under the (distance, neighbor-id)
+# tiebreak, and the per-point ln(d2/d1) quantizes to micro-nats before
+# the corpus-wide sum.
+_TWO_NN_D = (
+    "1000000 - CAST(round(round(list_cosine_similarity(av, bv), 6)"
+    " * 1000000.0e0) AS BIGINT)"
+)
+
+
+@query(
+    "emb_intrinsic_dim_two_nn",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    pair AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             {_TWO_NN_D.format()} AS d_u
+      FROM (SELECT vec_id, v AS av FROM e WHERE vec_id < 1000) a
+      JOIN (SELECT vec_id, v AS bv FROM e) b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+      SELECT a_id, d_u,
+             row_number() OVER (PARTITION BY a_id ORDER BY d_u, b_id) AS rn
+      FROM pair
+    ),
+    nn AS (
+      SELECT a_id,
+             CAST(max(CASE WHEN rn = 1 THEN d_u END) AS BIGINT) AS d1,
+             CAST(max(CASE WHEN rn = 2 THEN d_u END) AS BIGINT) AS d2
+      FROM ranked WHERE rn <= 2 GROUP BY a_id
+    ),
+    mu AS (
+      SELECT a_id,
+             CAST(round(ln(d2 * 1.0e0 / d1) * 1.0e6) AS BIGINT) AS lnmu_unats
+      FROM nn WHERE d1 > 0
+    ),
+    acc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_points,
+             CAST(sum(lnmu_unats) AS BIGINT) AS sum_lnmu_unats
+      FROM mu
+    )
+    SELECT n_points, sum_lnmu_unats,
+           round(n_points * 1.0e6 / sum_lnmu_unats, 6) AS id_est
+    FROM acc
+    """,
+)
+def emb_intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-NN intrinsic-dimension estimate of the embedding corpus
+    (Facco et al. 2017): for each point, the ratio mu = d2/d1 of its
+    two nearest-neighbor distances; the maximum-likelihood intrinsic
+    dimension is n / sum(ln mu). A corpus whose id_est is far below
+    the ambient 64 dims is concentrated on a low-dimensional manifold
+    — the geometry diagnostic that decides how aggressive ANN
+    compression (PQ bits, LSH planes) can be before recall collapses.
+
+    Distances are integer micro-units of cosine distance, so the 2-NN
+    selection is exactly reproducible under the (distance, id)
+    tiebreak; each point's ln(d2/d1) quantizes to BIGINT micro-nats
+    BEFORE the corpus sum (order-free); points with an exact
+    duplicate (d1 = 0 — see emb_duplicate_vectors) are excluded as
+    the estimator requires. The estimate runs on a deterministic
+    1000-point sample (a-side vec_id < 1000 — the estimator is
+    statistically a sample statistic; neighbors still come from the
+    WHOLE corpus) so cost is sample x corpus, not corpus². Brute-force
+    pair pass here; at 100 TB the
+    2-NN comes from the LSH/IVF candidate join (ops/similarity), the
+    estimator arithmetic unchanged.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = ev.filter(F.col("vec_id") < 1000).select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("av")
+    ).withColumn("a_norm", norm(F.col("av")))
+    b = ev.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv")).withColumn(
+        "b_norm", norm(F.col("bv"))
+    )
+    # norms factored to ONCE per row per side (the brute_force_topk
+    # lesson): the per-pair work is one codegen'd dot fold + a divide,
+    # not three folds — measured ~2x on the sample x corpus pass
+    # (44 -> 24 s at sf0.1).
+    d_u = (
+        F.lit(1000000)
+        - F.round(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm")), 6)
+            * F.lit(1000000.0)
+        ).cast("long")
+    )
+    pair = a.join(F.broadcast(b), F.col("a_id") != F.col("b_id")).select(
+        "a_id", "b_id", d_u.alias("d_u")
+    )
+    rn = F.row_number().over(W.partitionBy("a_id").orderBy("d_u", "b_id"))
+    nn = (
+        pair.withColumn("rn", rn)
+        .filter(F.col("rn") <= 2)
+        .groupBy("a_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d_u"))).cast("long").alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d_u"))).cast("long").alias("d2"),
+        )
+    )
+    mu = nn.filter(F.col("d1") > 0).select(
+        F.expr("CAST(round(ln(d2 * 1.0e0 / d1) * 1.0e6) AS BIGINT)").alias(
+            "lnmu_unats"
+        )
+    )
+    acc = mu.agg(
+        F.count("*").alias("n_points"),
+        F.sum("lnmu_unats").cast("long").alias("sum_lnmu_unats"),
+    )
+    return acc.select(
+        "n_points",
+        "sum_lnmu_unats",
+        F.expr("round(n_points * 1.0e6 / sum_lnmu_unats, 6)").alias("id_est"),
     )

@@ -840,3 +840,148 @@ def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_churned * 1000000 div n_at_risk").alias("hazard_ppm"),
         F.expr("n_at_risk * 1000000 div n_total").alias("surv_ppm"),
     )
+
+
+@query(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS k
+      FROM daily
+    ),
+    c AS (
+      SELECT d.day, d.n,
+             CAST(sum(d.n * t.k - t.total)
+                  OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cusum_scaled
+      FROM daily d CROSS JOIN tot t
+    ),
+    mx AS (
+      SELECT max(abs(cusum_scaled)) AS peak,
+             min(CASE WHEN abs(cusum_scaled) =
+                        (SELECT max(abs(cusum_scaled)) FROM c)
+                      THEN day END) AS peak_day
+      FROM c
+    )
+    SELECT c.day, c.n, c.cusum_scaled,
+           c.day = mx.peak_day AS is_changepoint
+    FROM c CROSS JOIN mx
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily event-volume series:
+    the running sum of deviations from the overall mean peaks at the
+    most likely level-shift point (Page 1954 — the monitoring
+    companion to events_anomaly_mad, which flags outlier DAYS; CUSUM
+    finds the REGIME boundary). The mean is never materialized as a
+    float: deviations are cross-multiplied (n_day*K - total), so the
+    whole statistic — including the argmax flag with min-day
+    tiebreak — is exact BIGINT arithmetic.
+
+    Scale shape: one date-keyed count (combinable), then windows over
+    the days-of-history-sized series — dimension-sized no matter the
+    corpus.
+    """
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    tot = daily.agg(
+        F.sum("n").cast("long").alias("total"), F.count("*").alias("k")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "cusum_scaled", F.sum(F.expr("n * k - total")).over(w).cast("long")
+    )
+    mx = c.agg(
+        F.max(F.abs(F.col("cusum_scaled"))).alias("peak"),
+    )
+    peak_day = (
+        c.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("cusum_scaled")) == F.col("peak"))
+        .agg(F.min("day").alias("peak_day"))
+    )
+    return (
+        c.crossJoin(F.broadcast(peak_day))
+        .select(
+            "day",
+            "n",
+            "cusum_scaled",
+            (F.col("day") == F.col("peak_day")).alias("is_changepoint"),
+        )
+    )
+
+
+@query(
+    "orders_hhi_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name, o.o_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cust_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, o.o_custkey
+    ),
+    tot AS (
+      SELECT n_name, CAST(sum(cust_cents) AS BIGINT) AS nat_cents,
+             CAST(count(*) AS BIGINT) AS n_customers
+      FROM rev GROUP BY n_name
+    )
+    SELECT t.n_name, t.n_customers, t.nat_cents,
+           CAST(sum((r.cust_cents * 1000000 // t.nat_cents)
+                    * (r.cust_cents * 1000000 // t.nat_cents)) // 1000000
+                AS BIGINT) AS hhi_ppm
+    FROM rev r JOIN tot t ON r.n_name = t.n_name
+    GROUP BY t.n_name, t.n_customers, t.nat_cents
+    """,
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman revenue-concentration index per nation:
+    each customer's ppm revenue share squared and summed — the
+    antitrust-style concentration number completing the inequality
+    family (orders_gini_concentration measures dispersion,
+    orders_pareto_customers the top-heavy tail, HHI the
+    monopolization). Shares floor to ppm BEFORE squaring on both
+    engines, so the whole statistic is exact BIGINT arithmetic
+    (shares <= 1e6, squares <= 1e12, the sum bounded by 1e12).
+
+    Scale shape: customer-keyed revenue aggregate, nation-sized
+    totals broadcast back, one more combinable aggregate. The
+    dimension tables broadcast; the only big shuffle is the
+    (nation, customer) revenue aggregate.
+    """
+    o = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("long")
+            .alias("cust_cents")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(
+        F.sum("cust_cents").cast("long").alias("nat_cents"),
+        F.count("*").alias("n_customers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name", "n_customers", "nat_cents")
+        .agg(
+            F.expr(
+                "CAST(sum((cust_cents * 1000000 div nat_cents)"
+                " * (cust_cents * 1000000 div nat_cents)) div 1000000 AS BIGINT)"
+            ).alias("hhi_ppm")
+        )
+        .select("n_name", "n_customers", "nat_cents", "hhi_ppm")
+    )

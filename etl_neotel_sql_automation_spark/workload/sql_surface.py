@@ -142,3 +142,47 @@ def lateral_topk_dfapi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
         .limit(3)
     ).select("n_name", "c_custkey", "c_acctbal")
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'                          AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR)               AS path,
+           'lang=' || lang                                   AS qs,
+           lang                                              AS lang_param,
+           'a+b%26c'                                         AS encoded,
+           'a b&c'                                           AS decoded
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The URL scalar surface: ``parse_url`` HOST/PATH/QUERY and
+    keyed-QUERY extraction over URLs synthesized from row data, plus
+    ``url_encode``/``url_decode`` round-trips (form-encoding: space -> ``+``). Exercised on the Spark
+    side; the oracle states the expected components directly from the
+    underlying columns (DuckDB has no parse_url — the VALUES are the
+    contract, the scalar_map_funcs pattern). The dedup_url_canonical
+    query normalizes URLs with regexes; this covers the built-in
+    parser a warehouse reaches for first."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("qs"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_encode(F.lit("a b&c")).alias("encoded"),
+        F.url_decode(F.lit("a%20b%26c")).alias("decoded"),
+    )
