@@ -66,3 +66,42 @@ def profile_table(
         ]
     )
     return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def schema_drift(old, new) -> dict[str, list]:
+    """Schema-drift report between two schema snapshots (StructTypes
+    or schema-bearing DataFrames): added columns, removed columns, and
+    type changes — the metadata half of change detection beside
+    cdc_snapshot_diff's row half. At 100 TB an upstream producer
+    silently widening an int or dropping a column is the single most
+    common pipeline breaker; run this at every ingest boundary and
+    gate the load on an empty report (or route to conform's null-pad
+    path for the tolerated cases).
+
+    Returns {"added": [(name, type)], "removed": [(name, type)],
+    "retyped": [(name, old_type, new_type)]} with names compared
+    case-insensitively (Spark's resolution default) in deterministic
+    name order. Pure metadata — no jobs run.
+    """
+    o = old.schema if isinstance(old, DataFrame) else old
+    n = new.schema if isinstance(new, DataFrame) else new
+    omap = {f.name.lower(): f for f in o.fields}
+    nmap = {f.name.lower(): f for f in n.fields}
+    added = [
+        (nmap[k].name, nmap[k].dataType.simpleString())
+        for k in sorted(nmap.keys() - omap.keys())
+    ]
+    removed = [
+        (omap[k].name, omap[k].dataType.simpleString())
+        for k in sorted(omap.keys() - nmap.keys())
+    ]
+    retyped = [
+        (
+            nmap[k].name,
+            omap[k].dataType.simpleString(),
+            nmap[k].dataType.simpleString(),
+        )
+        for k in sorted(omap.keys() & nmap.keys())
+        if omap[k].dataType != nmap[k].dataType
+    ]
+    return {"added": added, "removed": removed, "retyped": retyped}

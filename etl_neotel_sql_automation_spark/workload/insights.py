@@ -985,3 +985,67 @@ def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_name", "n_customers", "nat_cents", "hhi_ppm")
     )
+
+
+@query(
+    "events_entropy_profile",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    tot AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    ),
+    term AS (
+      SELECT c.user_id,
+             c.n * CAST(round(ln(tot.nt * 1.0e0 / c.n) * 1.0e6) AS BIGINT)
+               AS contrib_unats
+      FROM c JOIN tot ON c.user_id = tot.user_id
+    ),
+    ent AS (
+      SELECT user_id, CAST(sum(contrib_unats) AS BIGINT) AS sum_unats
+      FROM term GROUP BY user_id
+    )
+    SELECT t.user_id, t.n_types, t.nt AS n_events,
+           e.sum_unats // t.nt AS entropy_unats
+    FROM tot t JOIN ent e ON t.user_id = e.user_id
+    """,
+)
+def events_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: the Shannon entropy of each
+    user's event-type distribution in integer micro-nats — H = sum
+    over types of (n_i/N)*ln(N/n_i), computed as an order-free BIGINT
+    sum of n_i * round(ln(N/n_i)*1e6) floor-divided by N (n_i and N
+    exact; one ln per (user, type) row quantized BEFORE any
+    aggregation). Near-zero entropy = single-action bots; maximal
+    entropy = uniform explorers — the segmentation feature beside RFM
+    (value) and lifecycle (tenure).
+
+    Scale shape: one (user, type) count — combinable, bounded by
+    users x |types| — and two user-keyed joins of dimension-bounded
+    frames. ln(N/n_i) >= 0 always, so the floor division is
+    sign-safe on both engines.
+    """
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("nt"), F.count("*").alias("n_types")
+    )
+    term = c.join(tot, "user_id").select(
+        "user_id",
+        F.expr("n * CAST(round(ln(nt * 1.0e0 / n) * 1.0e6) AS BIGINT)").alias(
+            "contrib_unats"
+        ),
+    )
+    ent = term.groupBy("user_id").agg(
+        F.sum("contrib_unats").cast("long").alias("sum_unats")
+    )
+    return tot.join(ent, "user_id").select(
+        "user_id",
+        "n_types",
+        F.col("nt").alias("n_events"),
+        F.expr("sum_unats div nt").alias("entropy_unats"),
+    )

@@ -734,3 +734,17 @@ def test_chunk_udtf_matches_codegen_chunker(spark):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in codegen.collect()}
     assert a and a == b
+
+
+def test_schema_drift_report(spark):
+    from etl_neotel_sql_automation_spark.ops.profile import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "id long, name string, score double")
+    new = spark.createDataFrame([(1, "a", 2, True)], "id long, Name string, score int, active boolean")
+    rep = schema_drift(old, new)
+    assert rep["added"] == [("active", "boolean")]
+    assert rep["removed"] == []
+    assert rep["retyped"] == [("score", "double", "int")]
+    # identical schemas -> empty report (the load-gate condition)
+    clean = schema_drift(new, new)
+    assert clean == {"added": [], "removed": [], "retyped": []}
