@@ -89,3 +89,84 @@ def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     feats = M.extract_features_arrow(M.attach_binary(docs))
     return feats.select("doc_id", "n_bytes", "width", "height")
+
+
+@query(
+    "cogroup_user_reconcile",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(min(epoch_us(ts)) AS BIGINT) AS first_event_us
+      FROM events GROUP BY user_id
+    ),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS first_order_us
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(e.user_id, o.user_id) AS user_id,
+           coalesce(e.n_events, 0) AS n_events,
+           coalesce(o.n_orders, 0) AS n_orders,
+           e.first_event_us,
+           o.first_order_us
+    FROM e FULL OUTER JOIN o ON e.user_id = o.user_id
+    """,
+)
+def cogroup_user_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED Arrow UDF surface (the remaining pandas-API member
+    after applyInPandas / mapInPandas / mapInArrow /
+    applyInPandasWithState): events and orders cogrouped per user and
+    reconciled in one pandas function — the imperative escape hatch
+    for per-key logic that needs BOTH sides materialized together
+    (full-outer semantics included: a key missing on one side arrives
+    as an empty frame). The function emits only exact integers
+    (counts + min epoch-micros), so the differential oracle — a plain
+    full-outer aggregate join — compares bit-for-bit; the VALUE here
+    is pinning the cogroup plumbing (key handling, empty frames,
+    Arrow batches) against relational semantics.
+
+    Scale shape: one shuffle per side keyed on the user id, Arrow
+    batches per key group — the same cost as the equivalent join, with
+    per-key Python only where per-key imperative logic demands it.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ous"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_orders", T.LongType()),
+            T.StructField("first_event_us", T.LongType()),
+            T.StructField("first_order_us", T.LongType()),
+        ]
+    )
+
+    def reconcile(key, epdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        (uid,) = key
+        return pd.DataFrame(
+            [
+                [
+                    uid,
+                    len(epdf),
+                    len(opdf),
+                    int(epdf["us"].min()) if len(epdf) else None,
+                    int(opdf["ous"].min()) if len(opdf) else None,
+                ]
+            ],
+            columns=[f.name for f in schema.fields],
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(reconcile, schema)
+    )

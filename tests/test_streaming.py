@@ -168,3 +168,38 @@ def test_contam_guard_stream_equals_batch(spark):
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     want = {r["doc_id"] for r in contam_span_frame(docs).select("doc_id").collect()}
     assert got == want and got
+
+
+def test_streaming_observe_metrics(spark):
+    """df.observe works on STREAMING frames: per-micro-batch metric
+    rows surface in StreamingQueryProgress.observedMetrics — the
+    zero-extra-pass pipeline observability hook (batch pipeline.py
+    already uses Observation; this pins the streaming face). DISTINCT
+    aggregates are rejected by observed metrics, so the distinct-user
+    gauge is the HLL approximation."""
+    from pyspark.sql import functions as F
+
+    from etl_neotel_sql_automation_spark.streaming.landing import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    src = events_stream(spark, sf).observe(
+        "ingest_stats",
+        F.count(F.lit(1)).alias("rows"),
+        F.approx_count_distinct("user_id").alias("users_approx"),
+        F.max("user_id").alias("max_user"),
+    )
+    q = (
+        src.writeStream.outputMode("append")
+        .format("noop")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p["observedMetrics"]]
+    assert progresses, "no observed metrics surfaced"
+    m = progresses[-1]["observedMetrics"]["ingest_stats"]
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    assert m["rows"] == batch.count()
+    assert m["max_user"] == batch.agg(F.max("user_id")).first()[0]
+    exact_users = batch.select("user_id").distinct().count()
+    assert abs(m["users_approx"] - exact_users) <= 0.1 * exact_users
