@@ -30,7 +30,13 @@ from collections.abc import Iterator, Sequence
 from datetime import datetime, timedelta
 
 try:  # Spark >= 4 only; import-gated like the other optional surfaces
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
 except ImportError as e:  # pragma: no cover
     raise NotImplementedError(f"Python DataSource API requires Spark 4: {e}") from e
 
@@ -95,3 +101,83 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+
+class JsonlShardCommit(WriterCommitMessage):
+    """Per-task commit message: (shard path, row count)."""
+
+    def __init__(self, path: str, rows: int) -> None:
+        self.path = path
+        self.rows = rows
+
+
+class JsonlShardWriter(DataSourceWriter):
+    """Executor-side JSONL shard writer: each task streams its
+    partition to one ``part-<id>.jsonl`` file — no driver funnel —
+    and the driver's ``commit`` seals the write with a ``_MANIFEST``
+    listing every shard and row count (the poor-man's atomic commit:
+    readers that require the manifest never see a partial write;
+    ``abort`` removes any shards that did report success)."""
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def write(self, iterator) -> JsonlShardCommit:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self._path, exist_ok=True)
+        shard = os.path.join(self._path, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(shard, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlShardCommit(shard, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        shards = [
+            {"path": os.path.basename(m.path), "rows": m.rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest = {
+            "shards": sorted(shards, key=lambda s: s["path"]),
+            "total_rows": sum(s["rows"] for s in shards),
+        }
+        with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlShardsDataSource(DataSource):
+    """Write-side Python DataSource (the reader twin is
+    SyntheticEventsDataSource): ``df.write.format("jsonl_shards")``
+    streams every partition to a JSONL shard executor-side — the
+    wrapper shape for bespoke sinks (a feed, an API, a queue) that
+    must scale like a file sink rather than collect through the
+    driver. JSONL is the interchange format the training-data world
+    actually ships, and the corpus reader half already exists
+    (io_sources.read_jsonl_docs)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_shards"
+
+    def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("jsonl_shards requires .option('path', ...)")
+        return JsonlShardWriter(path)

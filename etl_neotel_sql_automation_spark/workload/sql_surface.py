@@ -186,3 +186,52 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.url_encode(F.lit("a b&c")).alias("encoded"),
         F.url_decode(F.lit("a%20b%26c")).alias("decoded"),
     )
+
+
+@query(
+    "report_transpose_regions",
+    oracle="""
+    WITH agg AS (
+      SELECT r.r_name, CAST(count(*) AS BIGINT) AS n
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT 'v' AS key,
+           CAST(max(CASE WHEN r_name = 'AFRICA' THEN n END) AS VARCHAR) AS "AFRICA",
+           CAST(max(CASE WHEN r_name = 'AMERICA' THEN n END) AS VARCHAR) AS "AMERICA",
+           CAST(max(CASE WHEN r_name = 'ASIA' THEN n END) AS VARCHAR) AS "ASIA",
+           CAST(max(CASE WHEN r_name = 'EUROPE' THEN n END) AS VARCHAR) AS "EUROPE",
+           CAST(max(CASE WHEN r_name = 'MIDDLE EAST' THEN n END) AS VARCHAR)
+             AS "MIDDLE EAST"
+    FROM agg
+    """,
+)
+def report_transpose_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's ``DataFrame.transpose``: the per-region customer
+    count flipped so regions become COLUMNS — the report-layout
+    operation BI hand-off tables want (pivot_flag_status pivots
+    values of one column; transpose flips the whole frame). The
+    index column's values become column names, so this belongs only
+    on DIMENSION-sized frames — transpose collects the index
+    driver-side by design, which is exactly why the input here is
+    the 5-row region aggregate and never a fact table. The oracle
+    states the transposed layout as conditional aggregation (the
+    relational equivalent) with the same region-name columns.
+    """
+    from pyspark.sql import functions as F
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    agg = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        agg.select("r_name", F.col("n").cast("string").alias("v"))
+        .transpose()
+    )
