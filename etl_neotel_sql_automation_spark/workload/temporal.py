@@ -307,3 +307,70 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(20)
     )
+
+
+@query(
+    "events_session_dynamic_gap",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 900000000 END AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, us, gap_us,
+             max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pe
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, us, gap_us,
+             CASE WHEN pe IS NULL OR us >= pe THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    s AS (
+      SELECT user_id, us, gap_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us + gap_us) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: the session timeout depends on the
+    event (purchases hold a session open 1 hour, everything else 15
+    minutes) via ``session_window(ts, CASE ...)`` — the
+    per-event-type engagement model fixed-gap sessionization can't
+    express (sessionize_events / events_session_window are the fixed
+    twins; the operator is streaming-capable unchanged). The oracle
+    derives the merge from first principles: an event joins the
+    session iff it starts before the RUNNING MAX of preceding
+    window-ends (equal-boundary events start a NEW session — windows
+    are half-open), then islands aggregate. Spark's native merge was
+    verified equal to this model before registration, so the query
+    pins the built-in operator's exact semantics, not an
+    approximation of them.
+
+    Scale shape: one user-keyed shuffle; the native operator keeps
+    one interval per open session, the oracle's running max is one
+    window pass — both O(events) with bounded per-key state.
+    """
+    ev = table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "purchase", "1 hour").otherwise("15 minutes")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
