@@ -519,3 +519,40 @@ def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap ``session_window`` as a real streaming query — the
+    streaming twin of the batch events_session_dynamic_gap: the
+    session-merge state machine must honor PER-EVENT timeouts
+    (purchase 1 hour, else 15 minutes) identically to the batch
+    operator and to the first-principles running-max oracle. Complete
+    output mode on the finite availableNow run for exact equality;
+    production uses watermark + append (see stream_session_windows'
+    caveat)."""
+    events = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", "1 hour").otherwise("15 minutes")
+    agg = (
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+        )
+    )
+    name = f"dyn_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

@@ -374,3 +374,47 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "streaming_session_dynamic",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 900000000 END AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT user_id, us, gap_us,
+             max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pe
+      FROM e
+    ),
+    g AS (
+      SELECT user_id, us, gap_us,
+             CASE WHEN pe IS NULL OR us >= pe THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    s AS (
+      SELECT user_id, us, gap_us,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us + gap_us) AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of streaming.landing.stream_session_dynamic_gap
+    (see that docstring): the dynamic-gap session state machine run as
+    a REAL streaming query, checked against the same first-principles
+    running-max oracle as the batch twin."""
+    from ..streaming.landing import stream_session_dynamic_gap
+
+    return stream_session_dynamic_gap(spark, sf_dir)

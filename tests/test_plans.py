@@ -65,6 +65,7 @@ TRIPWIRE_EXCLUDED = frozenset({
     "streaming_contam_guard",
     "streaming_dedup_events",
     "streaming_events_hourly",
+    "streaming_session_dynamic",
     "streaming_session_window",
     "streaming_stateful_sessionize",
     "streaming_static_enrich",
