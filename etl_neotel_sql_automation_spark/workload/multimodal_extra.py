@@ -170,3 +170,113 @@ def cogroup_user_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(orders.groupBy("user_id"))
         .applyInPandas(reconcile, schema)
     )
+
+
+_AHASH_PX = 60      # 60 "pixels" -> 60-bit hash (the md5_long 60-bit family: stays positive in BIGINT)
+_AHASH_BANDS = 4    # 15-bit bands for the candidate join
+_AHASH_MAXH = 6     # Hamming radius for a near-dup verdict
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(range(1, {_AHASH_PX} + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS px
+      FROM documents WHERE length(text) >= {_AHASH_PX}
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, {_AHASH_PX} + 1),
+                   i -> CASE WHEN px[i] * {_AHASH_PX} >= list_sum(px)
+                             THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS ahash
+      FROM base
+    ),
+    bands AS (
+      SELECT doc_id, ahash, unnest(range(0, {_AHASH_BANDS})) AS k FROM h
+    ),
+    kb AS (
+      SELECT doc_id, ahash, k, (ahash >> (15 * CAST(k AS INTEGER))) & 32767 AS band
+      FROM bands
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM kb a JOIN kb b
+        ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXH}
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over the BINARY media
+    column — the image-dedup modality: an average-hash (aHash) per
+    payload computed inside the real mapInPandas decode plumbing
+    (each of the first 60 bytes becomes a bit by comparing against
+    the payload mean — cross-multiplied, no division), then
+    SimHash-style 15-bit band candidate joins and a Hamming-radius
+    verdict. Exact copies collide at distance 0; near copies land
+    within the radius. The oracle replays the byte-level pixel math
+    from the text the payload encodes (the corpus is printable
+    ASCII — the multimodal_frame_sample precedent), so the whole
+    modality — Python decode included — is differentially checked.
+
+    Scale shape: hashes are one mapInPandas pass (payload bytes never
+    leave the executors), the candidate join is the banded-LSH
+    equi-join (never all-pairs), and the Hamming check is one
+    codegen'd bit_count per candidate. The 60-bit width keeps hashes
+    positive in BIGINT on both engines (the ops/hashing.py rule).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from ..ops import multimodal as M
+
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _AHASH_PX
+    )
+    media = M.attach_binary(docs).select("doc_id", "media")
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ahash", T.LongType())]
+    )
+
+    def ahash_batches(batches):
+        for pdf in batches:
+            hashes = []
+            for b in pdf["media"]:
+                px = np.frombuffer(bytes(b)[:_AHASH_PX], dtype=np.uint8).astype(np.int64)
+                s = int(px.sum())
+                bits = (px * _AHASH_PX) >= s
+                hashes.append(int((np.left_shift(1, np.arange(_AHASH_PX))[bits]).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "ahash": hashes})
+
+    h = media.mapInPandas(ahash_batches, out_schema)
+    kb = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
+    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
+    a = kb.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
+        F.col("k"), F.col("band"),
+    )
+    b = kb.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
+        F.col("k"), F.col("band"),
+    )
+    cand = (
+        a.join(b, ["k", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+    ).filter(F.col("hamming") <= _AHASH_MAXH)
