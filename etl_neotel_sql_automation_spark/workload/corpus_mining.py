@@ -432,8 +432,10 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the >= 5 support cut only prunes the ranked output.
 
     Scale shape: one positional explode, two hash aggregations
-    (bigrams, unigrams), a broadcast of the vocabulary-sized unigram
-    table onto the bigram table twice, and two broadcast 1-row
+    (bigrams, unigrams), two unhinted joins of the vocabulary-sized
+    unigram table onto the bigram table (AQE broadcasts while the
+    vocab is small; at web scale it shuffle-joins — the vocab grows
+    with the corpus, so no pinned hint), and two broadcast 1-row
     scalars. At 100 TB the only big shuffle is the bigram count, and
     it combines map-side.
     """
@@ -453,9 +455,12 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ucnt = uni.groupBy("term").agg(F.count("*").alias("n"))
     n_tok = uni.agg(F.count("*").alias("n_tok"))
     n_pairs = big_all.agg(F.sum("n_xy").cast("long").alias("n_pairs"))
+    # ucnt is the unigram vocabulary — corpus-scaled, so no pinned
+    # broadcast hints on these two joins (AQE picks broadcast while
+    # small); only the 1-row scalars stay pinned.
     j = (
-        big.join(F.broadcast(ucnt.select(F.col("term").alias("w1"), F.col("n").alias("n_x"))), "w1")
-        .join(F.broadcast(ucnt.select(F.col("term").alias("w2"), F.col("n").alias("n_y"))), "w2")
+        big.join(ucnt.select(F.col("term").alias("w1"), F.col("n").alias("n_x")), "w1")
+        .join(ucnt.select(F.col("term").alias("w2"), F.col("n").alias("n_y")), "w2")
         .crossJoin(F.broadcast(n_tok))
         .crossJoin(F.broadcast(n_pairs))
     )
@@ -536,10 +541,13 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     term the target domain never uses scores its honest negative
     log-ratio instead of a neutral 0.
 
-    Scale shape: the log-ratio table is vocabulary-sized and
-    broadcast; the document score is one explode + one combinable
-    BIGINT aggregation. At 100 TB this is the cheapest useful quality
-    signal there is: two token-count passes and a hash agg.
+    Scale shape: the log-ratio table is vocabulary-sized — it grows
+    with the corpus, so its join is UNHINTED (AQE broadcasts while
+    small, shuffle-joins at web scale; quality_dsir_weights_hashed is
+    the fixed-memory hashing-trick twin); the document score is one
+    explode + one combinable BIGINT aggregation. At 100 TB this is the
+    cheapest useful quality signal there is: two token-count passes
+    and a hash agg.
     """
     docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("term"))
@@ -561,8 +569,13 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tscal))
         .select("term", F.expr(_DSIR_LR).alias("lr_unats"))
     )
+    # lr is vocabulary-sized — it GROWS with the corpus (Heaps' law), so
+    # the join carries no pinned broadcast hint: AQE broadcasts it while
+    # it is actually small and falls back to a shuffle join when it
+    # isn't (a pinned hint would OOM at 100 TB). The fixed-memory
+    # production twin is quality_dsir_weights_hashed.
     doc = (
-        tok.join(F.broadcast(lr), "term")
+        tok.join(lr, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -647,7 +660,11 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"),
         F.col("embedding").cast("array<double>").alias("bv"),
     ).withColumn("b_norm", norm(F.col("bv")))
-    m = b.crossJoin(F.broadcast(a)).select(
+    # Both label populations scale with the corpus, so the cross join
+    # carries no pinned broadcast hint (the optimizer still broadcasts
+    # whichever side is small enough; at scale you don't run this shape
+    # at all — sim_margin_pairs_indexed is the candidate-join twin).
+    m = b.crossJoin(a).select(
         "a_id",
         "b_id",
         F.round(
@@ -927,9 +944,11 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: every stage is a shape already proven at 10x-100x in
     isolation (fingerprint groupBy; single-shuffle span window;
-    vocabulary-sized broadcast LM; per-source budget windows); the
-    composition adds joins on doc_id — uniform keys — and nothing
-    else. At 100 TB you'd persist each stage boundary as a table and
+    unhinted vocabulary-sized LM join — AQE broadcasts while small;
+    per-source budget windows); the composition adds joins on doc_id —
+    uniform keys — and nothing else. Neither the gated doc-id set nor
+    the LM table carries a pinned broadcast hint: both scale with the
+    corpus. At 100 TB you'd persist each stage boundary as a table and
     the plan per stage is unchanged.
     """
     docs = table(spark, sf_dir, "documents")
@@ -979,9 +998,12 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tscal))
         .select("term", F.expr(_DSIR_LR).alias("lr_unats"))
     )
+    # Both join sides here scale with the corpus (gated is the filtered
+    # DOCUMENT set; lr is the vocabulary), so neither carries a pinned
+    # broadcast hint — AQE broadcasts while small, shuffles when not.
     dscore = (
-        tok.join(F.broadcast(gated.select("doc_id")), "doc_id", "left_semi")
-        .join(F.broadcast(lr), "term")
+        tok.join(gated.select("doc_id"), "doc_id", "left_semi")
+        .join(lr, "term")
         .groupBy("doc_id")
         .agg(F.sum("lr_unats").cast("long").alias("score_unats"))
     )

@@ -381,9 +381,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded on both sides.
 
     Scale shape: LM training is two hash aggregations to at most
-    vocab² + vocab rows — broadcast back onto the bigram stream; the
-    doc score is one combinable BIGINT aggregation. The 100 TB cost
-    is two passes over the token stream, nothing model-shaped.
+    vocab² + vocab rows — joined back onto the bigram stream UNHINTED
+    (AQE broadcasts while small; the table is corpus-scaled so a
+    pinned hint would OOM at web scale — text_bigram_lm_hashed is the
+    fixed-memory twin); the doc score is one combinable BIGINT
+    aggregation. The 100 TB cost is two passes over the token stream,
+    nothing model-shaped.
     """
     docs = table(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
@@ -406,8 +409,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(scal))
         .select("w1", "w2", F.expr(_BIGRAM_LR).alias("lp_unats"))
     )
+    # lm is (at most) vocab² + vocab rows — corpus-scaled under Heaps'
+    # law, so no pinned broadcast hint: AQE broadcasts while small. The
+    # fixed-memory production twin is text_bigram_lm_hashed.
     doc = (
-        b.join(F.broadcast(lm), ["w1", "w2"])
+        b.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_pairs"),
@@ -747,7 +753,12 @@ def emb_intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.lit(1000000.0)
         ).cast("long")
     )
-    pair = a.join(F.broadcast(b), F.col("a_id") != F.col("b_id")).select(
+    # Broadcast the SAMPLE side (a: vec_id < 1000 — bounded by the
+    # literal filter, not by the corpus) and stream the corpus side b.
+    # The r4 shape broadcast b — the whole corpus — which would OOM at
+    # 100 TB; pinning the provably-bounded side keeps the same
+    # sample x corpus BNLJ with fixed executor memory.
+    pair = b.join(F.broadcast(a), F.col("a_id") != F.col("b_id")).select(
         "a_id", "b_id", d_u.alias("d_u")
     )
     rn = F.row_number().over(W.partitionBy("a_id").orderBy("d_u", "b_id"))
