@@ -634,15 +634,18 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs: id_a < id_b with
     round(cosine, 6) >= threshold.
 
-    The demo shape self-joins with one side broadcast — right for a
-    dimension-sized corpus. At 100 TB the candidate generation must go
-    through :func:`hyperplane_lsh_buckets` first (bucket equi-join),
-    with this exact scoring applied only inside buckets.
+    The demo/validation shape self-joins all pairs — the join side is
+    corpus-scaled, so it carries NO pinned broadcast hint (the
+    optimizer still broadcasts while the frame is validation-sized; a
+    pinned hint would defeat its size-based fallback). At 100 TB the
+    candidate generation must go through
+    :func:`hyperplane_lsh_buckets` first (bucket equi-join), with this
+    exact scoring applied only inside buckets.
     """
     a = _fan_out(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        a.join(b, F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
         .filter(F.col("sim") >= threshold)
     )

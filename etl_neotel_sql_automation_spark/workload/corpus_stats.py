@@ -609,8 +609,9 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembles in position order on both engines.
 
     Scale shape: one positional explode, one running-sum window per
-    document (bounded per-key state), two vocabulary-sized
-    aggregates broadcast back, and one phrase-keyed aggregate whose
+    document (bounded per-key state), two vocabulary-sized aggregates
+    joined back UNHINTED (the vocab grows with the corpus — AQE
+    broadcasts while small), and one phrase-keyed aggregate whose
     collect is bounded by phrase length — the segment-dedup
     reassembly precedent.
     """
@@ -643,8 +644,10 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     wscore = freq.join(deg, "term").select(
         "term", F.expr("d * 1000000 div f").alias("score_u")
     )
+    # wscore is vocabulary-sized (corpus-scaled under Heaps' law) — no
+    # pinned broadcast hint; AQE broadcasts while it is actually small.
     pscore = (
-        ph.join(F.broadcast(wscore), "term")
+        ph.join(wscore, "term")
         .groupBy("doc_id", "phrase_id")
         .agg(
             F.concat_ws(

@@ -490,9 +490,9 @@ def dedup_semantic_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale stance: the all-pairs side is the VALIDATION pass — run it
     on a hash-sample to meter production recall at 100 TB; the
-    bucketed side is the production path. The broadcast in
-    ops.similarity.cosine_near_dup_pairs carries the corpus only at
-    validation sizes by construction.
+    bucketed side is the production path. The all-pairs join in
+    ops.similarity.cosine_near_dup_pairs is unhinted, so the optimizer
+    broadcasts only while the validation frame is actually small.
     """
     emb = table(spark, sf_dir, "embeddings")
     exact_n = (

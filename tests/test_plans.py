@@ -234,6 +234,138 @@ def test_wave5_join_shapes(spark):
     assert p11.count("BroadcastNestedLoopJoin") <= 1
 
 
+# ---------------------------------------------------------------------------
+# Registry-wide corpus-broadcast tripwire: no query may PIN a broadcast
+# hint on a frame that scales with the corpus (documents / embeddings /
+# events). Pinned hints defeat AQE's size-based fallback — the one
+# remaining 100 TB scale-killer class per the r4 verdict.
+# ---------------------------------------------------------------------------
+
+_CORPUS_FILES = ("documents.parquet", "embeddings.parquet", "events.parquet")
+
+# Queries allowed exactly N broadcast hints whose subtree reaches a
+# corpus scan WITHOUT a structural bound the checker can see (ungrouped
+# 1-row aggregate or a limit). Every entry must state why the hinted
+# frame is bounded by CONSTRUCTION, not by luck:
+CORPUS_HINT_ALLOWED = {
+    # sample side is `vec_id < 1000` — bounded by the literal filter,
+    # independent of corpus size (the estimator is a sample statistic)
+    "emb_intrinsic_dim_two_nn": 1,
+    # centroid table is |label classes| x 64 dims — the label set is a
+    # closed class vocabulary fixed by the labeling scheme, not data
+    "emb_label_outliers": 1,
+    # the direction vector is dim-sized (64 rows, keyed by component)
+    "emb_pca_power_iteration": 1,
+    # per-dimension clip bounds: dim-sized (64 rows)
+    "emb_quantile_clip_bounds": 1,
+    # query-set side, bounded by a literal vec_id filter
+    "sim_cosine_topk": 1,
+    "sim_lsh_topk": 1,
+    "sim_sq8_topk": 1,
+    # df/idf table bounded by the |query|-term IN filter (3 rows)
+    "text_bm25_topk": 1,
+}
+
+
+def _is_corpus_scan(node, cls: str) -> bool:
+    if cls != "LogicalRelation":
+        return False
+    try:
+        paths = node.relation().location().rootPaths()
+    except Exception:
+        return False
+    return any(
+        any(c in paths.apply(i).toString() for c in _CORPUS_FILES)
+        for i in range(paths.size())
+    )
+
+
+def _subtree_unbounded(node) -> bool:
+    """True iff some path from node reaches a corpus scan without
+    passing an ungrouped (1-row) Aggregate or a Limit."""
+    cls = node.getClass().getSimpleName()
+    if cls == "Aggregate" and node.groupingExpressions().isEmpty():
+        return False
+    if cls in ("GlobalLimit", "LocalLimit"):
+        return False
+    if _is_corpus_scan(node, cls):
+        return True
+    ch = node.children()
+    return any(_subtree_unbounded(ch.apply(i)) for i in range(ch.size()))
+
+
+def count_corpus_pinned_broadcasts(df) -> int:
+    """Number of broadcast ResolvedHints in the ANALYZED plan whose
+    subtree scans a corpus-scaled table with no structural bound."""
+    n = 0
+
+    def rec(node):
+        nonlocal n
+        cls = node.getClass().getSimpleName()
+        if cls == "ResolvedHint" and "broadcast" in node.hints().toString():
+            ch = node.children()
+            if any(_subtree_unbounded(ch.apply(i)) for i in range(ch.size())):
+                n += 1
+            return  # nested hints under a counted hint are one sin
+        ch = node.children()
+        for i in range(ch.size()):
+            rec(ch.apply(i))
+
+    rec(df._jdf.queryExecution().analyzed())
+    return n
+
+
+def test_corpus_broadcast_checker_detects_the_bug(spark):
+    """Self-test of the checker: a DELIBERATELY pinned vocabulary
+    broadcast (the exact bug class the r4 verdict flagged) must be
+    caught, while the two legitimate pin shapes — a 1-row scalar
+    aggregate and a limit-bounded top-k — must pass."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    vocab = tok.groupBy("term").agg(F.count("*").alias("n"))
+    bad = tok.join(F.broadcast(vocab), "term")  # the r4 weak-set shape
+    assert count_corpus_pinned_broadcasts(bad) == 1
+    scal = docs.agg(F.count("*").alias("n_docs"))
+    good1 = docs.crossJoin(F.broadcast(scal))  # 1-row scalar: fine
+    assert count_corpus_pinned_broadcasts(good1) == 0
+    topk = vocab.orderBy(F.desc("n"), "term").limit(10)
+    good2 = tok.join(F.broadcast(topk), "term")  # k-bounded: fine
+    assert count_corpus_pinned_broadcasts(good2) == 0
+
+
+def test_no_pinned_corpus_broadcasts_registry_wide(spark):
+    """REGISTRY-WIDE: every registered query (current and future) is
+    checked for pinned broadcasts of corpus-scaled frames. Only the
+    EXACT names in CORPUS_HINT_ALLOWED may pin hints on frames the
+    checker cannot prove bounded, each with a stated construction-level
+    bound; everything else must have zero."""
+    from etl_neotel_sql_automation_spark.workload import queries as qreg
+
+    offenders = {}
+    for name, fn in sorted(qreg().items()):
+        if name in TRIPWIRE_EXCLUDED:
+            continue
+        n = count_corpus_pinned_broadcasts(fn(spark, SF))
+        if n != CORPUS_HINT_ALLOWED.get(name, 0):
+            offenders[name] = n
+    assert not offenders, (
+        f"pinned corpus-scaled broadcasts (got != allowed): {offenders}"
+    )
+
+
+def test_corpus_hint_allowlist_is_exact():
+    """Meta-guard: every allowlisted name must exist in the registry,
+    so a renamed/removed query cannot leave a stale allowance behind."""
+    from etl_neotel_sql_automation_spark.workload import queries as qreg
+
+    stale = set(CORPUS_HINT_ALLOWED) - set(qreg())
+    assert not stale, f"allowlisted names not in registry: {sorted(stale)}"
+
+
 def test_grouped_map_shuffle_is_aqe_coalesce_exempt(spark):
     """The grouped-map Pandas stage must keep its parallelism: AQE's
     byte-based coalescing would serialize all groups through one
