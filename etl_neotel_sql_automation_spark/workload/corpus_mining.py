@@ -587,6 +587,124 @@ def quality_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(100)
 
 
+# --- Hashed-vocabulary DSIR twin (the hashing trick, as in
+# quality_hashed_classifier): token -> md5 bucket, so the weight table
+# is FIXED at _DSIR_BUCKETS rows regardless of corpus vocabulary —
+# the memory bound that makes the broadcast legitimate at 100 TB.
+
+_DSIR_BUCKETS = 4096
+
+# Same Laplace-smoothed log-ratio as _DSIR_LR, with the smoothing
+# denominator the FIXED bucket count instead of the observed vocab size
+# (the hashed model's event space is the bucket domain).
+_DSIR_LR_HASHED = (
+    f"CAST(round(ln(((coalesce(tgt_tf, CAST(0 AS BIGINT)) + 1) * 1.0e0"
+    f" / (tgt_tot + {_DSIR_BUCKETS}))"
+    f" / ((all_tf + 1) * 1.0e0 / (all_tot + {_DSIR_BUCKETS}))) * 1.0e6) AS BIGINT)"
+)
+
+_SQL_BUCKET = (
+    f"CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % {_DSIR_BUCKETS}"
+)
+
+
+@query(
+    "quality_dsir_weights_hashed",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tb AS (SELECT doc_id, source, {_SQL_BUCKET} AS b FROM tok),
+    allc AS (SELECT b, CAST(count(*) AS BIGINT) AS all_tf FROM tb GROUP BY b),
+    tgtc AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS tgt_tf
+      FROM tb WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS all_tot FROM tb),
+    tscal AS (
+      SELECT CAST(count(*) AS BIGINT) AS tgt_tot
+      FROM tb WHERE source = '{_DSIR_TARGET_SOURCE}'
+    ),
+    lr AS (
+      SELECT allc.b, {_DSIR_LR_HASHED} AS lr_unats
+      FROM allc
+      LEFT JOIN tgtc USING (b)
+      CROSS JOIN scal CROSS JOIN tscal
+    ),
+    doc AS (
+      SELECT tb.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(lr.lr_unats) AS BIGINT) AS score_unats
+      FROM tb JOIN lr USING (b)
+      GROUP BY tb.doc_id
+    )
+    SELECT doc_id, n_tokens, score_unats
+    FROM doc
+    ORDER BY score_unats DESC, doc_id
+    LIMIT 100
+    """,
+)
+def quality_dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of quality_dsir_weights under the hashing
+    trick (the quality_hashed_classifier technique applied to DSIR):
+    tokens hash (md5, cross-engine exact) into 4096 weight buckets,
+    the two unigram LMs are estimated over bucket counts, and
+    each document scores the BIGINT micro-nat sum of its buckets'
+    smoothed log-ratios. The weight table is FIXED at 4096 rows no
+    matter how large the corpus vocabulary grows — so its broadcast is
+    bounded by construction, the scale property the exact twin cannot
+    have (its lr table is Heaps-law vocabulary-sized). This is how
+    DSIR is actually deployed (Xie et al. 2023 use hashed n-gram
+    features for exactly this reason).
+
+    Scale shape: two bucket-count aggregations whose state is <= 4096
+    rows each (map-side combinable), one pinned-broadcast join of the
+    4096-row weight table (legitimately pinned: the modulus bounds it
+    at any corpus size), one combinable per-doc BIGINT aggregation.
+    Memory per executor is O(buckets), independent of the corpus.
+    """
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        % _DSIR_BUCKETS
+    )
+    tb = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    ).select("doc_id", "source", bucket.alias("b"))
+    allc = tb.groupBy("b").agg(F.count("*").alias("all_tf"))
+    tgtc = (
+        tb.filter(F.col("source") == _DSIR_TARGET_SOURCE)
+        .groupBy("b")
+        .agg(F.count("*").alias("tgt_tf"))
+    )
+    scal = tb.agg(F.count("*").alias("all_tot"))
+    tscal = tb.filter(F.col("source") == _DSIR_TARGET_SOURCE).agg(
+        F.count("*").alias("tgt_tot")
+    )
+    # tgtc is also <= _DSIR_BUCKETS rows by modulus, so the lr build
+    # join broadcasts too — no bucket-table shuffle anywhere.
+    lr = (
+        allc.join(F.broadcast(tgtc), "b", "left")
+        .crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(tscal))
+        .select("b", F.expr(_DSIR_LR_HASHED).alias("lr_unats"))
+    )
+    # lr is <= _DSIR_BUCKETS rows BY CONSTRUCTION (modulus), so the
+    # pinned broadcast is the fixed-memory production shape — see
+    # tests/test_plans.py CORPUS_HINT_ALLOWED.
+    doc = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lr_unats").cast("long").alias("score_unats"),
+        )
+    )
+    return doc.select("doc_id", "n_tokens", "score_unats").orderBy(
+        F.desc("score_unats"), "doc_id"
+    ).limit(100)
+
+
 # ---------------------------------------------------------------------------
 # Margin-based pair mining (Artetxe & Schwenk 2019 "margin criterion"
 # for bitext mining): score cross-set pairs by cosine normalized by

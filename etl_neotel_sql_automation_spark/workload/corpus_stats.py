@@ -428,6 +428,114 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Hashed-vocabulary bigram-LM twin (the hashing trick): w1 and the
+# (w1, w2) pair each hash to fixed bucket domains, so BOTH LM tables
+# are bounded by construction — the fixed-memory production shape of
+# text_bigram_lm_score (whose exact tables are vocab/vocab²-sized).
+
+_LM_UNI_BUCKETS = 2048   # w1-context buckets
+_LM_PAIR_BUCKETS = 8192  # (w1, w2) pair buckets
+
+# Add-one-smoothed hashed bigram log-likelihood in BIGINT micro-nats;
+# the smoothing denominator is the FIXED pair-bucket count (the hashed
+# model's event space), quantized per bigram before the per-doc sum.
+_BIGRAM_LR_HASHED = (
+    f"CAST(round(ln((n_xy + 1) * 1.0e0 / (n_x + {_LM_PAIR_BUCKETS}))"
+    " * 1.0e6) AS BIGINT)"
+)
+
+_SQL_B1 = (
+    f"CAST(('0x' || substr(md5(w1), 1, 15)) AS BIGINT) % {_LM_UNI_BUCKETS}"
+)
+_SQL_PB = (
+    "CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 15)) AS BIGINT)"
+    f" % {_LM_PAIR_BUCKETS}"
+)
+
+
+@query(
+    "text_bigram_lm_hashed",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (SELECT doc_id, unnest(range(1, len(toks))) AS pos, toks FROM tok),
+    b AS (
+      SELECT doc_id, {_SQL_B1} AS b1, {_SQL_PB} AS pb
+      FROM (SELECT doc_id, toks[pos] AS w1, toks[pos + 1] AS w2 FROM pg)
+    ),
+    bc AS (SELECT pb, CAST(count(*) AS BIGINT) AS n_xy FROM b GROUP BY pb),
+    uc AS (SELECT b1, CAST(count(*) AS BIGINT) AS n_x FROM b GROUP BY b1),
+    doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum({_BIGRAM_LR_HASHED}) AS BIGINT) AS logp_unats
+      FROM b JOIN uc USING (b1) JOIN bc USING (pb)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_pairs, logp_unats,
+           round(-logp_unats * 1.0e0 / n_pairs, 6) AS nll_per_pair_unats
+    FROM doc
+    """,
+)
+def text_bigram_lm_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of text_bigram_lm_score under the hashing
+    trick: the bigram context (w1) and the (w1, w2) pair each hash
+    (md5, cross-engine exact) into fixed bucket domains, so the two LM
+    tables are AT MOST 2048 and 8192 rows regardless of corpus
+    vocabulary — the memory bound the exact twin cannot offer (its
+    tables are vocab and vocab²-sized under Heaps' law). Per-bigram
+    log-probs quantize to BIGINT micro-nats before the per-doc sum
+    (order-free); the one float is a single IEEE division rounded on
+    both engines.
+
+    Scale shape: two bucket-count aggregations with <= 8192 rows of
+    state each (map-side combinable), two pinned-broadcast joins of
+    the bounded LM tables (legitimately pinned: the moduli bound them
+    at any corpus size), one combinable per-doc BIGINT aggregation.
+    Executor memory is O(buckets), independent of the corpus — this is
+    the shape a KenLM-style perplexity gate actually ships with.
+    """
+    docs = table(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    cnt = F.size(toks)
+    idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    h15 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    b = (
+        docs.select("doc_id", toks.alias("toks"), F.explode(idx).alias("pos"))
+        .select(
+            "doc_id",
+            F.element_at("toks", F.col("pos")).alias("w1"),
+            F.element_at("toks", F.col("pos") + 1).alias("w2"),
+        )
+        .select(
+            "doc_id",
+            (h15(F.col("w1")) % _LM_UNI_BUCKETS).alias("b1"),
+            (h15(F.concat_ws(" ", "w1", "w2")) % _LM_PAIR_BUCKETS).alias("pb"),
+        )
+    )
+    bc = b.groupBy("pb").agg(F.count("*").alias("n_xy"))
+    uc = b.groupBy("b1").agg(F.count("*").alias("n_x"))
+    # Both tables are bounded BY CONSTRUCTION (moduli), so the pinned
+    # broadcasts are the fixed-memory production shape — see
+    # tests/test_plans.py CORPUS_HINT_ALLOWED.
+    doc = (
+        b.join(F.broadcast(uc), "b1")
+        .join(F.broadcast(bc), "pb")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.expr(_BIGRAM_LR_HASHED)).cast("long").alias("logp_unats"),
+        )
+    )
+    return doc.select(
+        "doc_id",
+        "n_pairs",
+        "logp_unats",
+        F.expr("round(-logp_unats * 1.0e0 / n_pairs, 6)").alias("nll_per_pair_unats"),
+    )
+
+
 # --- exact-integer power iteration for the top principal direction ---
 #
 # All corpus-sized sums are exact integers/decimals (order-free); the

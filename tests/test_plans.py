@@ -254,8 +254,11 @@ CORPUS_HINT_ALLOWED = {
     # centroid table is |label classes| x 64 dims — the label set is a
     # closed class vocabulary fixed by the labeling scheme, not data
     "emb_label_outliers": 1,
-    # the direction vector is dim-sized (64 rows, keyed by component)
-    "emb_pca_power_iteration": 1,
+    # the direction vector is dim-sized (64 rows, keyed by component);
+    # the 3 unrolled power-iteration steps NEST the per-step direction
+    # hints (step k's plan contains steps 1..k-1), so the walker counts
+    # each dim-sized hint at every nesting level it appears
+    "emb_pca_power_iteration": 14,
     # per-dimension clip bounds: dim-sized (64 rows)
     "emb_quantile_clip_bounds": 1,
     # query-set side, bounded by a literal vec_id filter
@@ -264,6 +267,13 @@ CORPUS_HINT_ALLOWED = {
     "sim_sq8_topk": 1,
     # df/idf table bounded by the |query|-term IN filter (3 rows)
     "text_bm25_topk": 1,
+    # hashing-trick weight tables: <= 4096 rows by modulus, at any
+    # corpus size (the whole point of the hashed production twin) —
+    # the lookup join plus the target-count side of the lr build
+    "quality_dsir_weights_hashed": 2,
+    # hashed LM tables: <= 2048 (context) and <= 8192 (pair) rows by
+    # moduli, at any corpus size
+    "text_bigram_lm_hashed": 2,
 }
 
 
@@ -306,7 +316,8 @@ def count_corpus_pinned_broadcasts(df) -> int:
             ch = node.children()
             if any(_subtree_unbounded(ch.apply(i)) for i in range(ch.size())):
                 n += 1
-            return  # nested hints under a counted hint are one sin
+            # fall through: a hint nested under another hint is still
+            # its own runtime broadcast — never mask it
         ch = node.children()
         for i in range(ch.size()):
             rec(ch.apply(i))
@@ -355,6 +366,25 @@ def test_no_pinned_corpus_broadcasts_registry_wide(spark):
     assert not offenders, (
         f"pinned corpus-scaled broadcasts (got != allowed): {offenders}"
     )
+
+
+@pytest.mark.parametrize(
+    ("name", "n_bounded_lookups"),
+    [("quality_dsir_weights_hashed", 1), ("text_bigram_lm_hashed", 2)],
+)
+def test_hashed_twins_have_no_vocab_shuffle_join(spark, name, n_bounded_lookups):
+    """The hashing-trick twins' weight lookups must be broadcast joins
+    of the modulus-bounded tables — with size-based broadcast disabled,
+    any SortMergeJoin would mean a vocabulary-sized shuffle join crept
+    back in (the exact-twin shape these queries exist to avoid)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= n_bounded_lookups
 
 
 def test_corpus_hint_allowlist_is_exact():
