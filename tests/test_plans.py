@@ -123,7 +123,9 @@ def test_multimodal_is_arrow_not_rowudf(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time would be the bug
 
 
-@pytest.mark.parametrize("name", ["dedup_embedding_cosine", "sim_lsh_topk"])
+@pytest.mark.parametrize(
+    "name", ["dedup_embedding_cosine", "sim_lsh_topk", "sim_margin_pairs_indexed"]
+)
 def test_embedding_ops_have_no_allpairs_join(spark, name):
     """The registered embedding near-dup/ANN queries must go through
     LSH bucket equi-joins — an all-pairs (broadcast nested loop /
