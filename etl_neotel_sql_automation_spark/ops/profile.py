@@ -82,9 +82,26 @@ def schema_drift(old, new) -> dict[str, list]:
     "retyped": [(name, old_type, new_type)]} with names compared
     case-insensitively (Spark's resolution default) in deterministic
     name order. Pure metadata — no jobs run.
+
+    Raises ValueError if either schema holds columns that differ only
+    by case (legal under spark.sql.caseSensitive=true): folding them
+    into one lowercase key would silently drop a field from the
+    comparison, and a drift report a load gate relies on must never
+    be silently incomplete.
     """
     o = old.schema if isinstance(old, DataFrame) else old
     n = new.schema if isinstance(new, DataFrame) else new
+    for label, schema in (("old", o), ("new", n)):
+        seen: dict[str, str] = {}
+        for f in schema.fields:
+            k = f.name.lower()
+            if k in seen:
+                raise ValueError(
+                    f"schema_drift: {label} schema has case-colliding "
+                    f"columns {seen[k]!r} and {f.name!r} — comparison "
+                    "would silently drop one; resolve the collision first"
+                )
+            seen[k] = f.name
     omap = {f.name.lower(): f for f in o.fields}
     nmap = {f.name.lower(): f for f in n.fields}
     added = [

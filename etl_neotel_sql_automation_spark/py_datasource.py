@@ -104,20 +104,29 @@ class SyntheticEventsDataSource(DataSource):
 
 
 class JsonlShardCommit(WriterCommitMessage):
-    """Per-task commit message: (shard path, row count)."""
+    """Per-task commit message: (attempt temp path, row count,
+    partition id). The temp path — never a final shard name — is what
+    the task hands the driver; only driver ``commit`` publishes."""
 
-    def __init__(self, path: str, rows: int) -> None:
+    def __init__(self, path: str, rows: int, pid: int) -> None:
         self.path = path
         self.rows = rows
+        self.pid = pid
 
 
 class JsonlShardWriter(DataSourceWriter):
-    """Executor-side JSONL shard writer: each task streams its
-    partition to one ``part-<id>.jsonl`` file — no driver funnel —
-    and the driver's ``commit`` seals the write with a ``_MANIFEST``
-    listing every shard and row count (the poor-man's atomic commit:
-    readers that require the manifest never see a partial write;
-    ``abort`` removes any shards that did report success)."""
+    """Executor-side JSONL shard writer with task-attempt isolation:
+    each ATTEMPT streams its partition to a unique
+    ``part-<pid>-<taskAttemptId>.jsonl.tmp`` (so a retried or
+    speculative attempt can never interleave with a sibling), and the
+    driver's ``commit`` atomically renames exactly one winning attempt
+    per partition to ``part-<pid>.jsonl``, sweeps stray temps, and
+    seals the write with a ``_MANIFEST`` listing every shard and row
+    count. Readers must consume the manifest
+    (:func:`read_jsonl_manifest`), not a glob: a glob can see files a
+    failed job left behind; the manifest names only committed shards.
+    ``abort`` removes reported temps and sweeps the rest — no partial
+    attempt ever occupies a final shard name."""
 
     def __init__(self, path: str) -> None:
         self._path = path
@@ -128,31 +137,47 @@ class JsonlShardWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self._path, exist_ok=True)
-        shard = os.path.join(self._path, f"part-{pid:05d}.jsonl")
+        tmp = os.path.join(self._path, f"part-{pid:05d}-{attempt}.jsonl.tmp")
         n = 0
-        with open(shard, "w", encoding="utf-8") as f:
+        with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), default=str) + "\n")
                 n += 1
-        return JsonlShardCommit(shard, n)
+        return JsonlShardCommit(tmp, n, pid)
+
+    def _sweep_tmps(self) -> None:
+        import glob
+        import os
+
+        for stray in glob.glob(os.path.join(self._path, "part-*.jsonl.tmp")):
+            try:
+                os.remove(stray)
+            except OSError:
+                pass
 
     def commit(self, messages) -> None:
         import json
         import os
 
-        shards = [
-            {"path": os.path.basename(m.path), "rows": m.rows}
-            for m in messages
-            if m is not None
-        ]
+        shards = []
+        for m in messages:
+            if m is None:
+                continue
+            final = os.path.join(self._path, f"part-{m.pid:05d}.jsonl")
+            os.replace(m.path, final)  # atomic publish of the winner
+            shards.append({"path": os.path.basename(final), "rows": m.rows})
+        self._sweep_tmps()  # losers of speculative races / dead attempts
         manifest = {
             "shards": sorted(shards, key=lambda s: s["path"]),
             "total_rows": sum(s["rows"] for s in shards),
         }
-        with open(os.path.join(self._path, "_MANIFEST.json"), "w") as f:
+        mtmp = os.path.join(self._path, "_MANIFEST.json.tmp")
+        with open(mtmp, "w") as f:
             json.dump(manifest, f, sort_keys=True)
+        os.replace(mtmp, os.path.join(self._path, "_MANIFEST.json"))
 
     def abort(self, messages) -> None:
         import os
@@ -160,6 +185,7 @@ class JsonlShardWriter(DataSourceWriter):
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        self._sweep_tmps()
 
 
 class JsonlShardsDataSource(DataSource):
@@ -177,7 +203,42 @@ class JsonlShardsDataSource(DataSource):
         return "jsonl_shards"
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+        """Driver-side write setup. ``overwrite`` is HONORED: an
+        overwrite clears prior shards and manifest before any task
+        runs (so the manifest can never disagree with the directory);
+        a non-overwrite write into a directory that already holds
+        shards raises instead of silently mixing old and new data."""
+        import glob
+        import os
+
         path = self.options.get("path")
         if not path:
             raise ValueError("jsonl_shards requires .option('path', ...)")
+        os.makedirs(path, exist_ok=True)
+        existing = glob.glob(os.path.join(path, "part-*.jsonl"))
+        if overwrite:
+            for f in existing:
+                os.remove(f)
+            mf = os.path.join(path, "_MANIFEST.json")
+            if os.path.exists(mf):
+                os.remove(mf)
+        elif existing:
+            raise ValueError(
+                f"jsonl_shards: {path} already holds {len(existing)} shard(s); "
+                "use .mode('overwrite') or a fresh directory"
+            )
         return JsonlShardWriter(path)
+
+
+def read_jsonl_manifest(spark, path: str):
+    """Read back a jsonl_shards directory THROUGH ITS MANIFEST: loads
+    exactly the shards the committed write sealed, never whatever a
+    glob happens to see (stray files from a failed or concurrent job).
+    This is the reader contract of the sink."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    files = [os.path.join(path, s["path"]) for s in manifest["shards"]]
+    return spark.read.json(files) if files else None

@@ -151,10 +151,23 @@ def sessionize_stream(events: DataFrame, timeout_ms: int | None = None) -> DataF
 # successor to GroupState with named state variables, timers, and TTL.
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
+# Import-gated (Spark 4-only surface, same policy as py_datasource):
+# an older PySpark must still import this module for its Spark-3
+# applyInPandasWithState path above; only the transformWithState
+# entry points below fail, lazily, with a clear message.
+try:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,  # noqa: F401
+    )
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - env-dependent
+    _HAS_TWS = False
+
+    class StatefulProcessor:  # type: ignore[no-redef]
+        """Placeholder base so SessionProcessor still defines; using
+        the transformWithState path raises NotImplementedError."""
 
 
 class SessionProcessor(StatefulProcessor):
@@ -199,6 +212,12 @@ class SessionProcessor(StatefulProcessor):
 def sessionize_stream_tws(events: DataFrame) -> DataFrame:
     """events(user_id, us) stream -> closed-session stream via
     ``transformWithStateInPandas`` (Spark 4 arbitrary-state v2)."""
+    if not _HAS_TWS:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark 4's "
+            "pyspark.sql.streaming.stateful_processor; the GroupState "
+            "twin (sessionize_stream) computes the same sessions"
+        )
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=SessionProcessor(),
         outputStructType=SESSION_SCHEMA,

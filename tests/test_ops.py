@@ -748,3 +748,22 @@ def test_schema_drift_report(spark):
     # identical schemas -> empty report (the load-gate condition)
     clean = schema_drift(new, new)
     assert clean == {"added": [], "removed": [], "retyped": []}
+
+
+def test_schema_drift_rejects_case_collisions():
+    """Columns differing only by case (legal under caseSensitive=true)
+    must raise — folding them to one lowercase key would silently drop
+    a field from the drift report a load gate relies on."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from etl_neotel_sql_automation_spark.ops.profile import schema_drift
+
+    colliding = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ID", T.StringType())]
+    )
+    clean = T.StructType([T.StructField("id", T.LongType())])
+    with pytest.raises(ValueError, match="case-colliding"):
+        schema_drift(colliding, clean)
+    with pytest.raises(ValueError, match="case-colliding"):
+        schema_drift(clean, colliding)

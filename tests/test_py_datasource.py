@@ -52,12 +52,18 @@ def test_scale_probe_ops_run_over_synthetic_events(spark):
 
 def test_jsonl_shards_writer_roundtrip(spark, tmp_path):
     """Write-side Python DataSource: documents stream to per-partition
-    JSONL shards executor-side, the commit seals a _MANIFEST whose
-    row counts must equal the input, and a plain JSON read round-trips
-    the data (doc_id sums compared — content, not just counts)."""
+    JSONL shards executor-side via attempt-unique temp files, the
+    commit renames winners and seals a _MANIFEST whose row counts must
+    equal the input, and the MANIFEST READER (the sink's read
+    contract, not a glob) round-trips the data (doc_id sums compared —
+    content, not just counts). No temp file survives the commit."""
+    import glob
     import json
 
-    from etl_neotel_sql_automation_spark.py_datasource import JsonlShardsDataSource
+    from etl_neotel_sql_automation_spark.py_datasource import (
+        JsonlShardsDataSource,
+        read_jsonl_manifest,
+    )
 
     spark.dataSource.register(JsonlShardsDataSource)
     out = str(tmp_path / "shards")
@@ -69,11 +75,51 @@ def test_jsonl_shards_writer_roundtrip(spark, tmp_path):
     manifest = json.load(open(f"{out}/_MANIFEST.json"))
     assert manifest["total_rows"] == docs.count()
     assert len(manifest["shards"]) >= 1
+    assert glob.glob(f"{out}/part-*.jsonl.tmp") == []  # commit swept temps
 
-    back = spark.read.json(out + "/part-*.jsonl")
+    back = read_jsonl_manifest(spark, out)
     assert back.count() == docs.count()
     from pyspark.sql import functions as F
 
     assert (
         back.agg(F.sum("doc_id")).first()[0] == docs.agg(F.sum("doc_id")).first()[0]
     )
+
+
+def test_jsonl_shards_overwrite_and_append_guard(spark, tmp_path):
+    """mode('overwrite') must actually clear prior shards (manifest and
+    directory stay consistent — the silent-append bug class), a stale
+    shard not in the new write must be gone, and a NON-overwrite write
+    into a populated directory must raise instead of mixing data."""
+    import glob
+
+    from pyspark.errors import AnalysisException
+
+    from etl_neotel_sql_automation_spark.py_datasource import (
+        JsonlShardsDataSource,
+        read_jsonl_manifest,
+    )
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    out = str(tmp_path / "shards")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.repartition(4).write.format("jsonl_shards").option("path", out).mode(
+        "append"
+    ).save()
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 4
+
+    # overwrite with FEWER partitions: stale part-00002/3 must vanish
+    docs.repartition(2).write.format("jsonl_shards").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert len(glob.glob(f"{out}/part-*.jsonl")) == 2
+    back = read_jsonl_manifest(spark, out)
+    assert back.count() == docs.count()
+
+    # append into a populated directory must refuse
+    import pytest
+
+    with pytest.raises(AnalysisException, match="already holds"):
+        docs.write.format("jsonl_shards").option("path", out).mode("append").save()
