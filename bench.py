@@ -20,7 +20,12 @@ from etl_neotel_sql_automation_spark.session import get_spark
 
 # Headline set: scan+agg, star joins, windows, set ops, JSON, dedup,
 # text analysis, similarity — the operators whose cost scales with data.
-HEADLINE = [
+#
+# FROZEN comparison sets (append-only policy): STABLE_27 has been
+# byte-stable since r2; STABLE_33 (the r4 freeze) adds the r4 entries.
+# New rounds APPEND to ADDITIONS and report per-set sums, so every
+# historical BENCH_r{N}.json stays comparable against the matching set.
+STABLE_27 = [
     "q1_pricing_summary",
     "q3_top_unshipped",
     "q5_region_volume",
@@ -48,8 +53,8 @@ HEADLINE = [
     "pandas_grouped_outliers",
     "merge_upsert_orders",
     "q7_nation_volume",
-    # r4 additions (APPENDED — the 27 entries above stay byte-stable for
-    # round-over-round comparability):
+]
+STABLE_33 = STABLE_27 + [
     "sim_ivf_pq_sampled",
     "dedup_semantic_prune",
     "quality_gopher_rules",
@@ -57,6 +62,14 @@ HEADLINE = [
     "quality_dsir_weights",
     "pretrain_pipeline_e2e",
 ]
+# r5 additions: the hashing-trick production twins and the LSH-indexed
+# margin miner (each beside its exact/brute twin already in the set).
+ADDITIONS = [
+    "quality_dsir_weights_hashed",
+    "text_bigram_lm_hashed",
+    "sim_margin_pairs_indexed",
+]
+HEADLINE = STABLE_33 + ADDITIONS
 
 
 def _minhash_xxhash64(spark, sf_dir):
@@ -127,6 +140,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
+                # frozen-set sums for round-over-round comparability
+                "stable27_seconds": round(sum(times[n] for n in STABLE_27), 3),
+                "stable33_seconds": round(sum(times[n] for n in STABLE_33), 3),
             }
         )
     )

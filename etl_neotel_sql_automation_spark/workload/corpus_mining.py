@@ -1322,7 +1322,14 @@ def pretrain_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. At 100 TB you'd persist each stage boundary as a table and
     the plan per stage is unchanged.
     """
-    docs = table(spark, sf_dir, "documents")
+    return pretrain_frame(table(spark, sf_dir, "documents"))
+
+
+def pretrain_frame(docs: DataFrame) -> DataFrame:
+    """The composed pipeline over any documents-shaped frame (doc_id,
+    source, lang, text) — exposed so tools/scale_curation_probe.py can
+    drive the COMPOSITION (stage-boundary skew, AQE interactions) at
+    1x/10x/100x, not just its stages in isolation."""
     from ..ops.text import fingerprint_md5
 
     fp = docs.select("doc_id", "source", "lang", "text", fingerprint_md5("text").alias("fingerprint"))

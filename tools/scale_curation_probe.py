@@ -1,8 +1,11 @@
 """Scaling probe for the curation family: the Gopher rule gate, the
-hashed linear classifier, and the duplicated/contaminated span-island
-reports over documents at 1x/10x/100x the sf0.1 volume
-(5k -> 50k -> 500k docs), and SemDeDup prune + kNN graph over
-embeddings at 1x/10x/100x (2k -> 20k -> 200k vectors).
+hashed linear classifier, the duplicated/contaminated span-island
+reports, and the COMPOSED end-to-end pretrain pipeline (fingerprint
+dedup -> span excision -> quality gate -> DSIR scoring -> per-source
+budgeting — the flagship whose stage-boundary skew and AQE
+interactions only show up composed) over documents at 1x/10x/100x the
+sf0.1 volume (5k -> 50k -> 500k docs), and SemDeDup prune + kNN graph
+over embeddings at 1x/10x/100x (2k -> 20k -> 200k vectors).
 
 Corpora are the SAME pure-codegen synthetics the dedup and ANN probes
 use (imported, not re-derived), so numbers are comparable across probe
@@ -24,9 +27,12 @@ sys.path.insert(0, "/root/repo")
 
 from etl_neotel_sql_automation_spark.ops import similarity as S
 from etl_neotel_sql_automation_spark.session import get_spark
+from pyspark.sql import functions as F
+
 from etl_neotel_sql_automation_spark.workload.corpus_mining import (
     contam_span_frame,
     dup_span_frame,
+    pretrain_frame,
 )
 from etl_neotel_sql_automation_spark.workload.curation import (
     classifier_frame,
@@ -48,6 +54,15 @@ def main() -> None:
     results: dict[int, dict[str, float]] = {}
     for scale in scales:
         docs = synth_docs(spark, BASE_DOCS * scale)
+        # the composed pipeline needs source/lang: 4 sources (so the
+        # per-source budget windows see real groups, src0 = the DSIR
+        # target) and ~10% non-English (so the language gate prunes)
+        full_docs = docs.select(
+            "doc_id",
+            F.concat(F.lit("src"), F.col("doc_id") % 4).alias("source"),
+            F.when(F.col("doc_id") % 10 == 9, "es").otherwise("en").alias("lang"),
+            "text",
+        )
         emb = synth_embeddings(spark, BASE_VECS * scale)
         planes = planes_for(BASE_VECS * scale)
         ops = {
@@ -59,6 +74,10 @@ def main() -> None:
             # + gram-keyed count — the shuffle that must stay linear
             "dup_span": lambda: dup_span_frame(docs),
             "contam_span": lambda: contam_span_frame(docs),
+            # the COMPOSITION of the stages probed above (+ DSIR +
+            # budget windows) — post-r5 every cross-stage join is
+            # unhinted, so this row is the AQE-composed cost
+            "pretrain_e2e": lambda: pretrain_frame(full_docs),
             # threshold 0.9: the planted near-dups sit at cosine ~0.999,
             # random pairs near 0 — the probe measures candidate-join
             # cost, recall is pinned by the ANN probe's test
