@@ -74,12 +74,19 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
-    # Driver-like session: defaults (ANSI on in Spark 4), modest parallelism
+    # Driver-like session: defaults (ANSI on in Spark 4), modest
+    # parallelism. Driver heap is sized for FULL sweeps: 220 queries in
+    # one JVM accumulate localCheckpoint blocks and broadcast state
+    # faster than the ContextCleaner reaps them — the 1g default OOMed
+    # 82 queries into the sf0.1 sweep (r5 BUILDLOG).
+    import os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("check_oracle")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,7 +99,14 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = ONLY or list(qs)
     failures = 0
-    for name in names:
+    for i, name in enumerate(names):
+        if i and i % 20 == 0:
+            # Release dropped DataFrame references so the JVM
+            # ContextCleaner can reap localCheckpoint blocks and
+            # broadcasts between queries (long-sweep heap hygiene).
+            import gc
+
+            gc.collect()
         t0 = time.time()
         try:
             sdf = qs[name](spark, SF_DIR)
