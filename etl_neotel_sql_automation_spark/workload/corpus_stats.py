@@ -403,7 +403,9 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bc = b.groupBy("w1", "w2").agg(F.count("*").alias("n_xy"))
     uc = b.groupBy("w1").agg(F.count("*").alias("n_x"))
-    scal = b.agg(F.countDistinct("w1").alias("v_sz"))
+    # v_sz = |distinct w1| = |uc| — counted off the vocabulary-sized
+    # aggregate, NOT a third scan of the corpus-wide bigram stream
+    scal = uc.agg(F.count("*").alias("v_sz"))
     lm = (
         bc.join(uc, "w1")
         .crossJoin(F.broadcast(scal))
@@ -514,8 +516,17 @@ def text_bigram_lm_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (h15(F.concat_ws(" ", "w1", "w2")) % _LM_PAIR_BUCKETS).alias("pb"),
         )
     )
-    bc = b.groupBy("pb").agg(F.count("*").alias("n_xy"))
-    uc = b.groupBy("b1").agg(F.count("*").alias("n_x"))
+    # BOTH LM tables from ONE pass over the bigram stream via grouping
+    # sets (the tokenize+hash subtree dominates cost — measured 3.3 s
+    # per scan at sf0.1 — so training must not scan it twice); the
+    # expand duplicates rows AFTER the expensive projection. Buckets
+    # are never null in data, so a null key marks the other set.
+    gsets = (
+        b.groupingSets([["b1"], ["pb"]], "b1", "pb")
+        .agg(F.count("*").alias("n"))
+    )
+    bc = gsets.filter(F.col("b1").isNull()).select("pb", F.col("n").alias("n_xy"))
+    uc = gsets.filter(F.col("pb").isNull()).select("b1", F.col("n").alias("n_x"))
     # Both tables are bounded BY CONSTRUCTION (moduli), so the pinned
     # broadcasts are the fixed-memory production shape — see
     # tests/test_plans.py CORPUS_HINT_ALLOWED.

@@ -123,15 +123,32 @@ def test_multimodal_is_arrow_not_rowudf(spark):
     assert "BatchEvalPython" not in plan  # row-at-a-time would be the bug
 
 
-@pytest.mark.parametrize(
-    "name", ["dedup_embedding_cosine", "sim_lsh_topk", "sim_margin_pairs_indexed"]
-)
+@pytest.mark.parametrize("name", ["dedup_embedding_cosine", "sim_lsh_topk"])
 def test_embedding_ops_have_no_allpairs_join(spark, name):
     """The registered embedding near-dup/ANN queries must go through
     LSH bucket equi-joins — an all-pairs (broadcast nested loop /
     cartesian) join is the 100 TB scale-killer the LSH path exists to
     avoid."""
     plan = _plan(spark, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_margin_indexed_candidates_have_no_allpairs_join(spark):
+    """Same no-all-pairs policy for the indexed margin miner, asserted
+    on the PRE-checkpoint candidate frame (the registered query
+    localCheckpoints it, which would hide the join shape behind a
+    LogicalRDD scan)."""
+    from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+        _margin_cand_frame,
+    )
+
+    plan = (
+        _margin_cand_frame(spark, SF, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
