@@ -664,6 +664,52 @@ def hyperplane_signs(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
     ]
 
 
+def _sign_array(srow: list[int]) -> Column:
+    """One hyperplane's ±1 sign vector as a SINGLE parsed SQL literal.
+    Building it element-wise (``F.array(*[F.lit(...) ...])``) costs one
+    py4j round trip per component — 64 planes x 64 dims was ~7 s of
+    DRIVER-side plan construction per multi-table bucket call (measured
+    at sf0.1; execution itself was sub-second). One ``F.expr`` per
+    plane is one round trip."""
+    return F.expr("array(" + ",".join(f"{float(s)}D" for s in srow) + ")")
+
+
+def _sign_matrix(signs: list[list[int]]) -> Column:
+    """The whole hyperplane family as ONE array<array<double>> SQL
+    literal — a single parsed expression, so a 64-plane family adds one
+    plan node instead of 64 independent fold trees (the other half of
+    the _sign_array lesson: plan ANALYSIS cost scales with node count,
+    and 128 fold subtrees cost ~4 s of driver time per query build)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(s)}D" for s in srow) + ")"
+            for srow in signs
+        )
+        + ")"
+    )
+
+
+def _plane_bits(qv: Column, signs: list[list[int]]) -> Column:
+    """array<long> of sign bits, one per plane: bit p = 1 iff
+    dot(qv, plane_p) > 0. One transform over the sign-matrix literal —
+    the same fold arithmetic as the per-plane form (zip_with + sum in
+    identical order), evaluated as a JVM loop instead of 64 separate
+    expression trees."""
+    return F.transform(
+        _sign_matrix(signs),
+        lambda srow: F.when(dot(qv, srow) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+def _pow2_array(n: int) -> Column:
+    """[1L, 2L, 4L, ...] of length n — the positional bit weights used
+    to pack plane bits into a bucket id (b * 2^j == b << j exactly)."""
+    return F.expr("array(" + ",".join(f"{1 << j}L" for j in range(n)) + ")")
+
+
 def _quantize(vec_col: Column | str) -> Column:
     """Embedding scaled to integer-valued doubles (round(x * 1e6)).
     Signed sums of integer-valued doubles are EXACT in IEEE arithmetic
@@ -693,15 +739,15 @@ def hyperplane_lsh_buckets(
     """
     signs = hyperplane_signs(dim, first_plane + planes, seed)[first_plane:]
     qv = _quantize(vec_col)
-    bits = []
-    for p, srow in enumerate(signs):
-        sv = F.array(*[F.lit(float(s)) for s in srow])
-        proj = dot(qv, sv)
-        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bits.append(F.shiftleft(bit, p))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
+    bits = _plane_bits(qv, signs)
+    # bucket = sum_p bits[p] * 2^p, folded over the bits array in plane
+    # order (multiplication by a power-of-two literal IS the shiftleft)
+    # — one aggregate node instead of `planes` shiftleft terms
+    bucket = F.aggregate(
+        F.zip_with(bits, _pow2_array(planes), lambda b, w: b * w),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
@@ -723,19 +769,27 @@ def multi_table_buckets(
     index lookups never join back to the corpus."""
     signs = hyperplane_signs(dim, tables * planes_per_table, seed)
     qv = _quantize(vec_col)
-    bits = [
-        F.when(dot(qv, F.array(*[F.lit(float(s)) for s in srow])) > 0,
-               F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        for srow in signs
-    ]
-    buckets = []  # one bucket id per table, from its disjoint plane slice
-    for t in range(tables):
-        bkt = None
-        for j in range(planes_per_table):
-            term = F.shiftleft(bits[t * planes_per_table + j], j)
-            bkt = term if bkt is None else bkt + term
-        buckets.append(F.struct(F.lit(t).alias("t"), bkt.alias("bucket")))
-    cols = [F.col(id_col).alias("id"), F.explode(F.array(*buckets)).alias("tb")]
+    bits = _plane_bits(qv, signs)
+    # table t's bucket packs its disjoint plane slice's bits:
+    # bucket_t = sum_j bits[t*P + j] << j — computed from the single
+    # bits array via slice + positional shift, then exploded to one
+    # (t, bucket) row per table. Same values, bit packing, and slice
+    # convention as the per-plane form; ~100x fewer plan nodes.
+    p = planes_per_table
+    tb = F.transform(
+        F.expr(f"sequence(0, {tables - 1})"),
+        lambda t: F.struct(
+            t.alias("t"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(bits, t * p + 1, p), _pow2_array(p), lambda b, w: b * w
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("bucket"),
+        ),
+    )
+    cols = [F.col(id_col).alias("id"), F.explode(tb).alias("tb")]
     out = df.select(*cols, *([F.col(vec_col).alias("vec")] if keep_vec else []))
     keep = ["id", "tb.t", "tb.bucket"] + (["vec"] if keep_vec else [])
     return out.select(*keep)
