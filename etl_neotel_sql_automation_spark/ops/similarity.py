@@ -664,50 +664,44 @@ def hyperplane_signs(dim: int, planes: int, seed: int = 42) -> list[list[int]]:
     ]
 
 
-def _sign_array(srow: list[int]) -> Column:
-    """One hyperplane's ±1 sign vector as a SINGLE parsed SQL literal.
-    Building it element-wise (``F.array(*[F.lit(...) ...])``) costs one
-    py4j round trip per component — 64 planes x 64 dims was ~7 s of
-    DRIVER-side plan construction per multi-table bucket call (measured
-    at sf0.1; execution itself was sub-second). One ``F.expr`` per
-    plane is one round trip."""
-    return F.expr("array(" + ",".join(f"{float(s)}D" for s in srow) + ")")
+def _qv_sql(vec_col: str) -> str:
+    """SQL text of :func:`_quantize` over a named column — embedded
+    verbatim in every plane term so whole-stage codegen's
+    subexpression elimination computes it ONCE per row (identical
+    subtrees dedupe; a HOF lambda capturing it would re-evaluate it
+    per plane — measured 21 vs 12 s on the 200k-vector prune join)."""
+    return (
+        f"transform(transform({vec_col}, x -> CAST(x AS DOUBLE)), "
+        "x -> round(x * 1000000))"
+    )
 
 
-def _sign_matrix(signs: list[list[int]]) -> Column:
-    """The whole hyperplane family as ONE array<array<double>> SQL
-    literal — a single parsed expression, so a 64-plane family adds one
-    plan node instead of 64 independent fold trees (the other half of
-    the _sign_array lesson: plan ANALYSIS cost scales with node count,
-    and 128 fold subtrees cost ~4 s of driver time per query build)."""
-    return F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(s)}D" for s in srow) + ")"
-            for srow in signs
+def _bucket_sql(vec_col: str, signs: list[list[int]]) -> str:
+    """The UNROLLED bucket id as one SQL string: per plane, a
+    zip_with+aggregate dot fold against the sign literal (same fold
+    order as :func:`dot`, so bucket ids are bit-identical to the
+    Column-built form and to the DuckDB oracles), CASE'd to its 2^p
+    bit weight and summed.
+
+    Why a generated SQL string (the _pq_query_lut lesson, round 2 of
+    learning it): building this with the Column API costs one py4j
+    round trip PER element — 64 planes x 64 dims was ~7 s of pure
+    driver time per query build — while one F.expr is one round trip
+    and a millisecond JVM parse. And why UNROLLED rather than a
+    transform() over a sign-matrix literal: unrolled terms live in one
+    projection where codegen CSE hoists the shared quantize subtree,
+    but a lambda re-evaluates captured subtrees per element — the HOF
+    form was 1.75x slower on the 200k-vector prune join."""
+    qv = _qv_sql(vec_col)
+    terms = []
+    for p, srow in enumerate(signs):
+        arr = "array(" + ",".join(f"{float(s)}D" for s in srow) + ")"
+        proj = (
+            f"aggregate(zip_with({qv}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
         )
-        + ")"
-    )
-
-
-def _plane_bits(qv: Column, signs: list[list[int]]) -> Column:
-    """array<long> of sign bits, one per plane: bit p = 1 iff
-    dot(qv, plane_p) > 0. One transform over the sign-matrix literal —
-    the same fold arithmetic as the per-plane form (zip_with + sum in
-    identical order), evaluated as a JVM loop instead of 64 separate
-    expression trees."""
-    return F.transform(
-        _sign_matrix(signs),
-        lambda srow: F.when(dot(qv, srow) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-    )
-
-
-def _pow2_array(n: int) -> Column:
-    """[1L, 2L, 4L, ...] of length n — the positional bit weights used
-    to pack plane bits into a bucket id (b * 2^j == b << j exactly)."""
-    return F.expr("array(" + ",".join(f"{1 << j}L" for j in range(n)) + ")")
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p}L ELSE 0L END)")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _quantize(vec_col: Column | str) -> Column:
@@ -738,16 +732,7 @@ def hyperplane_lsh_buckets(
     family so multi-table LSH can slice disjoint plane sets.
     """
     signs = hyperplane_signs(dim, first_plane + planes, seed)[first_plane:]
-    qv = _quantize(vec_col)
-    bits = _plane_bits(qv, signs)
-    # bucket = sum_p bits[p] * 2^p, folded over the bits array in plane
-    # order (multiplication by a power-of-two literal IS the shiftleft)
-    # — one aggregate node instead of `planes` shiftleft terms
-    bucket = F.aggregate(
-        F.zip_with(bits, _pow2_array(planes), lambda b, w: b * w),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    bucket = F.expr(_bucket_sql(vec_col, signs))
     return df.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
 
 
@@ -768,26 +753,18 @@ def multi_table_buckets(
     embedding through (denormalized, the standard LSH index trade) so
     index lookups never join back to the corpus."""
     signs = hyperplane_signs(dim, tables * planes_per_table, seed)
-    qv = _quantize(vec_col)
-    bits = _plane_bits(qv, signs)
-    # table t's bucket packs its disjoint plane slice's bits:
-    # bucket_t = sum_j bits[t*P + j] << j — computed from the single
-    # bits array via slice + positional shift, then exploded to one
-    # (t, bucket) row per table. Same values, bit packing, and slice
-    # convention as the per-plane form; ~100x fewer plan nodes.
+    # one (t, bucket) struct per table, each bucket the unrolled SQL
+    # form over its disjoint plane slice (see _bucket_sql on why ONE
+    # generated SQL string beats both a lit() loop and a HOF)
     p = planes_per_table
-    tb = F.transform(
-        F.expr(f"sequence(0, {tables - 1})"),
-        lambda t: F.struct(
-            t.alias("t"),
-            F.aggregate(
-                F.zip_with(
-                    F.slice(bits, t * p + 1, p), _pow2_array(p), lambda b, w: b * w
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("bucket"),
-        ),
+    tb = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('t', {t}, "
+            f"'bucket', {_bucket_sql(vec_col, signs[t * p:(t + 1) * p])})"
+            for t in range(tables)
+        )
+        + ")"
     )
     cols = [F.col(id_col).alias("id"), F.explode(tb).alias("tb")]
     out = df.select(*cols, *([F.col(vec_col).alias("vec")] if keep_vec else []))
