@@ -62,12 +62,14 @@ STABLE_33 = STABLE_27 + [
     "quality_dsir_weights",
     "pretrain_pipeline_e2e",
 ]
-# r5 additions: the hashing-trick production twins and the LSH-indexed
-# margin miner (each beside its exact/brute twin already in the set).
+# r5 additions: the hashing-trick production twins, the LSH-indexed
+# margin miner (each beside its exact/brute twin already in the set),
+# and the bloom-prefiltered decontamination guard.
 ADDITIONS = [
     "quality_dsir_weights_hashed",
     "text_bigram_lm_hashed",
     "sim_margin_pairs_indexed",
+    "decontam_bloom_prefilter",
 ]
 HEADLINE = STABLE_33 + ADDITIONS
 

@@ -293,6 +293,10 @@ CORPUS_HINT_ALLOWED = {
     # hashed LM tables: <= 2048 (context) and <= 8192 (pair) rows by
     # moduli, at any corpus size
     "text_bigram_lm_hashed": 2,
+    # Bloom word table: <= ceil(65536/60) = 1093 rows by modulus, at
+    # any corpus size (the whole point of the bloom pre-filter)
+    "decontam_bloom_prefilter": 1,
+    "decontam_bloom_quality": 1,
 }
 
 
