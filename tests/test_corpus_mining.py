@@ -155,3 +155,41 @@ def test_dup_span_fuzz_parity(spark):
         for r in dup_span_frame(df).collect()
     }
     assert got == want and want  # nonempty by construction at this alphabet
+
+
+def test_bloom_prefilter_is_output_invariant(spark):
+    """The Bloom pre-filter must be a pure optimization: its final
+    contaminated-doc set equals the plain exact semi-join's (no false
+    negatives, and the exact verification removes the false
+    positives). Checked Spark-side against an independently built
+    exact join; the quality meter's n_false_positives must be >= 0 —
+    a negative value would mean the filter dropped a true member,
+    which the construction forbids."""
+    from pyspark.sql import functions as F
+
+    from etl_neotel_sql_automation_spark.workload import queries
+    from etl_neotel_sql_automation_spark.workload.corpus_mining import (
+        _CONTAM_N,
+        _windows_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    qs = queries()
+    got = {r["doc_id"] for r in qs["decontam_bloom_prefilter"](spark, sf).collect()}
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    g = _windows_frame(docs, span_n=_CONTAM_N).select("doc_id", "gram")
+    ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    exact = {
+        r["doc_id"]
+        for r in g.filter(F.col("doc_id") % 50 != 0)
+        .join(ev, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == exact and exact  # nonempty at sf0.001
+
+    meter = qs["decontam_bloom_quality"](spark, sf).collect()[0]
+    assert meter["n_false_positives"] >= 0
+    assert meter["n_candidates"] >= meter["n_true_shared"]
