@@ -44,7 +44,8 @@ def main() -> int:
     from etl_neotel_sql_automation_spark.session import get_spark
 
     spark = get_spark(app_name="plan_audit")
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    qs.update(bench.EXTRA_QUERIES)  # bench-only variants (xxhash64 twin)
     names = ONLY or bench.HEADLINE
     print(f"{'query':34} {'xchg':>4} {'bhj':>3} {'smj':>3} {'nlj':>3} {'cg':>3} {'py':>3} {'arrow':>5} pushdown")
     for name in names:
