@@ -65,7 +65,22 @@ def _spread_if_starved(df: DataFrame) -> DataFrame:
     splits than the session's cores. At 100 TB the corpus scan has
     thousands of splits, the condition is false, and NO extra exchange
     appears in the plan — this is the local-file twin of the knob
-    table in SCALING.md, not a pinned shuffle."""
+    table in SCALING.md, not a pinned shuffle. Both halves of the
+    claim are plan-asserted (tests/test_plans.py
+    test_spread_if_starved_*: a >=cores-split fixture gets no
+    Repartition node; a single-file fixture does).
+
+    The rule is deliberately UNIFORM across consumers rather than
+    gated per query: the exchange costs a starved scan one extra pass
+    over data that fits one row group (<=128 MB — bounded, ~0.25 s
+    measured on the cheapest consumer, dedup_fingerprint_docs at
+    sf0.1), while skipping it costs a compute-bound consumer up to
+    8x wall (quality_gopher_rules 1.61 -> 0.36 s, text_dup_span_stats
+    3.47 -> 1.02 s in BENCH_r05). A per-query opt-out would re-derive
+    "is my projection CPU-heavy?" at every call site and silently rot
+    as queries evolve; the worst case of the uniform rule is bounded
+    by the single-row-group size, the worst case of gating wrong is
+    a serialized pipeline."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         parts = df.rdd.getNumPartitions()

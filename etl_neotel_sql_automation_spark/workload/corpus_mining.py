@@ -1089,11 +1089,20 @@ def decontam_bloom_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-indexed margin mining: the production twin of the brute
 # |A| x |B| matrix. Candidates come from a multi-table hyperplane LSH
-# join (4 tables x 4 planes, disjoint slices of the global family —
+# join (24 tables x 4 planes, disjoint slices of the global family —
 # the exact machinery of ops.similarity.multi_table_buckets), and the
 # margin arithmetic is the SAME helper the brute twin runs.
+#
+# Knob history (recall of the exact top-20, metered by
+# sim_margin_quality's differential oracle — full sweep in SCALING.md):
+# 16x4 recalled 16/20 at both SFs (the r5 figure); 24x4 recalls 19/20
+# at sf0.01 and 20/20 at sf0.1 for ~1.2x the candidate volume
+# (1756/28140 candidate pairs vs 1467/... at 16x4). Margin pairs sit
+# in the top-1% of cosines (diagnosed r6: every missed pair was at
+# >=0.99 cosine percentile), so more tables attack both failure modes
+# at once — absent candidates AND neighborhood-sum distortion.
 
-_MT_TABLES = 16
+_MT_TABLES = 24
 _MT_PLANES = 4
 _SQL_QV = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
 _MARGIN_COS_U = (
@@ -1247,7 +1256,7 @@ def _margin_cand_frame(
 def sim_margin_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION twin of sim_margin_pairs: cross-label candidate
     pairs come from a multi-table hyperplane-LSH bucket equi-join
-    (16 tables x 4 disjoint plane slices — the same recall point as
+    (24 tables x 4 disjoint plane slices — the same recall point as
     the registered LSH near-dup family, via the machinery of
     ops.similarity.multi_table_buckets: deterministic md5-derived
     signs over integer-quantized projections so DuckDB replays the
@@ -1256,8 +1265,9 @@ def sim_margin_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _margin_topk helper the brute twin runs — neighborhood sums taken
     over the candidate set (the standard indexed-margin
     approximation; sim_margin_quality meters its recall against the
-    exact matrix every round — 0.80 of the exact top-20 at both
-    sf0.01 and sf0.1).
+    exact matrix every round — 0.95 of the exact top-20 at sf0.01 and
+    1.00 at sf0.1 with the 24x4 family; the 16x4 family of r5
+    measured 0.80 at both).
 
     Scale shape: bucket assignment is one codegen'd projection per
     side (no shuffle); the only pair-producing join is the (t, bucket)

@@ -473,3 +473,50 @@ def test_pushdown_reaches_scan(spark):
     # column pruning: the 4 unused lineitem columns must not be read
     read_schema = scan[scan.index("ReadSchema") :][:400]
     assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+def test_spread_if_starved_noop_on_multi_split_scan(spark, tmp_path):
+    """The at-scale no-op claim of _spread_if_starved
+    (workload/__init__.py): when the corpus scan already yields >=
+    defaultParallelism input partitions — the 100 TB case, where the
+    file layout has thousands of splits — table() must add NO
+    repartition exchange. Emulated locally by writing a >=cores-file
+    parquet and pinning openCostInBytes high enough that split
+    planning keeps one file per partition."""
+    from etl_neotel_sql_automation_spark import workload as W
+
+    cores = spark.sparkContext.defaultParallelism
+    fix = str(tmp_path / "multi")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(
+        cores * 2
+    ).write.parquet(f"{fix}/documents.parquet")
+    saved = spark.conf.get("spark.sql.files.openCostInBytes", None)
+    # one file per split: openCost >> maxPartitionBytes defeats packing
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 30))
+    try:
+        df = W.table(spark, fix, "documents")
+        assert df.rdd.getNumPartitions() >= cores
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        assert "Repartition" not in analyzed, analyzed
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.files.openCostInBytes", saved)
+        else:
+            spark.conf.unset("spark.sql.files.openCostInBytes")
+
+
+def test_spread_if_starved_spreads_single_file_scan(spark, tmp_path):
+    """The local counterpart: a single-file (single-row-group) corpus
+    scan yields one input partition, so table() must insert the
+    repartition that un-serializes tokenize/hash pipelines (measured
+    8x on the sf0.1 bigram-LM pass; see workload/__init__.py)."""
+    from etl_neotel_sql_automation_spark import workload as W
+
+    cores = spark.sparkContext.defaultParallelism
+    fix = str(tmp_path / "single")
+    spark.read.parquet(f"{SF}/documents.parquet").coalesce(1).write.parquet(
+        f"{fix}/documents.parquet"
+    )
+    df = W.table(spark, fix, "documents")
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in analyzed, analyzed
+    assert df.rdd.getNumPartitions() == cores
