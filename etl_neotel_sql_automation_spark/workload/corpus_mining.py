@@ -1129,11 +1129,19 @@ def _sql_slice_bucket(t: int, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _margin_sides_sql() -> str:
-    """The shared a/b population CTEs (vectors + quantized copies)."""
+def _margin_sides_sql(a_sample_mod: int | None = None) -> str:
+    """The shared a/b population CTEs (vectors + quantized copies).
+    ``a_sample_mod`` adds the deterministic md5 hash-sample predicate
+    to the a side — the sampled-metering recipe's only difference."""
+    samp = (
+        ""
+        if a_sample_mod is None
+        else f" AND CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {a_sample_mod} = 0"
+    )
     return f"""
     a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS av, {_SQL_QV} AS qv
-          FROM embeddings WHERE label = 0),
+          FROM embeddings WHERE label = 0{samp}),
     b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv, {_SQL_QV} AS qv
           FROM embeddings WHERE label = 1)"""
 
@@ -1189,11 +1197,30 @@ def _margin_rank_sql(mname: str, tag: str) -> str:
     )"""
 
 
+def _margin_sample_pred(mod: int):
+    """Deterministic md5 hash-sample predicate over vec_id — the Spark
+    twin of the ``a_sample_mod`` clause in :func:`_margin_sides_sql`
+    (same 15-hex-digit md5 prefix arithmetic, so both engines keep the
+    same endpoints)."""
+    return (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % mod
+        == 0
+    )
+
+
 def _margin_cand_frame(
-    spark: SparkSession, sf_dir: str, materialize: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    a_sample_mod: int | None = None,
 ) -> DataFrame:
     """(a_id, b_id, cos_u) over LSH candidates only — the indexed pair
     frame both the indexed query and the recall meter consume.
+    ``a_sample_mod`` restricts the a side to the deterministic hash
+    sample BEFORE bucket assignment — querying the production index
+    with a sampled endpoint set, the 100 TB metering recipe.
 
     ``materialize`` localCheckpoints the candidate matrix: the margin
     stage scans it three times (two neighborhood windows + the pair
@@ -1207,8 +1234,11 @@ def _margin_cand_frame(
     from ..ops import similarity as S
 
     emb = table(spark, sf_dir, "embeddings")
+    a_pop = emb.filter(F.col("label") == 0)
+    if a_sample_mod is not None:
+        a_pop = a_pop.filter(_margin_sample_pred(a_sample_mod))
     ta = S.multi_table_buckets(
-        emb.filter(F.col("label") == 0),
+        a_pop,
         tables=_MT_TABLES,
         planes_per_table=_MT_PLANES,
     ).select(F.col("id").alias("a_id"), "t", "bucket")
@@ -1222,7 +1252,7 @@ def _margin_cand_frame(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    av = emb.filter(F.col("label") == 0).select(
+    av = a_pop.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").cast("array<double>").alias("av"),
     ).withColumn("a_norm", norm(F.col("av")))
@@ -1337,6 +1367,97 @@ def sim_margin_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = _margin_topk(m).select("a_id", "b_id")
     indexed = _margin_topk(_margin_cand_frame(spark, sf_dir)).select("a_id", "b_id")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_indexed = indexed.agg(F.count("*").alias("n_indexed"))
+    n_matched = exact.join(indexed, ["a_id", "b_id"]).agg(
+        F.count("*").alias("n_matched")
+    )
+    return (
+        n_exact.crossJoin(n_indexed)
+        .crossJoin(n_matched)
+        .select(
+            "n_exact",
+            "n_indexed",
+            "n_matched",
+            F.expr("n_matched * 1000000 div n_exact").alias("recall_ppm"),
+        )
+    )
+
+
+_MARGIN_SAMPLE_MOD = 4
+
+
+@query(
+    "sim_margin_quality_sampled",
+    oracle="WITH"
+    + _margin_sides_sql(a_sample_mod=_MARGIN_SAMPLE_MOD)
+    + f""",
+    m AS (
+      SELECT a_id, b_id, {_MARGIN_COS_U} AS cos_u
+      FROM a CROSS JOIN b
+    ),"""
+    + _margin_cand_sql()
+    + ","
+    + _margin_rank_sql("m", "x")
+    + ","
+    + _margin_rank_sql("mi", "i")
+    + """
+    SELECT CAST((SELECT count(*) FROM topx) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM topi) AS BIGINT) AS n_indexed,
+           CAST((SELECT count(*) FROM topx JOIN topi USING (a_id, b_id))
+                AS BIGINT) AS n_matched,
+           CAST((SELECT count(*) FROM topx JOIN topi USING (a_id, b_id))
+                * 1000000 // (SELECT count(*) FROM topx) AS BIGINT)
+             AS recall_ppm
+    """,
+)
+def sim_margin_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAMPLED twin of sim_margin_quality — the exact-leg recipe
+    its docstring prescribes for 100 TB, registered and differentially
+    checked instead of merely asserted (the sim_ivf_pq_sampled
+    pattern, applied to metering instead of training): the a-side is
+    restricted to a deterministic md5 hash-sample (mod
+    4 = 25%) BEFORE the exact cross join, so the
+    validation pass scans |sample| x |B| instead of |A| x |B| — the
+    filter sits under the scan, plan-visibly (tests/test_plans.py) —
+    while the indexed leg queries the SAME production LSH index with
+    the sampled endpoint set. Both legs see the identical a
+    population, so the overlap of their top-20s is an unbiased
+    sampled estimate of production recall; at 100 TB you tighten the
+    modulus until the exact leg fits a validation budget, and the
+    estimate's variance shrinks with sample size.
+
+    Both sides stay deterministic in both engines (md5 sample
+    predicate, bit-exact buckets, micro-unit cosines, fully-tiebroken
+    top-k), so even the SAMPLED meter is differentially checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = (
+        emb.filter(F.col("label") == 0)
+        .filter(_margin_sample_pred(_MARGIN_SAMPLE_MOD))
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("embedding").cast("array<double>").alias("av"),
+        )
+        .withColumn("a_norm", norm(F.col("av")))
+    )
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").cast("array<double>").alias("bv"),
+    ).withColumn("b_norm", norm(F.col("bv")))
+    m = b.crossJoin(a).select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.round(dot(F.col("av"), F.col("bv")) / (F.col("a_norm") * F.col("b_norm")), 6)
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("cos_u"),
+    )
+    exact = _margin_topk(m).select("a_id", "b_id")
+    indexed = _margin_topk(
+        _margin_cand_frame(spark, sf_dir, a_sample_mod=_MARGIN_SAMPLE_MOD)
+    ).select("a_id", "b_id")
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_indexed = indexed.agg(F.count("*").alias("n_indexed"))
     n_matched = exact.join(indexed, ["a_id", "b_id"]).agg(

@@ -520,3 +520,45 @@ def test_spread_if_starved_spreads_single_file_scan(spark, tmp_path):
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "Repartition" in analyzed, analyzed
     assert df.rdd.getNumPartitions() == cores
+
+
+@pytest.mark.parametrize(
+    "name", ["sim_margin_quality_sampled", "dedup_semantic_quality_sampled"]
+)
+def test_sampled_meters_filter_below_the_exact_join(spark, name):
+    """The sampled quality meters' 100 TB claim: the md5 hash-sample
+    filter must sit BELOW the exact leg's pair join (sample x corpus
+    scanned, not corpus x corpus filtered after the fact). Every
+    nested-loop/cartesian node in the physical plan must have an
+    md5-sample Filter somewhere in its subtree — the deepest one IS
+    the exact-leg join, so a filter floating above it fails here."""
+    df = queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def node_is_md5_filter(node):
+        cls = node.getClass().getSimpleName()
+        return cls == "Filter" and "md5" in node.simpleString(100)
+
+    def subtree_has_md5_filter(node):
+        if node_is_md5_filter(node):
+            return True
+        ch = node.children()
+        return any(subtree_has_md5_filter(ch.apply(i)) for i in range(ch.size()))
+
+    bad, seen = [], [0]
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        # pair joins are the non-equi ones: Cross, or Inner with an
+        # inequality-only condition (the id < id exact self-join)
+        if cls == "Join" and " = " not in node.simpleString(100):
+            seen[0] += 1
+            if not subtree_has_md5_filter(node):
+                bad.append(node.simpleString(100))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    assert seen[0] >= 1, "expected an exact-leg pair join in the plan"
+    assert not bad, f"pair joins without the sample filter below: {bad}"
