@@ -62,16 +62,33 @@ STABLE_33 = STABLE_27 + [
     "quality_dsir_weights",
     "pretrain_pipeline_e2e",
 ]
-# r5 additions: the hashing-trick production twins, the LSH-indexed
-# margin miner (each beside its exact/brute twin already in the set),
-# and the bloom-prefiltered decontamination guard.
-ADDITIONS = [
+STABLE_37 = STABLE_33 + [
+    # the r5 freeze: hashing-trick production twins, the LSH-indexed
+    # margin miner (each beside its exact/brute twin already in the
+    # set), and the bloom-prefiltered decontamination guard
     "quality_dsir_weights_hashed",
     "text_bigram_lm_hashed",
     "sim_margin_pairs_indexed",
     "decontam_bloom_prefilter",
 ]
-HEADLINE = STABLE_33 + ADDITIONS
+# r6 additions: the sampled twins of the exact quality-meter legs —
+# the 100 TB metering recipe as executable queries.
+ADDITIONS = [
+    "sim_margin_quality_sampled",
+    "dedup_semantic_quality_sampled",
+]
+HEADLINE = STABLE_37 + ADDITIONS
+
+# Queries that run Spark jobs DURING plan construction (quantizer
+# training, candidate-matrix localCheckpoint): bench reports their
+# construct/exec split separately so a regression is attributable to
+# the right stage. `queries` values stay construct+exec totals, so
+# every historical BENCH_r{N}.json remains comparable.
+CONSTRUCT_SPLIT = {
+    "sim_ivf_pq_sampled",
+    "sim_margin_pairs_indexed",
+    "sim_margin_quality_sampled",
+}
 
 
 def _minhash_xxhash64(spark, sf_dir):
@@ -125,12 +142,18 @@ def main() -> None:
     # both produced ordering-biased readings that contradicted
     # controlled A/B measurement (ops/hashing.py).
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    construct: dict[str, float] = {}
     for pass_i in range(3):
         order = HEADLINE if pass_i % 2 == 0 else list(reversed(HEADLINE))
         for name in order:
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            times[name] = min(times[name], time.perf_counter() - t0)
+            df = qs[name](spark, sf_dir)
+            t1 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            if t2 - t0 < times[name]:
+                times[name] = t2 - t0
+                construct[name] = t1 - t0
     times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
@@ -145,6 +168,14 @@ def main() -> None:
                 # frozen-set sums for round-over-round comparability
                 "stable27_seconds": round(sum(times[n] for n in STABLE_27), 3),
                 "stable33_seconds": round(sum(times[n] for n in STABLE_33), 3),
+                "stable37_seconds": round(sum(times[n] for n in STABLE_37), 3),
+                # construct-vs-exec split for the training-at-construct
+                # entries (times[n] == construct + exec for these too)
+                "construct_seconds": {
+                    n: round(construct[n], 3)
+                    for n in sorted(CONSTRUCT_SPLIT)
+                    if n in construct
+                },
             }
         )
     )

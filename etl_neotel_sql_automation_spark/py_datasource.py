@@ -126,10 +126,28 @@ class JsonlShardWriter(DataSourceWriter):
     (:func:`read_jsonl_manifest`), not a glob: a glob can see files a
     failed job left behind; the manifest names only committed shards.
     ``abort`` removes reported temps and sweeps the rest — no partial
-    attempt ever occupies a final shard name."""
+    attempt ever occupies a final shard name.
 
-    def __init__(self, path: str) -> None:
+    Concurrency contract: temp names carry a per-JOB token, so the
+    commit/abort sweep removes only THIS job's dead attempts — a
+    concurrent job writing the same directory keeps its in-flight
+    temps (final-shard publication is still last-writer-wins on
+    name collisions, as with any file sink; the manifest always
+    reflects the job that sealed it last).
+
+    Overwrite contract: prior shards are NOT deleted at planning
+    time. ``commit`` first publishes the new winners (same-name
+    shards are atomically replaced), then removes stale shards that
+    are not part of the new write, then seals the manifest — so a
+    job that fails mid-run leaves the OLD dataset fully intact and
+    readable through its old manifest."""
+
+    def __init__(self, path: str, overwrite: bool = False) -> None:
+        import uuid
+
         self._path = path
+        self._overwrite = overwrite
+        self._token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> JsonlShardCommit:
         import json
@@ -140,7 +158,9 @@ class JsonlShardWriter(DataSourceWriter):
         ctx = TaskContext.get()
         pid, attempt = ctx.partitionId(), ctx.taskAttemptId()
         os.makedirs(self._path, exist_ok=True)
-        tmp = os.path.join(self._path, f"part-{pid:05d}-{attempt}.jsonl.tmp")
+        tmp = os.path.join(
+            self._path, f"part-{pid:05d}-{attempt}-{self._token}.jsonl.tmp"
+        )
         n = 0
         with open(tmp, "w", encoding="utf-8") as f:
             for row in iterator:
@@ -149,10 +169,13 @@ class JsonlShardWriter(DataSourceWriter):
         return JsonlShardCommit(tmp, n, pid)
 
     def _sweep_tmps(self) -> None:
+        """Remove THIS job's dead attempts only (the job token scopes
+        the glob) — a concurrent writer's in-flight temps survive."""
         import glob
         import os
 
-        for stray in glob.glob(os.path.join(self._path, "part-*.jsonl.tmp")):
+        pat = os.path.join(self._path, f"part-*-{self._token}.jsonl.tmp")
+        for stray in glob.glob(pat):
             try:
                 os.remove(stray)
             except OSError:
@@ -169,6 +192,19 @@ class JsonlShardWriter(DataSourceWriter):
             final = os.path.join(self._path, f"part-{m.pid:05d}.jsonl")
             os.replace(m.path, final)  # atomic publish of the winner
             shards.append({"path": os.path.basename(final), "rows": m.rows})
+        if self._overwrite:
+            # deferred overwrite cleanup: only now that every winner is
+            # published do stale shards from the PRIOR dataset go — a
+            # failure anywhere above leaves the old data untouched
+            import glob
+
+            keep = {s["path"] for s in shards}
+            for old in glob.glob(os.path.join(self._path, "part-*.jsonl")):
+                if os.path.basename(old) not in keep:
+                    try:
+                        os.remove(old)
+                    except OSError:
+                        pass
         self._sweep_tmps()  # losers of speculative races / dead attempts
         manifest = {
             "shards": sorted(shards, key=lambda s: s["path"]),
@@ -203,10 +239,12 @@ class JsonlShardsDataSource(DataSource):
         return "jsonl_shards"
 
     def writer(self, schema, overwrite: bool) -> JsonlShardWriter:
-        """Driver-side write setup. ``overwrite`` is HONORED: an
-        overwrite clears prior shards and manifest before any task
-        runs (so the manifest can never disagree with the directory);
-        a non-overwrite write into a directory that already holds
+        """Driver-side write setup. ``overwrite`` is HONORED but
+        DEFERRED: nothing is deleted at planning time — ``commit``
+        publishes the new winners first and only then removes stale
+        prior shards, so a failed overwrite never destroys the old
+        dataset (it stays readable through its old manifest). A
+        non-overwrite write into a directory that already holds
         shards raises instead of silently mixing old and new data."""
         import glob
         import os
@@ -216,29 +254,47 @@ class JsonlShardsDataSource(DataSource):
             raise ValueError("jsonl_shards requires .option('path', ...)")
         os.makedirs(path, exist_ok=True)
         existing = glob.glob(os.path.join(path, "part-*.jsonl"))
-        if overwrite:
-            for f in existing:
-                os.remove(f)
-            mf = os.path.join(path, "_MANIFEST.json")
-            if os.path.exists(mf):
-                os.remove(mf)
-        elif existing:
+        if not overwrite and existing:
             raise ValueError(
                 f"jsonl_shards: {path} already holds {len(existing)} shard(s); "
                 "use .mode('overwrite') or a fresh directory"
             )
-        return JsonlShardWriter(path)
+        return JsonlShardWriter(path, overwrite=overwrite)
 
 
-def read_jsonl_manifest(spark, path: str):
+def read_jsonl_manifest(spark, path: str, schema=None):
     """Read back a jsonl_shards directory THROUGH ITS MANIFEST: loads
     exactly the shards the committed write sealed, never whatever a
     glob happens to see (stray files from a failed or concurrent job).
-    This is the reader contract of the sink."""
+    This is the reader contract of the sink.
+
+    Always returns a DataFrame: a committed-but-empty write (zero
+    shards) yields an empty frame — from ``schema`` when given (DDL
+    string or StructType), else with the manifest's recorded schema
+    absent, an empty ``spark.read.json`` result. A directory with no
+    manifest at all raises with the commit contract named, instead of
+    a bare FileNotFoundError."""
     import json
     import os
 
-    with open(os.path.join(path, "_MANIFEST.json")) as f:
-        manifest = json.load(f)
+    mf = os.path.join(path, "_MANIFEST.json")
+    try:
+        with open(mf) as f:
+            manifest = json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"jsonl_shards: no _MANIFEST.json in {path} — the directory was "
+            "never sealed by a committed jsonl_shards write (a failed or "
+            "in-flight job leaves only part-*.jsonl.tmp attempts); only "
+            "committed directories are readable through the manifest contract"
+        ) from None
     files = [os.path.join(path, s["path"]) for s in manifest["shards"]]
-    return spark.read.json(files) if files else None
+    if files:
+        return (
+            spark.read.schema(schema).json(files)
+            if schema is not None
+            else spark.read.json(files)
+        )
+    if schema is not None:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame([], "corrupt_record string")

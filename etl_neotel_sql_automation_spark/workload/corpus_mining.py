@@ -663,7 +663,13 @@ def quality_dsir_weights_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any corpus size), one combinable per-doc BIGINT aggregation.
     Memory per executor is O(buckets), independent of the corpus.
     """
-    docs = table(spark, sf_dir, "documents")
+    return dsir_hashed_frame(table(spark, sf_dir, "documents"))
+
+
+def dsir_hashed_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of quality_dsir_weights_hashed over any
+    (doc_id, source, text) frame — shared by the registered query and
+    the scaling probe (tools/scale_hashed_probe.py)."""
     bucket = (
         F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
         % _DSIR_BUCKETS
@@ -855,15 +861,18 @@ def _probe_sql(i: int) -> str:
     )
 
 
-def _probe_col(i: int):
-    """Spark twin of :func:`_probe_sql` (same md5 arithmetic)."""
+def _probe_col(i: int, bits: int = _BLOOM_BITS):
+    """Spark twin of :func:`_probe_sql` (same md5 arithmetic).
+    ``bits`` overrides the filter size for the scaling probe, which
+    applies the documented deploy rule — size m to the eval corpus so
+    kn/m (and the FP rate) stays constant as the eval set grows."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(F.col("gram"), F.lit(f":{i}"))), 1, 15),
             16,
             10,
         ).cast("long")
-        % _BLOOM_BITS
+        % bits
     )
 
 
@@ -911,12 +920,19 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     the explicit form of the runtime bloom-join pruning Spark injects
     for big scans (tests/test_plans.py exercises the automatic one).
     """
-    docs = table(spark, sf_dir, "documents")
+    return bloom_prefilter_frame(table(spark, sf_dir, "documents"))
+
+
+def bloom_prefilter_frame(docs: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
+    """Frame-level body of decontam_bloom_prefilter over any
+    (doc_id, text) frame — shared by the registered query and the
+    scaling probe (tools/scale_hashed_probe.py), which sizes ``bits``
+    to the synthetic eval corpus per the docstring's deploy rule."""
     g = _windows_frame(docs, span_n=_CONTAM_N).select("doc_id", "gram")
     ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     tg = g.filter(F.col("doc_id") % 50 != 0)
 
-    probes = F.array(*[_probe_col(i) for i in range(_BLOOM_K)])
+    probes = F.array(*[_probe_col(i, bits) for i in range(_BLOOM_K)])
     # build: <= ceil(m / 60) = 1093 words, bounded by the modulus —
     # the pinned broadcast below is the fixed-memory production shape
     words = (
@@ -1028,12 +1044,19 @@ def decontam_bloom_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the eval corpus (which is benchmark-sized, NOT train-sized, so
     the table stays broadcastable by construction).
     """
-    docs = table(spark, sf_dir, "documents")
+    return bloom_fp_frame(table(spark, sf_dir, "documents"))
+
+
+def bloom_fp_frame(docs: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame:
+    """Frame-level body of decontam_bloom_quality over any
+    (doc_id, text) frame — shared by the registered query and the
+    scaling probe (which records fp_ppm at every scale, sizing
+    ``bits`` to the eval corpus per the deploy rule)."""
     g = _windows_frame(docs, span_n=_CONTAM_N).select("doc_id", "gram")
     ev = g.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     tgd = g.filter(F.col("doc_id") % 50 != 0).select("gram").distinct()
 
-    probes = F.array(*[_probe_col(i) for i in range(_BLOOM_K)])
+    probes = F.array(*[_probe_col(i, bits) for i in range(_BLOOM_K)])
     words = (
         ev.select(F.explode(probes).alias("idx"))
         .select(
@@ -1089,21 +1112,24 @@ def decontam_bloom_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-indexed margin mining: the production twin of the brute
 # |A| x |B| matrix. Candidates come from a multi-table hyperplane LSH
-# join (24 tables x 4 planes, disjoint slices of the global family —
+# join (16 tables x 3 planes, disjoint slices of the global family —
 # the exact machinery of ops.similarity.multi_table_buckets), and the
 # margin arithmetic is the SAME helper the brute twin runs.
 #
 # Knob history (recall of the exact top-20, metered by
 # sim_margin_quality's differential oracle — full sweep in SCALING.md):
-# 16x4 recalled 16/20 at both SFs (the r5 figure); 24x4 recalls 19/20
-# at sf0.01 and 20/20 at sf0.1 for ~1.2x the candidate volume
-# (1756/28140 candidate pairs vs 1467/... at 16x4). Margin pairs sit
-# in the top-1% of cosines (diagnosed r6: every missed pair was at
-# >=0.99 cosine percentile), so more tables attack both failure modes
-# at once — absent candidates AND neighborhood-sum distortion.
+# 16x4 recalled 16/20 at both SFs (the r5 figure). Diagnosis: every
+# missed pair sat at >=0.99 cosine percentile and half were
+# in-candidates-but-ranked-out (neighborhood-sum distortion), so more
+# candidate mass attacks both failure modes at once. 24x4 recalls
+# 19/20 + 20/20 for 3.0 s best-of-3 at sf0.1; 16x3 recalls
+# 20/20 + 19/20 for 2.2 s (and its 16-table oracle SQL is ~2.5x
+# cheaper in DuckDB) — chosen. Both meet the >=0.90 target at both
+# SFs; at 100 TB planes scale with log2(population) regardless (the
+# occupancy rule, tools/scale_hashed_probe.py).
 
-_MT_TABLES = 24
-_MT_PLANES = 4
+_MT_TABLES = 16
+_MT_PLANES = 3
 _SQL_QV = "list_transform(CAST(embedding AS DOUBLE[]), x -> round(x * 1000000))"
 _MARGIN_COS_U = (
     "CAST(round(round(list_cosine_similarity(a.av, b.bv), 6)"
@@ -1210,9 +1236,10 @@ def _margin_sample_pred(mod: int):
     )
 
 
-def _margin_cand_frame(
-    spark: SparkSession,
-    sf_dir: str,
+def margin_cand_frame_from(
+    emb: DataFrame,
+    tables: int = _MT_TABLES,
+    planes: int = _MT_PLANES,
     materialize: bool = True,
     a_sample_mod: int | None = None,
 ) -> DataFrame:
@@ -1221,6 +1248,9 @@ def _margin_cand_frame(
     ``a_sample_mod`` restricts the a side to the deterministic hash
     sample BEFORE bucket assignment — querying the production index
     with a sampled endpoint set, the 100 TB metering recipe.
+    ``tables``/``planes`` are the registered knobs, overridable so the
+    scaling probe (tools/scale_hashed_probe.py) can apply the deploy
+    rule — planes track log2(corpus) so bucket occupancy stays flat.
 
     ``materialize`` localCheckpoints the candidate matrix: the margin
     stage scans it three times (two neighborhood windows + the pair
@@ -1233,19 +1263,18 @@ def _margin_cand_frame(
     table. Plan tests pass materialize=False to see the join shape."""
     from ..ops import similarity as S
 
-    emb = table(spark, sf_dir, "embeddings")
     a_pop = emb.filter(F.col("label") == 0)
     if a_sample_mod is not None:
         a_pop = a_pop.filter(_margin_sample_pred(a_sample_mod))
     ta = S.multi_table_buckets(
         a_pop,
-        tables=_MT_TABLES,
-        planes_per_table=_MT_PLANES,
+        tables=tables,
+        planes_per_table=planes,
     ).select(F.col("id").alias("a_id"), "t", "bucket")
     tb = S.multi_table_buckets(
         emb.filter(F.col("label") == 1),
-        tables=_MT_TABLES,
-        planes_per_table=_MT_PLANES,
+        tables=tables,
+        planes_per_table=planes,
     ).select(F.col("id").alias("b_id"), "t", "bucket")
     cand = (
         ta.join(tb, ["t", "bucket"])
@@ -1273,6 +1302,30 @@ def _margin_cand_frame(
     return m.localCheckpoint() if materialize else m
 
 
+def _margin_cand_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: bool = True,
+    a_sample_mod: int | None = None,
+) -> DataFrame:
+    """Registered-query wrapper of :func:`margin_cand_frame_from` over
+    the testdata embeddings table at the registered knobs."""
+    return margin_cand_frame_from(
+        table(spark, sf_dir, "embeddings"),
+        materialize=materialize,
+        a_sample_mod=a_sample_mod,
+    )
+
+
+def margin_indexed_frame(
+    emb: DataFrame, tables: int = _MT_TABLES, planes: int = _MT_PLANES
+) -> DataFrame:
+    """Frame-level entry of sim_margin_pairs_indexed for the scaling
+    probe: LSH candidates -> exact cosines on candidates -> margin
+    top-k, over any (vec_id, embedding, label) frame."""
+    return _margin_topk(margin_cand_frame_from(emb, tables=tables, planes=planes))
+
+
 @query(
     "sim_margin_pairs_indexed",
     oracle="WITH"
@@ -1286,7 +1339,7 @@ def _margin_cand_frame(
 def sim_margin_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION twin of sim_margin_pairs: cross-label candidate
     pairs come from a multi-table hyperplane-LSH bucket equi-join
-    (24 tables x 4 disjoint plane slices — the same recall point as
+    (16 tables x 3 disjoint plane slices — the same recall point as
     the registered LSH near-dup family, via the machinery of
     ops.similarity.multi_table_buckets: deterministic md5-derived
     signs over integer-quantized projections so DuckDB replays the
@@ -1295,8 +1348,8 @@ def sim_margin_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     _margin_topk helper the brute twin runs — neighborhood sums taken
     over the candidate set (the standard indexed-margin
     approximation; sim_margin_quality meters its recall against the
-    exact matrix every round — 0.95 of the exact top-20 at sf0.01 and
-    1.00 at sf0.1 with the 24x4 family; the 16x4 family of r5
+    exact matrix every round — 1.00 of the exact top-20 at sf0.01 and
+    0.95 at sf0.1 with the 16x3 family; the 16x4 family of r5
     measured 0.80 at both).
 
     Scale shape: bucket assignment is one codegen'd projection per

@@ -496,7 +496,13 @@ def text_bigram_lm_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Executor memory is O(buckets), independent of the corpus — this is
     the shape a KenLM-style perplexity gate actually ships with.
     """
-    docs = table(spark, sf_dir, "documents")
+    return bigram_lm_hashed_frame(table(spark, sf_dir, "documents"))
+
+
+def bigram_lm_hashed_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of text_bigram_lm_hashed over any
+    (doc_id, text) frame — shared by the registered query and the
+    scaling probe (tools/scale_hashed_probe.py)."""
     toks = X.tokens(F.col("text"))
     cnt = F.size(toks)
     idx = F.when(cnt >= 2, F.sequence(F.lit(1), cnt - 1)).otherwise(

@@ -123,3 +123,47 @@ def test_jsonl_shards_overwrite_and_append_guard(spark, tmp_path):
 
     with pytest.raises(AnalysisException, match="already holds"):
         docs.write.format("jsonl_shards").option("path", out).mode("append").save()
+
+
+def test_jsonl_manifest_reader_contract_edges(spark, tmp_path):
+    """The r5-advice contract fixes: (a) a committed EMPTY write reads
+    back as an empty DataFrame (with the caller's schema when given),
+    never None; (b) an unsealed directory raises an error naming the
+    commit contract, not a bare FileNotFoundError; (c) the commit
+    sweep is scoped to THIS job's token — a concurrent job's in-flight
+    temp attempt survives someone else's commit."""
+    import pytest
+
+    from etl_neotel_sql_automation_spark.py_datasource import (
+        JsonlShardsDataSource,
+        read_jsonl_manifest,
+    )
+
+    spark.dataSource.register(JsonlShardsDataSource)
+    out = str(tmp_path / "empty_shards")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # (c): plant a foreign job's in-flight temp before our write
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    foreign = os.path.join(out, "part-00000-999-deadbeef0000.jsonl.tmp")
+    open(foreign, "w").write('{"doc_id": 1}\n')
+
+    # (a): zero-row write commits an empty manifest
+    docs.filter("doc_id < 0").write.format("jsonl_shards").option(
+        "path", out
+    ).mode("append").save()
+    back = read_jsonl_manifest(spark, out, schema="doc_id bigint, text string")
+    assert back.count() == 0
+    assert [f.name for f in back.schema.fields] == ["doc_id", "text"]
+    assert read_jsonl_manifest(spark, out).count() == 0  # schema-less: still a DF
+
+    assert os.path.exists(foreign)  # (c): foreign temp survived our commit
+
+    # (b): unsealed directory names the contract
+    raw = str(tmp_path / "never_committed")
+    os.makedirs(raw)
+    with pytest.raises(FileNotFoundError, match="never sealed"):
+        read_jsonl_manifest(spark, raw)
