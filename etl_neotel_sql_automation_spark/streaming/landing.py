@@ -455,6 +455,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _doc_grams(df: DataFrame, contam_n: int = 4) -> DataFrame:
+    """(doc_id, gram) sliding token windows — the shared gram builder
+    of both contamination guards (identical to the batch
+    _windows_frame shape at the guard's n)."""
+    from ..ops.text import tokens
+
+    toks = tokens(F.col("text"))
+    cnt = F.size(toks)
+    idx = F.when(
+        cnt >= contam_n, F.sequence(F.lit(1), cnt - (contam_n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select(
+        "doc_id", toks.alias("toks"), F.explode(idx).alias("pos")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), contam_n)).alias(
+            "gram"
+        ),
+    )
+
+
 def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingestion guard: documents stream in and any doc
     sharing a 4-gram window with the STATIC eval slice (doc_id ≡ 0
@@ -471,9 +492,6 @@ def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     land), and contaminated docs divert to quarantine instead of the
     training corpus.
     """
-    from ..ops.text import tokens
-
-    contam_n = 4
     docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     src = (
         spark.readStream.schema(docs_schema)
@@ -481,31 +499,106 @@ def stream_contamination_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
 
-    def grams(df: DataFrame) -> DataFrame:
-        toks = tokens(F.col("text"))
-        cnt = F.size(toks)
-        idx = F.when(cnt >= contam_n, F.sequence(F.lit(1), cnt - (contam_n - 1))).otherwise(
-            F.array().cast("array<int>")
-        )
-        return df.select(
-            "doc_id", toks.alias("toks"), F.explode(idx).alias("pos")
-        ).select(
-            "doc_id",
-            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), contam_n)).alias("gram"),
-        )
-
-    static_eval = grams(
+    static_eval = _doc_grams(
         spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
             F.col("doc_id") % 50 == 0
         )
     ).select("gram").distinct()
     flagged = (
-        grams(src.filter(F.col("doc_id") % 50 != 0))
+        _doc_grams(src.filter(F.col("doc_id") % 50 != 0))
         .join(static_eval, "gram", "left_semi")
         .dropDuplicates(["doc_id"])
         .select("doc_id")
     )
     name = f"contam_guard_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def stream_contamination_guard_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLOOM-PREFILTERED streaming twin of
+    :func:`stream_contamination_guard` — completing the batch/stream
+    pairing of decontam_bloom_prefilter: the static eval gram set
+    builds the fixed-size 60-bit-word Bloom table ONCE (<= 1093 rows
+    by modulus, the construction bound that makes its broadcast
+    legitimate at any corpus size), every streamed gram is screened
+    scan-side through 3 stateless broadcast word-lookups (one per md5
+    probe — no explode+groupBy, which would be a stateful streaming
+    aggregation; the k probes become k tiny equi-joins instead), and
+    only the surviving candidates reach the exact stream-static
+    semi-join. A Bloom filter has no false negatives, so the flagged
+    doc set is IDENTICAL to the unfiltered guard's — same oracle, the
+    same output-invariance argument as the batch twin (whose FP rate
+    decontam_bloom_quality meters differentially every round).
+
+    Scale: at 100 TB the ~100% of clean streamed grams stop at the
+    broadcast screen and never reach the semi-join's exchange; the
+    word table rebuilds between micro-batches when the blocklist
+    updates, exactly like the gram set it summarizes.
+    """
+    from ..workload.corpus_mining import (
+        _BLOOM_K,
+        _BLOOM_WBITS,
+        _probe_col,
+    )
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+    static_eval = _doc_grams(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 50 == 0
+        )
+    ).select("gram").distinct()
+    probes = F.array(*[_probe_col(i) for i in range(_BLOOM_K)])
+    words = (
+        static_eval.select(F.explode(probes).alias("idx"))
+        .select(
+            F.expr(f"idx div {_BLOOM_WBITS}").alias("w"),
+            F.expr(f"CAST(idx % {_BLOOM_WBITS} AS INT)").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(shiftleft(1L, b))").alias("bits"))
+    )
+
+    g = _doc_grams(src.filter(F.col("doc_id") % 50 != 0))
+    for i in range(_BLOOM_K):
+        g = g.withColumn(f"idx{i}", _probe_col(i))
+        wtab = words.select(
+            F.col("w").alias(f"w{i}"), F.col("bits").alias(f"bits{i}")
+        )
+        g = g.join(
+            F.broadcast(wtab),
+            F.expr(f"idx{i} div {_BLOOM_WBITS}") == F.col(f"w{i}"),
+            "left",
+        ).filter(
+            F.expr(
+                f"bits{i} IS NOT NULL AND "
+                f"(bits{i} & shiftleft(1L, CAST(idx{i} % {_BLOOM_WBITS} AS INT))) != 0"
+            )
+        )
+    flagged = (
+        g.select("doc_id", "gram")
+        .join(static_eval, "gram", "left_semi")
+        .dropDuplicates(["doc_id"])
+        .select("doc_id")
+    )
+    name = f"contam_guard_bloom_{uuid.uuid4().hex[:8]}"
     q = (
         flagged.writeStream.outputMode("append")
         .format("memory")

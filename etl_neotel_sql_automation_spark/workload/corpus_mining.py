@@ -1560,6 +1560,22 @@ def streaming_contam_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_contamination_guard(spark, sf_dir)
 
 
+@query("streaming_contam_guard_bloom", oracle=_CONTAM_GUARD_ORACLE)
+def streaming_contam_guard_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of
+    streaming.landing.stream_contamination_guard_bloom (see that
+    docstring): the bloom-prefiltered streaming decontamination guard,
+    completing the batch/stream pairing of decontam_bloom_prefilter.
+    The Bloom screen is output-invariant (no false negatives), so this
+    runs against the SAME exact-join oracle as both the plain
+    streaming guard and the batch prefilter — the scale optimization
+    is differentially proven, not asserted, in the streaming plan
+    too."""
+    from ..streaming.landing import stream_contamination_guard_bloom
+
+    return stream_contamination_guard_bloom(spark, sf_dir)
+
+
 @query(
     "text_dup_span_removal",
     oracle=f"""

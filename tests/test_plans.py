@@ -63,6 +63,7 @@ TRIPWIRE_EXCLUDED = frozenset({
     "sim_pq_topk",
     "streaming_anti_join_new_users",
     "streaming_contam_guard",
+    "streaming_contam_guard_bloom",
     "streaming_dedup_events",
     "streaming_events_hourly",
     "streaming_session_dynamic",

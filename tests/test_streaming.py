@@ -170,6 +170,25 @@ def test_contam_guard_stream_equals_batch(spark):
     assert got == want and got
 
 
+def test_contam_guard_bloom_stream_is_output_invariant(spark):
+    """The bloom-prefiltered streaming guard must emit EXACTLY the
+    plain streaming guard's doc set (no false negatives => the screen
+    is output-invariant) — the streaming half of the batch invariance
+    test in test_corpus_mining; its shared DuckDB oracle runs in
+    check_oracle."""
+    from etl_neotel_sql_automation_spark.streaming.landing import (
+        stream_contamination_guard,
+        stream_contamination_guard_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"] for r in stream_contamination_guard_bloom(spark, sf).collect()
+    }
+    want = {r["doc_id"] for r in stream_contamination_guard(spark, sf).collect()}
+    assert got == want and got
+
+
 def test_streaming_observe_metrics(spark):
     """df.observe works on STREAMING frames: per-micro-batch metric
     rows surface in StreamingQueryProgress.observedMetrics — the
