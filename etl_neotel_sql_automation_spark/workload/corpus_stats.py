@@ -913,3 +913,108 @@ def emb_intrinsic_dim_two_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_lnmu_unats",
         F.expr("round(n_points * 1.0e6 / sum_lnmu_unats, 6)").alias("id_est"),
     )
+
+
+# --- Count-min-sketch heavy hitters: the bounded-memory frequency
+# sketch (Cormode & Muthukrishnan 2005), built natively in DataFrame
+# integer arithmetic like the Bloom decontamination filter — md5
+# row-hashes so DuckDB replays the ENTIRE sketch (every bucket count
+# and therefore every estimate and every overestimate) bit-for-bit,
+# which Spark's JVM-internal count_min_sketch() cannot offer.
+
+_CMS_D = 4      # hash rows
+_CMS_W = 1024   # buckets per row
+
+
+def _cms_bucket_sql(term_expr: str) -> str:
+    """DuckDB bucket id of ``term_expr`` for CMS row ``r`` (column in
+    scope) — the literal twin of the Spark probe below."""
+    return (
+        f"CAST(('0x' || substr(md5({term_expr} || ':cms' || r), 1, 15))"
+        f" AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "text_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    pr AS (SELECT term, unnest([0, 1, 2, 3]) AS r FROM tok),
+    tb AS (SELECT r, {_cms_bucket_sql('term')} AS b FROM pr),
+    sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS cnt FROM tb GROUP BY r, b),
+    exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+              FROM tok GROUP BY term),
+    top AS (SELECT term, n_exact FROM exact
+            ORDER BY n_exact DESC, term LIMIT 20),
+    cand AS (SELECT term, n_exact, unnest([0, 1, 2, 3]) AS r FROM top),
+    cj AS (SELECT term, n_exact, r, {_cms_bucket_sql('term')} AS b FROM cand),
+    est AS (
+      SELECT cj.term, cj.n_exact, CAST(min(sk.cnt) AS BIGINT) AS n_cms_est
+      FROM cj JOIN sk USING (r, b)
+      GROUP BY cj.term, cj.n_exact
+    )
+    SELECT term, n_exact, n_cms_est,
+           (n_cms_est - n_exact) * 1000000 // n_exact AS overest_ppm
+    FROM est
+    ORDER BY n_exact DESC, term
+    """,
+)
+def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token frequencies through a COUNT-MIN SKETCH with
+    its error differentially metered: the token stream feeds a
+    4 x 1024 sketch (4 md5-salted row hashes, counts bucketed mod
+    1024), the exact top-20 tokens are then estimated FROM THE SKETCH
+    (min over the 4 row counts — the CMS point query), and each row
+    reports estimate vs exact truth as an overestimate in ppm. CMS
+    never underestimates (every bucket count >= the true count of
+    every term in it), so ``overest_ppm >= 0`` is a structural
+    invariant — the one-sided-error analog of the Bloom filter's
+    no-false-negatives, and like the Bloom filter the whole sketch is
+    md5-derived BIGINT arithmetic that DuckDB replays bit-for-bit,
+    estimates, errors and all.
+
+    Scale shape: the sketch build is ONE pass — tokenize once, then a
+    4-way posexplode of small ints (the expand happens AFTER the
+    expensive projection, the grouping-sets lesson) into a
+    map-side-combinable count whose state is <= 4096 (r, b) cells at
+    ANY corpus size; that modulus bound makes the sketch's pinned
+    broadcast legitimate (CORPUS_HINT_ALLOWED). The exact top-20 leg
+    is the local VALIDATION twin — at 100 TB the candidate set comes
+    from a hash-sample or the previous snapshot's hitters, and the
+    sketch (mergeable across shards/streams by cellwise sum) is the
+    production frequency store.
+    """
+    docs = table(spark, sf_dir, "documents")
+    h15 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+    buckets = F.array(
+        *[
+            h15(F.concat(F.col("term"), F.lit(f":cms{r}"))) % _CMS_W
+            for r in range(_CMS_D)
+        ]
+    )
+    sk = (
+        tok.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "term")
+        .limit(20)
+    )
+    cand = top.select("term", "n_exact", F.posexplode(buckets).alias("r", "b"))
+    est = (
+        cand.join(F.broadcast(sk), ["r", "b"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("cnt").cast("long").alias("n_cms_est"))
+    )
+    return est.select(
+        "term",
+        "n_exact",
+        "n_cms_est",
+        F.expr("(n_cms_est - n_exact) * 1000000 div n_exact").alias(
+            "overest_ppm"
+        ),
+    ).orderBy(F.desc("n_exact"), "term")

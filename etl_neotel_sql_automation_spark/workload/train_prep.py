@@ -476,3 +476,66 @@ def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "sample_weighted_es_topk",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS2}) AS BIGINT) AS nt,
+             {sql_md5_long("'es:' || CAST(doc_id AS VARCHAR)")} % 1048576 AS r
+      FROM documents
+    )
+    SELECT doc_id, source, nt AS n_tokens,
+           CAST(round(ln((r + 1) * 1.0e0 / 1048576.0e0) * 1000000.0e0 / nt)
+                AS BIGINT) AS key_unats
+    FROM feat
+    WHERE nt >= 1
+    ORDER BY key_unats DESC, doc_id
+    LIMIT 20
+    """,
+)
+def sample_weighted_es_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement via the
+    Efraimidis-Spirakis one-pass scheme (the reservoir counterpart of
+    sample_weighted_poisson's independent Bernoulli draws): each doc
+    gets key u^(1/w) for a uniform u and weight w = token count, and
+    the k largest keys ARE a weight-proportional sample without
+    replacement — here ranked by the monotone-equivalent ln(u)/w,
+    quantized to BIGINT micro-nats (the DSIR ln-quantization
+    convention) with a doc_id tiebreak so both engines cut the same
+    k-set. u is a salted-md5 residue over 2^20, so the whole draw is
+    a pure function of doc_id — appends and retries keep prior
+    selections, and any engine replays it (the oracle proves it).
+
+    Scale shape: ONE narrow projection (tokenize + md5, no joins, no
+    state) followed by a rank-k sort — Spark executes it as per-
+    partition top-k + a k-row driver merge (TakeOrderedAndProject),
+    so nothing corpus-sized shuffles, the textbook distributed
+    weighted-reservoir. This is how a mixture stage draws "10k docs
+    proportional to token mass" from a 100 TB corpus in one pass.
+    """
+    docs = table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        X.token_count("text").cast("long").alias("nt"),
+        (
+            md5_long(F.concat(F.lit("es:"), F.col("doc_id").cast("string")))
+            % 1_048_576
+        ).alias("r"),
+    ).filter(F.col("nt") >= 1)
+    return (
+        feat.select(
+            "doc_id",
+            "source",
+            F.col("nt").alias("n_tokens"),
+            F.expr(
+                "CAST(round(ln((r + 1) * 1.0e0 / 1048576.0e0) * 1000000.0e0 / nt)"
+                " AS BIGINT)"
+            ).alias("key_unats"),
+        )
+        .orderBy(F.desc("key_unats"), "doc_id")
+        .limit(20)
+    )

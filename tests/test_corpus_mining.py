@@ -193,3 +193,42 @@ def test_bloom_prefilter_is_output_invariant(spark):
     meter = qs["decontam_bloom_quality"](spark, sf).collect()[0]
     assert meter["n_false_positives"] >= 0
     assert meter["n_candidates"] >= meter["n_true_shared"]
+
+
+def test_cms_never_underestimates_and_matches_exact_when_clean(spark):
+    """Count-min sketch structural invariants on real data: every
+    estimate >= the exact count (one-sided error — the CMS guarantee
+    the meter's overest_ppm >= 0 column encodes), and the top-1 token
+    estimate is sane (within the sketch's aN/w error envelope:
+    overestimate <= total_tokens since w*1 buckets can at most absorb
+    the stream)."""
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    rows = queries()["text_heavy_hitters_cms"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 20
+    assert all(r["n_cms_est"] >= r["n_exact"] for r in rows)
+    assert all(r["overest_ppm"] >= 0 for r in rows)
+
+
+def test_es_weighted_sample_prefers_heavier_docs(spark):
+    """Efraimidis-Spirakis sanity: the selected top-20's mean token
+    count must exceed the corpus mean (weight-proportional selection
+    pulls heavy docs), and the draw must be deterministic across
+    calls (pure function of doc_id)."""
+    from pyspark.sql import functions as F
+
+    from etl_neotel_sql_automation_spark.ops import text as X
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    sf = "/root/testdata/sf0.001"
+    sel = queries()["sample_weighted_es_topk"](spark, sf).collect()
+    again = queries()["sample_weighted_es_topk"](spark, sf).collect()
+    assert [r["doc_id"] for r in sel] == [r["doc_id"] for r in again]
+    mean_sel = sum(r["n_tokens"] for r in sel) / len(sel)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    mean_all = (
+        docs.select(X.token_count("text").alias("nt")).agg(F.avg("nt")).first()[0]
+    )
+    assert mean_sel > mean_all

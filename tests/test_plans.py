@@ -298,6 +298,9 @@ CORPUS_HINT_ALLOWED = {
     # any corpus size (the whole point of the bloom pre-filter)
     "decontam_bloom_prefilter": 1,
     "decontam_bloom_quality": 1,
+    # count-min sketch: <= 4 x 1024 (r, b) cells by moduli, at any
+    # corpus size (the whole point of the sketch)
+    "text_heavy_hitters_cms": 1,
 }
 
 
