@@ -72,10 +72,15 @@ STABLE_37 = STABLE_33 + [
     "decontam_bloom_prefilter",
 ]
 # r6 additions: the sampled twins of the exact quality-meter legs —
-# the 100 TB metering recipe as executable queries.
+# the 100 TB metering recipe as executable queries — plus the round's
+# replayable-sketch/sampling family (CMS heavy hitters, linear-count
+# cardinality, Efraimidis-Spirakis weighted top-k).
 ADDITIONS = [
     "sim_margin_quality_sampled",
     "dedup_semantic_quality_sampled",
+    "text_heavy_hitters_cms",
+    "distinct_linear_counting",
+    "sample_weighted_es_topk",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 
