@@ -984,7 +984,13 @@ def text_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch (mergeable across shards/streams by cellwise sum) is the
     production frequency store.
     """
-    docs = table(spark, sf_dir, "documents")
+    return cms_heavy_hitters_frame(table(spark, sf_dir, "documents"))
+
+
+def cms_heavy_hitters_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of text_heavy_hitters_cms over any
+    (doc_id, text) frame — shared by the registered query and the
+    scaling probe (tools/scale_hashed_probe.py)."""
     h15 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     tok = docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
     buckets = F.array(
@@ -1102,9 +1108,15 @@ def distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     local VALIDATION twin; at 100 TB it runs on a hash-sample (the
     sampled-meter recipe) or not at all.
     """
+    return lc_distinct_frame(table(spark, sf_dir, "documents"))
+
+
+def lc_distinct_frame(docs: DataFrame) -> DataFrame:
+    """Frame-level body of distinct_linear_counting over any
+    (doc_id, text) frame — shared by the registered query and the
+    scaling probe."""
     from .corpus_mining import _windows_frame
 
-    docs = table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", "text")
     g = _windows_frame(tok, span_n=4).select(F.col("gram").alias("term"))
     idx = g.select(
@@ -1135,4 +1147,139 @@ def distinct_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"abs({lc} - n_exact) * 1000000 div n_exact").alias(
             "abs_err_ppm"
         ),
+    )
+
+
+# --- Jensen-Shannon drift between corpus halves: the text twin of
+# emb_centroid_drift. Per-gram log-ratios quantize to BIGINT
+# micro-nats (ln of an exact BIGINT rational, the DSIR convention), so
+# the two corpus-sized sums are order-free; the one float is the final
+# division of exact integers.
+
+
+@query(
+    "text_gram_js_drift",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id,
+             unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS pos,
+             toks
+      FROM tok
+    ),
+    g AS (
+      SELECT doc_id,
+             array_to_string(list_slice(toks, pos, pos + 3), ' ') AS gram
+      FROM pg
+    ),
+    c AS (
+      SELECT gram,
+             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM g GROUP BY gram
+    ),
+    tot AS (SELECT CAST(sum(n1) AS BIGINT) AS t1,
+                   CAST(sum(n2) AS BIGINT) AS t2,
+                   CAST(count(*) AS BIGINT) AS n_grams
+            FROM c),
+    s AS (
+      SELECT
+        CAST(sum(CASE WHEN n1 > 0 THEN n1 *
+          CAST(round(ln(2.0e0 * n1 * t2 / (n1 * t2 + n2 * t1)) * 1.0e6)
+               AS BIGINT) ELSE 0 END) AS BIGINT) AS s1,
+        CAST(sum(CASE WHEN n2 > 0 THEN n2 *
+          CAST(round(ln(2.0e0 * n2 * t1 / (n1 * t2 + n2 * t1)) * 1.0e6)
+               AS BIGINT) ELSE 0 END) AS BIGINT) AS s2
+      FROM c CROSS JOIN tot
+    )
+    SELECT tot.t1 AS t1_grams, tot.t2 AS t2_grams, tot.n_grams,
+           CAST(round((s.s1 * 1.0e0 / tot.t1 + s.s2 * 1.0e0 / tot.t2)
+                      * 0.5e0) AS BIGINT) AS js_unats
+    FROM tot CROSS JOIN s
+    """,
+)
+def text_gram_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the 4-gram distributions of
+    two corpus halves (doc_id parity standing in for old/new snapshot,
+    the emb_centroid_drift convention) — the one-number answer to "did
+    the newest crawl shift the text distribution?" that pretraining
+    intake monitors alongside embedding drift. JS(p, q) decomposes
+    into per-gram terms ``n_i * ln(2 n_i T_j / (n_i T_j + n_j T_i))``
+    — a log of an EXACT BIGINT rational — quantized to micro-nats per
+    gram before the corpus-sized sums (the DSIR ln-quantization
+    convention: float summation has no deterministic order, integer
+    summation does); absent-side grams contribute exactly 0 (the
+    p*ln(p/m) limit). The one float is the final division of four
+    exact integers, rounded identically on both engines.
+
+    Scale shape: tokenize + window once, ONE combinable aggregation to
+    gram-keyed (n1, n2) pair counts (the two halves counted in the
+    same pass — no join, no second scan), a 1-row total broadcast, and
+    a second combinable aggregation to two BIGINT sums. Cost is one
+    pass over the gram stream plus a vocab-sized shuffle. At corpora
+    where ``n_i * T_j`` exceeds int64 (~3e9 grams per half), move the
+    ln's operands to DECIMAL(38,0) unchanged — the quantized-sum
+    skeleton is already overflow-safe (|t| <= ln(2)*1e6 per gram).
+    """
+    from .corpus_mining import _windows_frame
+
+    docs = table(spark, sf_dir, "documents")
+    g = _windows_frame(docs.select("doc_id", "text"), span_n=4).select(
+        "doc_id", "gram"
+    )
+    c = g.groupBy("gram").agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    tot = c.agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("n2").cast("long").alias("t2"),
+        F.count("*").alias("n_grams"),
+    )
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n1") > 0,
+                    F.col("n1")
+                    * F.expr(
+                        "CAST(round(ln(2.0e0 * n1 * t2 / (n1 * t2 + n2 * t1))"
+                        " * 1.0e6) AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s1"),
+            F.sum(
+                F.when(
+                    F.col("n2") > 0,
+                    F.col("n2")
+                    * F.expr(
+                        "CAST(round(ln(2.0e0 * n2 * t1 / (n1 * t2 + n2 * t1))"
+                        " * 1.0e6) AS BIGINT)"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s2"),
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .select(
+            F.col("t1").alias("t1_grams"),
+            F.col("t2").alias("t2_grams"),
+            "n_grams",
+            F.expr(
+                "CAST(round((s1 * 1.0e0 / t1 + s2 * 1.0e0 / t2) * 0.5e0)"
+                " AS BIGINT)"
+            ).alias("js_unats"),
+        )
     )

@@ -1,7 +1,8 @@
-"""Scaling probe for the r5 production twins: hashed-vocabulary DSIR,
-hashed bigram LM, the LSH-indexed margin miner, and the
+"""Scaling probe for the r5/r6 production twins: hashed-vocabulary
+DSIR, hashed bigram LM, the LSH-indexed margin miner, the
 bloom-prefiltered decontamination (whose false-positive rate is
-recorded at every scale, not just timed).
+recorded at every scale, not just timed), and the r6 sketches
+(count-min heavy hitters, linear-count distinct grams).
 
 Corpora are the SAME pure-codegen synthetics the dedup/ANN/curation
 probes use (imported, not re-derived), so rows are comparable across
@@ -42,6 +43,8 @@ from etl_neotel_sql_automation_spark.workload.corpus_mining import (
 )
 from etl_neotel_sql_automation_spark.workload.corpus_stats import (
     bigram_lm_hashed_frame,
+    cms_heavy_hitters_frame,
+    lc_distinct_frame,
 )
 from tools.scale_ann_probe import BASE_VECS, planes_for, synth_embeddings
 from tools.scale_dedup_probe import BASE_DOCS, synth_docs
@@ -86,6 +89,12 @@ def main() -> None:
             "bloom_prefilter": lambda: bloom_prefilter_frame(
                 docs, bits=bloom_bits
             ),
+            # the r6 sketches: CMS state is 4x1024 cells and LC state
+            # is <= 1093 words at ANY scale — no knob; their exact
+            # validation legs (top-20 count, count_distinct) are the
+            # corpus-scaled part and the honest cost being measured
+            "cms_heavy_hitters": lambda: cms_heavy_hitters_frame(docs),
+            "lc_distinct": lambda: lc_distinct_frame(docs),
         }
         times: dict[str, float] = {}
         for name, op in ops.items():
