@@ -14,7 +14,7 @@ freezing local constants, because the knob IS the scale claim:
   corpus size, so the probe runs them untouched;
 - margin miner: ``planes`` tracks log2(per-label population) (the
   multi-table family's occupancy rule, shared with the ANN probes)
-  while ``tables`` stays at the registered 24;
+  while ``tables`` stays at the registered 16;
 - bloom prefilter: ``bits`` sizes to the synthetic eval-gram count so
   kn/m — and therefore the FP rate — stays constant as the eval set
   grows (the decontam_bloom_quality docstring's sizing rule; a frozen
