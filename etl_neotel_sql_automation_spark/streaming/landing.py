@@ -614,6 +614,60 @@ def stream_contamination_guard_bloom(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(name)
 
 
+def stream_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch as a STREAMING aggregation — the bounded-
+    state form of corpus_stats.text_heavy_hitters_cms's build pass:
+    tokens stream in, each sets its 4 md5-salted (row, bucket) cells,
+    and the running cell counts are a streaming groupBy whose state is
+    <= 4 x 1024 rows BY MODULUS — the rare aggregation that needs no
+    watermark to stay bounded, because the key domain (not time)
+    bounds it. Complete-mode to a memory table; availableNow makes the
+    run finite and the final cells must equal the batch sketch
+    bit-for-bit (the shared DuckDB oracle proves it).
+
+    This is how the production frequency store actually ingests: the
+    sketch absorbs the stream at O(cells) memory per executor forever,
+    cells merge across shards/streams by sum, and point queries hit
+    the store without replaying history.
+    """
+    from ..workload.corpus_stats import _CMS_D, _CMS_W
+    from ..ops.text import tokens
+
+    docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    h15 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    tok = src.select(F.explode(tokens(F.col("text"))).alias("term"))
+    buckets = F.array(
+        *[
+            h15(F.concat(F.col("term"), F.lit(f":cms{r}"))) % _CMS_W
+            for r in range(_CMS_D)
+        ]
+    )
+    cells = (
+        tok.select(F.posexplode(buckets).alias("r", "b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+    name = f"cms_sketch_{uuid.uuid4().hex[:8]}"
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
 def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DYNAMIC-gap ``session_window`` as a real streaming query — the
     streaming twin of the batch events_session_dynamic_gap: the

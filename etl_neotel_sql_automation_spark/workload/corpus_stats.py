@@ -1283,3 +1283,25 @@ def text_gram_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("js_unats"),
         )
     )
+
+
+@query(
+    "streaming_cms_sketch",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_SQL_TOKS}) AS term FROM documents),
+    pr AS (SELECT term, unnest([0, 1, 2, 3]) AS r FROM tok),
+    tb AS (SELECT r, {_cms_bucket_sql('term')} AS b FROM pr)
+    SELECT r, b, CAST(count(*) AS BIGINT) AS cnt
+    FROM tb GROUP BY r, b
+    """,
+)
+def streaming_cms_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered face of streaming.landing.stream_cms_sketch (see
+    that docstring): the count-min sketch built as a REAL streaming
+    aggregation whose state is modulus-bounded (<= 4096 cells) rather
+    than watermark-bounded — the streaming half of
+    text_heavy_hitters_cms, final cells equal to the batch sketch
+    bit-for-bit against the shared DuckDB oracle."""
+    from ..streaming.landing import stream_cms_sketch
+
+    return stream_cms_sketch(spark, sf_dir)

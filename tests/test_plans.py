@@ -62,6 +62,7 @@ TRIPWIRE_EXCLUDED = frozenset({
     "sim_ivf_topk",
     "sim_pq_topk",
     "streaming_anti_join_new_users",
+    "streaming_cms_sketch",
     "streaming_contam_guard",
     "streaming_contam_guard_bloom",
     "streaming_dedup_events",
