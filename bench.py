@@ -81,6 +81,13 @@ ADDITIONS = [
     "text_heavy_hitters_cms",
     "distinct_linear_counting",
     "sample_weighted_es_topk",
+    # r6 wave 3: prefix-filtered set-similarity join (output-invariant
+    # vs the brute threshold join), k-core peeling, df-capped
+    # inverted-index sparse cosine, grid-bucketed spatial kNN
+    "dedup_jaccard_prefix",
+    "graph_kcore",
+    "text_sparse_cosine_topk",
+    "geo_grid_knn",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

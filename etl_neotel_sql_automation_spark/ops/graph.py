@@ -236,3 +236,35 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-core peeling with a FIXED number of synchronous rounds: each
+    round drops every node whose degree within the surviving subgraph
+    is < k, then recomputes degrees. Fixed rounds (not run-to-
+    convergence) keep the computation a finite unrollable dataflow, so
+    a DuckDB oracle replays it round-for-round in exact integer
+    arithmetic — the pagerank_int / label_propagation convention.
+
+    ``edges`` must be symmetric (both directions present) and distinct.
+    Returns the round-``rounds`` survivors with the degree that
+    qualified them (their degree within the round-(rounds-1) subgraph).
+
+    At 100 TB each round is one shuffle equi-join per endpoint against
+    the shrinking survivor set plus one combinable count — the
+    MR-model peeling shape. Survivor sets shrink monotonically, so AQE
+    flips the survivor joins to broadcasts as rounds progress; no
+    all-pairs work anywhere.
+    """
+    surv = edges.select(F.col("src").alias("id")).distinct()
+    deg = None
+    for _ in range(rounds):
+        deg = (
+            edges.join(surv.select(F.col("id").alias("src")), "src")
+            .join(surv.select(F.col("id").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("core_deg"))
+            .filter(F.col("core_deg") >= k)
+        )
+        surv = deg.select(F.col("src").alias("id"))
+    return deg.select(F.col("src").alias("id"), "core_deg")

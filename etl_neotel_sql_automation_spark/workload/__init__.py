@@ -161,6 +161,7 @@ def _ensure_loaded() -> None:
             tpch_wave3,
             tpch_wave4,
             tpch_wave5,
+            wave6,
         )
 
         _LOADED = True

@@ -36,6 +36,11 @@ EMPTY_OK_SF0001 = {
     "q11_important_parts",
     "q21_waiting_supplier",
     "set_except_lapsed_buyers",
+    # k=48 peels the whole sf0.001 purchase graph (degrees scale with
+    # SF; the k is pinned where sf0.01 shows a genuine 3-round cascade
+    # — see workload/wave6.py _K); nonzero at sf0.01 per the
+    # one-scale-up rule below
+    "graph_kcore",
 }
 
 
