@@ -184,3 +184,64 @@ def pii_count(c: Column | str) -> Column:
         F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0))
         + F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0))
     ).cast("int")
+
+
+def sparse_cosine_topk(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = 20,
+    shingle_n: int = 3,
+    k: int = 50,
+):
+    """Top-k most-cosine-similar document pairs over sparse n-gram tf
+    vectors, term-at-a-time through a df-capped inverted index: join on
+    gram, sum tf products, normalize by integer squared norms. Posting
+    lists longer than ``df_cap`` documents are dropped (df=1 grams
+    can't pair; hot grams are boilerplate whose postings dominate the
+    join), which bounds candidate pairs by sum(df^2) <= vocab*cap^2 at
+    any corpus size. cos^2 is exact integer ppm — no sqrt, so the
+    value crosses engines bit-for-bit.
+
+    The capped tf table is localCheckpointed: four consumers (the dot
+    product's two aliases + both norm joins) would otherwise re-run
+    the tokenize/shingle/groupBy pipeline per subtree scan."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(cnt - (shingle_n - 1), F.lit(0)))
+    sh_arr = F.when(
+        cnt >= shingle_n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, shingle_n))),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = df.select(F.col(id_col).alias("id"), F.explode(sh_arr).alias("sh"))
+    tf = sh.groupBy("id", "sh").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("sh")
+        .agg(F.count("*").alias("dfc"))
+        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= df_cap))
+        .select("sh")
+    )
+    tff = tf.join(dfreq, "sh").localCheckpoint()
+    norms = tff.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
+    a, b = tff.alias("a"), tff.alias("b")
+    dot = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("dot * dot * 1000000 div (na * nb)")
+            .cast("bigint")
+            .alias("cos2_ppm"),
+        )
+        .orderBy(F.desc("cos2_ppm"), "id_a", "id_b")
+        .limit(k)
+    )

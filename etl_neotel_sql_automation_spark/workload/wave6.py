@@ -17,8 +17,10 @@ from pyspark.sql import functions as F
 
 from . import query, table
 from ..ops import dedup as D
+from ..ops.geo import grid_nearest
 from ..ops.graph import kcore_peel
 from ..ops.hashing import md5_long, sql_md5_long
+from ..ops.text import sparse_cosine_topk
 
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
@@ -212,49 +214,14 @@ def text_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT-weighted vector-space similarity a tf-idf retrieval stack
     uses; on a natural corpus the same plan runs over unigrams with
     idf weights — grams here because the synthetic vocabulary is 31
-    tokens, so unigram posting lists are all hot."""
-    docs = table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
-    cnt = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(cnt - (_SHINGLE_N - 1), F.lit(0)))
-    sh_arr = F.when(
-        cnt >= _SHINGLE_N,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, _SHINGLE_N))),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = docs.select(F.col("doc_id").alias("id"), F.explode(sh_arr).alias("sh"))
-    tf = sh.groupBy("id", "sh").agg(F.count("*").alias("tf"))
-    dfreq = (
-        tf.groupBy("sh")
-        .agg(F.count("*").alias("dfc"))
-        .filter((F.col("dfc") >= 2) & (F.col("dfc") <= _DF_CAP))
-        .select("sh")
-    )
-    # 4 consumers below (dot's two aliases + both norm joins) would
-    # re-run the tokenize/shingle/groupBy pipeline per subtree scan —
-    # the margin-miner precedent: checkpoint the capped tf table once
-    # (small by construction: only grams with 2..cap postings survive)
-    tff = tf.join(dfreq, "sh").localCheckpoint()
-    norms = tff.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nrm"))
-    a, b = tff.alias("a"), tff.alias("b")
-    dot = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
-    )
-    na = norms.select(F.col("id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("id").alias("id_b"), F.col("nrm").alias("nb"))
-    return (
-        dot.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.expr("dot * dot * 1000000 div (na * nb)")
-            .cast("bigint")
-            .alias("cos2_ppm"),
-        )
-        .orderBy(F.desc("cos2_ppm"), "id_a", "id_b")
-        .limit(_TOPK)
+    tokens, so unigram posting lists are all hot. Pipeline lives in
+    ops.text.sparse_cosine_topk (also driven by the scale probe on a
+    synthetic corpus)."""
+    return sparse_cosine_topk(
+        table(spark, sf_dir, "documents"),
+        df_cap=_DF_CAP,
+        shingle_n=_SHINGLE_N,
+        k=_TOPK,
     )
 
 
@@ -325,11 +292,11 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment. Coordinates derive from md5 so the oracle replays them;
     planar distance (no haversine trig) keeps the whole query in exact
     integer arithmetic. Cross-engine floor-division hazard documented
-    at the module constant: all coords are kept non-negative."""
-    from pyspark.sql import Window as W
-
+    at the module constant: all coords are kept non-negative. Grid
+    join lives in ops.geo.grid_nearest (also driven by the scale
+    probe on synthetic point sets)."""
     cust = table(spark, sf_dir, "customer").select(
-        "c_custkey",
+        F.col("c_custkey").alias("pid"),
         (md5_long(F.concat(F.lit("clat|"), F.col("c_custkey"))) % _LAT_MOD).alias(
             "lat_u"
         ),
@@ -338,46 +305,16 @@ def geo_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     supp = table(spark, sf_dir, "supplier").select(
-        "s_suppkey",
+        F.col("s_suppkey").alias("tid"),
         (md5_long(F.concat(F.lit("slat|"), F.col("s_suppkey"))) % _LAT_MOD).alias(
-            "s_lat"
+            "lat_u"
         ),
         (md5_long(F.concat(F.lit("slon|"), F.col("s_suppkey"))) % _LON_MOD).alias(
-            "s_lon"
+            "lon_u"
         ),
     )
-    cc = cust.select(
-        "*",
-        F.expr(f"lon_u div {_CELL}").alias("cx"),
-        F.expr(f"lat_u div {_CELL}").alias("cy"),
-    )
-    sc = supp.select(
-        "*",
-        F.expr(f"s_lon div {_CELL}").alias("sx"),
-        F.expr(f"s_lat div {_CELL}").alias("sy"),
-    )
-    probes = cc.select(
-        "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx")
-    ).select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
-    cand = probes.join(
-        sc,
-        (F.col("sx") == F.col("cx") + F.col("dx"))
-        & (F.col("sy") == F.col("cy") + F.col("dy")),
-    ).select(
-        "c_custkey",
-        "s_suppkey",
-        (
-            (F.col("lat_u") - F.col("s_lat")) * (F.col("lat_u") - F.col("s_lat"))
-            + (F.col("lon_u") - F.col("s_lon")) * (F.col("lon_u") - F.col("s_lon"))
-        ).alias("dist2"),
-    )
-    w = W.partitionBy("c_custkey").orderBy("dist2", "s_suppkey")
-    return (
-        cand.select("*", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select(
-            "c_custkey",
-            F.col("s_suppkey").alias("nearest_suppkey"),
-            F.col("dist2").cast("bigint").alias("dist2"),
-        )
+    return grid_nearest(cust, supp, _CELL).select(
+        F.col("pid").alias("c_custkey"),
+        F.col("tid").alias("nearest_suppkey"),
+        "dist2",
     )
