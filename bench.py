@@ -88,6 +88,16 @@ ADDITIONS = [
     "graph_kcore",
     "text_sparse_cosine_topk",
     "geo_grid_knn",
+    # r6 wave 3b: corpus-level source similarity (mergeable MinHash +
+    # exact differential), banded multi-touch attribution, truncated-
+    # integer EWMA anomaly baseline
+    "corpus_source_minhash",
+    "events_attribution",
+    "events_ewma_anomaly",
+    # r6 wave 3c: distributed skyline (bucketed prefix-max), grid
+    # density hotspot clustering (true-CC over top-decile cells)
+    "skyline_suppliers",
+    "geo_grid_dbscan",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

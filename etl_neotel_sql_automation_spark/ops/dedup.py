@@ -478,11 +478,18 @@ def jaccard_prefix_pairs(
     # elements), which is the whole point of the AllPairs family:
     # no blocking key needed to stay sub-quadratic
     blk = F.col(block_col) if block_col is not None else F.lit(0)
+    # the candidate machinery joins/aggregates on an 8-byte xxhash64
+    # of the element, not the string: at 100x the string shuffle was
+    # the probe's superlinear term (26M multi-word shingles), and
+    # hashing costs nothing semantically — equal strings hash equal
+    # (no false negatives), hash collisions only ADD candidates that
+    # exact verification removes, and the df-order stays one global
+    # total order. The string itself never reaches a shuffle.
     tok = _fan_out(df).select(
         F.col(id_col).alias("id"),
         blk.alias("blk"),
-        F.explode(set_expr).alias("tok"),
-    )
+        F.explode(set_expr).alias("tok_s"),
+    ).select("id", "blk", F.xxhash64("tok_s").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count("*").alias("dfreq"))
     order = W.partitionBy("id").orderBy(F.col("dfreq").asc(), F.col("tok").asc())
     whole = W.partitionBy("id")

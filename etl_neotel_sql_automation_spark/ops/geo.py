@@ -7,6 +7,14 @@ exact distance. Cost per probe is 9x the average cell occupancy —
 O(N * density), never O(N*M). Hot cells (skewed density) are the
 salted-skew situation and take the same salt treatment.
 
+THE DEPLOY KNOB: cell size must scale with target density —
+``cell ~ sqrt(area / n_targets)`` keeps average cell occupancy
+constant, so candidates stay O(points x occupancy). A FIXED cell over
+a growing target set degenerates to O(points x targets): the scale
+probe measured 0.8 s -> 20.1 s at 10x both sides under a fixed cell,
+restored to linear under the scaled cell (SCALING.md). The same rule
+as the LSH ``planes_per_table = log2(n) - 4`` knob.
+
 Coordinates are integer micro-degrees and must be NON-NEGATIVE: Spark
 ``div`` truncates toward zero while DuckDB ``//`` floors, so the two
 engines only agree on floor division for non-negative operands (the

@@ -162,6 +162,8 @@ def _ensure_loaded() -> None:
             tpch_wave4,
             tpch_wave5,
             wave6,
+            wave6b,
+            wave6c,
         )
 
         _LOADED = True

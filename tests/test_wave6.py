@@ -166,3 +166,128 @@ def test_geo_grid_knn_is_neighborhood_optimal(spark):
             continue
         d2, sk = min(cands)
         assert got[ck] == (sk, d2)
+
+
+def test_events_attribution_semantics(tmp_path, spark):
+    """Hand-built events pin the attribution semantics: first/last by
+    (ts, event_id), linear = 1000000 div n_touches, 72 h lookback
+    inclusive at exactly pts - 72h and exclusive at pts, purchases
+    with no in-window touches drop, and the band join finds touches
+    in the PREVIOUS 72 h band (the banding's reason to exist)."""
+    import datetime as dt
+
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    def ts(s):
+        return dt.datetime.fromtimestamp(s, dt.timezone.utc).replace(tzinfo=None)
+
+    LOOK = 259_200
+    # band boundary at multiples of LOOK; purchase at LOOK+10 has its
+    # window straddling the boundary
+    rows = [
+        # user 1: two touches then purchase — first ch0, last ch1
+        (1, ts(LOOK + 1), 1, "view", 0.0, '{"k": 0}'),
+        (2, ts(LOOK + 5), 1, "click", 0.0, '{"k": 1}'),
+        (3, ts(LOOK + 10), 1, "purchase", 0.0, '{"k": 9}'),
+        # user 2: touch exactly at pts - LOOK (included) in PREVIOUS band
+        (4, ts(10), 2, "view", 0.0, '{"k": 2}'),
+        (5, ts(LOOK + 10), 2, "purchase", 0.0, '{"k": 9}'),
+        # user 3: touch one second too old (excluded) -> purchase drops
+        (6, ts(9), 3, "view", 0.0, '{"k": 3}'),
+        (7, ts(LOOK + 10), 3, "purchase", 0.0, '{"k": 9}'),
+        # user 4: touch AT purchase ts (excluded: strictly before)
+        (8, ts(LOOK + 10), 4, "click", 0.0, '{"k": 4}'),
+        (9, ts(LOOK + 10), 4, "purchase", 0.0, '{"k": 9}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["channel"]: (r["n_first"], r["n_last"], r["linear_ppm"])
+        for r in queries()["events_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "ch0": (1, 0, 500000),
+        "ch1": (0, 1, 500000),
+        "ch2": (1, 1, 1000000),
+    }
+
+
+def test_skyline_matches_bruteforce_dominance(spark):
+    """The bucketed prefix-max skyline must equal the quadratic
+    dominance definition: keep (x, y) iff no other point has x' >= x,
+    y' >= y with at least one strict. Rebuilt here by brute force over
+    the collected point set."""
+    from etl_neotel_sql_automation_spark.workload import queries
+    from pyspark.sql import functions as F
+
+    sf = SF
+    s = spark.read.parquet(f"{sf}/supplier.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pts = (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .groupBy("s_suppkey", "s_acctbal")
+        .agg(
+            F.expr(
+                "CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "s_suppkey",
+            F.expr("CAST(round(s_acctbal * 1000000) AS BIGINT)").alias("x"),
+            "y",
+        )
+        .collect()
+    )
+    xy = [(r["x"], r["y"]) for r in pts]
+    want = set()
+    for x, y in xy:
+        dominated = any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for x2, y2 in xy
+        )
+        if not dominated:
+            want.add((x, y))
+    got = {
+        (r["acctbal_micro"], r["revenue_cent"])
+        for r in queries()["skyline_suppliers"](spark, sf).collect()
+    }
+    assert got == want and want
+
+
+def test_grid_dbscan_labels_are_true_components(spark):
+    """Cluster labels must be the exact connected-component fixpoint
+    (min cell id per component over 8-adjacency) — rebuilt here with
+    union-find over the collected core cells. Guards against the
+    fixed-round labeling shortfall the operator explicitly avoids
+    (components wider than the round count)."""
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    rows = queries()["geo_grid_dbscan"](spark, SF).collect()
+    assert rows
+    cells = {(r["cx"], r["cy"]): r["cluster"] for r in rows}
+    ids = {c: c[0] * 100000 + c[1] for c in cells}
+    parent = {c: c for c in cells}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (cx, cy) in cells:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nbr = (cx + dx, cy + dy)
+                if nbr in cells:
+                    ra, rb = find((cx, cy)), find(nbr)
+                    if ra != rb:
+                        parent[ra] = rb
+    comp_min = {}
+    for c in cells:
+        r = find(c)
+        comp_min[r] = min(comp_min.get(r, ids[c]), ids[c])
+    for c, lbl in cells.items():
+        assert lbl == comp_min[find(c)]
