@@ -98,6 +98,7 @@ ADDITIONS = [
     # density hotspot clustering (true-CC over top-decile cells)
     "skyline_suppliers",
     "geo_grid_dbscan",
+    "events_sequence_mining",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

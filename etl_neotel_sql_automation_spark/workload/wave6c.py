@@ -255,3 +255,71 @@ def geo_grid_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hood_n").cast("bigint").alias("hood_n"),
         F.col("component").cast("bigint").alias("cluster"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_sequence_mining — sequential pattern counts: the top 3-step
+# event-type sequences across user streams (the market-basket idea
+# lifted to ORDERED behavior). Two lags per user stream turn sequence
+# extraction into a per-key window projection; counting is one
+# combinable aggregate over (sequence) — no self-joins, no explosion
+# beyond one row per event. Full (ts, event_id) ordering key so tie
+# order cannot differ across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sequence_mining",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             lag(event_type, 2) OVER w AS e1,
+             lag(event_type, 1) OVER w AS e2,
+             event_type AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY CAST(epoch(ts) AS BIGINT), event_id)
+    ),
+    pat AS (
+      SELECT e1 || '>' || e2 || '>' || e3 AS pattern, user_id
+      FROM seq WHERE e1 IS NOT NULL
+    )
+    SELECT pattern,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pat
+    GROUP BY pattern
+    ORDER BY n_occurrences DESC, pattern
+    LIMIT 20
+    """,
+)
+def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most frequent 3-step event-type sequences over per-user
+    streams, with occurrence and distinct-user counts. One per-user
+    window shuffle + one combinable pattern aggregate — sequence
+    mining without self-joins (the naive formulation joins the event
+    stream to itself twice)."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("tse")
+    )
+    w = W.partitionBy("user_id").orderBy("tse", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("pattern"), "user_id"
+        )
+        .groupBy("pattern")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pattern")
+        .limit(20)
+    )
