@@ -99,6 +99,9 @@ ADDITIONS = [
     "skyline_suppliers",
     "geo_grid_dbscan",
     "events_sequence_mining",
+    # r6 wave 3d: interval-overlap session join, TextRank keywords
+    "events_session_overlap",
+    "text_textrank_keywords",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -323,3 +323,265 @@ def events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pattern")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# events_session_overlap — INTERVAL x INTERVAL overlap join: per-user
+# per-type activity sessions (30-min gap rule), paired where sessions
+# of two different types overlap in time — "errors during purchase
+# flows". The pair join is banded (intervals explode into the 1-day
+# bands they span, candidates form on (user, band) equi-keys, exact
+# overlap predicate after, distinct de-dups multi-band hits) — the
+# interval generalization of the point-in-range banding the range
+# join uses. Explode factor is bounded by session span / band (1 for
+# 30-min-gap sessions). All integer epoch arithmetic.
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_S = 1800
+_OVL_BAND_S = 86_400
+
+
+@query(
+    "events_session_overlap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, CAST(epoch(ts) AS BIGINT) AS tse
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_type, tse,
+             CASE WHEN tse - lag(tse) OVER w > {_SESS_GAP_S} OR
+                       lag(tse) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY tse)
+    ),
+    sess AS (
+      SELECT user_id, event_type,
+             sum(is_new) OVER (PARTITION BY user_id, event_type
+                               ORDER BY tse
+                               ROWS UNBOUNDED PRECEDING) AS sid,
+             tse
+      FROM marked
+    ),
+    iv AS (
+      SELECT user_id, event_type, sid,
+             min(tse) AS s, max(tse) AS en
+      FROM sess GROUP BY user_id, event_type, sid
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+             greatest(a.s, b.s) AS os, least(a.en, b.en) AS oe
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id
+       AND a.event_type < b.event_type
+       AND a.s <= b.en AND b.s <= a.en
+    )
+    SELECT type_a, type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(oe - os) AS BIGINT) AS overlap_s,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM pairs
+    GROUP BY type_a, type_b
+    """,
+)
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping activity-session pairs across event types per user
+    (which behaviors co-occur in time), aggregated per type pair with
+    total overlap seconds and user support. Sessions are the standard
+    gap rule (30 min); the overlap join runs banded — see the module
+    comment. The oracle joins intervals directly (DuckDB's quadratic
+    is fine at oracle scale); the Spark plan must produce the
+    identical pair set through the bands, which the distinct after
+    the band join guarantees (a pair overlapping k bands collapses to
+    one row before aggregation)."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("tse")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("tse")
+    marked = e.select(
+        "*",
+        F.when(
+            (F.col("tse") - F.lag("tse").over(w) > _SESS_GAP_S)
+            | F.lag("tse").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = W.partitionBy("user_id", "event_type").orderBy("tse").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = marked.select("*", F.sum("is_new").over(cum).alias("sid"))
+    iv = sess.groupBy("user_id", "event_type", "sid").agg(
+        F.min("tse").alias("s"), F.max("tse").alias("en")
+    )
+    banded = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_OVL_BAND_S}"), F.expr(f"en div {_OVL_BAND_S}")
+            )
+        ).alias("band"),
+    )
+    a = banded.select(
+        "user_id",
+        "band",
+        F.col("event_type").alias("type_a"),
+        F.col("s").alias("sa"),
+        F.col("en").alias("ea"),
+    )
+    b = banded.select(
+        "user_id",
+        "band",
+        F.col("event_type").alias("type_b"),
+        F.col("s").alias("sb"),
+        F.col("en").alias("eb"),
+    )
+    pairs = (
+        a.join(b, ["user_id", "band"])
+        .filter(
+            (F.col("type_a") < F.col("type_b"))
+            & (F.col("sa") <= F.col("eb"))
+            & (F.col("sb") <= F.col("ea"))
+        )
+        .select(
+            "user_id",
+            "type_a",
+            "type_b",
+            # session starts identify the pair (same-type sessions are
+            # disjoint by the gap rule), so the distinct removes ONLY
+            # multi-band duplicates, never two genuine pairs
+            "sa",
+            "sb",
+            F.greatest("sa", "sb").alias("os"),
+            F.least("ea", "eb").alias("oe"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.col("oe") - F.col("os")).cast("bigint").alias("overlap_s"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_textrank_keywords — TextRank (Mihalcea & Tarau 2004): PageRank
+# over the word co-occurrence graph (tokens adjacent within a +-2
+# window anywhere in the corpus). A pure COMPOSITION of registered
+# machinery: the co-occurrence edge build is two shifted zips of the
+# token array (codegen, no self-join), and the rank is
+# ops.graph.pagerank_int — exact bigint arithmetic, so the unrolled
+# 3-round oracle replays bit-for-bit over string node ids.
+# ---------------------------------------------------------------------------
+
+_TR_SCALE = 10**12
+
+
+def _textrank_oracle(iters: int = 3, scale: int = _TR_SCALE) -> str:
+    toks = _SQL_TOKS_TR
+    head = f"""
+    WITH t AS (SELECT {toks} AS toks FROM documents),
+    pr0 AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> struct_pack(a := toks[i], b := toks[i + 1]))) AS s
+      FROM t
+      UNION ALL
+      SELECT unnest(list_transform(range(1, len(toks) - 1),
+                    i -> struct_pack(a := toks[i], b := toks[i + 2]))) AS s
+      FROM t
+    ),
+    e0 AS (
+      SELECT DISTINCT least(s.a, s.b) AS a, greatest(s.a, s.b) AS b
+      FROM pr0 WHERE s.a <> s.b
+    ),
+    edges AS (SELECT a AS src, b AS dst FROM e0
+              UNION ALL SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+    params AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT id, CAST({scale} // n AS BIGINT) AS rank FROM nodes, params)"""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+    c{i} AS (
+      SELECT e.dst AS id, SUM(r.rank // d.out_deg) AS s
+      FROM edges e
+      JOIN r{i - 1} r ON e.src = r.id
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.id,
+             CAST((15 * {scale}) // (100 * p.n) AS BIGINT)
+               + (85 * COALESCE(c{i}.s, 0)) // 100 AS rank
+      FROM nodes n CROSS JOIN params p
+      LEFT JOIN c{i} ON n.id = c{i}.id
+    )""")
+    return (
+        head + "," + ",".join(rounds)
+        + f"""
+    SELECT id AS token, CAST(rank AS BIGINT) AS rank_int FROM r{iters}
+    ORDER BY rank_int DESC, token
+    LIMIT 20
+    """
+    )
+
+
+_SQL_TOKS_TR = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+
+
+@query("text_textrank_keywords", oracle=_textrank_oracle())
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus keywords by TextRank — 3-round exact-integer
+    PageRank over the +-2-window token co-occurrence graph. The graph
+    build never self-joins the token stream: both co-occurrence
+    offsets come from array zips inside codegen, and the distinct
+    edge set is one combinable aggregate. Complements the frequency
+    (heavy hitters), contrast (RAKE/rarity) and PMI keyword families
+    with the graph-centrality notion of importance."""
+    from ..ops.graph import pagerank_int
+    from ..ops.text import tokens
+
+    docs = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    p1 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"), F.element_at(toks, i + 1).alias("b")
+        ),
+    )
+    p2 = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"), F.element_at(toks, i + 2).alias("b")
+        ),
+    )
+    prs = docs.select(F.explode(F.concat(p1, p2)).alias("s")).filter(
+        F.col("s.a") != F.col("s.b")
+    )
+    # the distinct edge set is vocabulary-bounded (<= |V|^2/2 rows,
+    # tiny next to the corpus); checkpoint it so the 3 rank rounds
+    # iterate over the materialized edges instead of re-running the
+    # corpus-wide pair explode per round (measured 14.0 -> ~3.0 s warm
+    # at sf0.1)
+    e0 = (
+        prs.select(
+            F.least("s.a", "s.b").alias("a"), F.greatest("s.a", "s.b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = e0.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e0.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return (
+        pagerank_int(edges, iters=3, scale=_TR_SCALE)
+        .select(F.col("id").alias("token"), F.col("rank").alias("rank_int"))
+        .orderBy(F.desc("rank_int"), "token")
+        .limit(20)
+    )

@@ -41,6 +41,10 @@ EMPTY_OK_SF0001 = {
     # — see workload/wave6.py _K); nonzero at sf0.01 per the
     # one-scale-up rule below
     "graph_kcore",
+    # sf0.001 events are too sparse for any cross-type session pair to
+    # overlap in time (sessions are near-singleton points); 1 row at
+    # sf0.01, 9 at sf0.1
+    "events_session_overlap",
 }
 
 
