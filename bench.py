@@ -99,9 +99,11 @@ ADDITIONS = [
     "skyline_suppliers",
     "geo_grid_dbscan",
     "events_sequence_mining",
-    # r6 wave 3d: interval-overlap session join, TextRank keywords
+    # r6 wave 3d: interval-overlap session join, TextRank keywords,
+    # multi-evidence entity resolution
     "events_session_overlap",
     "text_textrank_keywords",
+    "link_customer_entities",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 
