@@ -104,6 +104,7 @@ ADDITIONS = [
     "events_session_overlap",
     "text_textrank_keywords",
     "link_customer_entities",
+    "dq_merkle_diff",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

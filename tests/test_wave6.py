@@ -291,3 +291,23 @@ def test_grid_dbscan_labels_are_true_components(spark):
         comp_min[r] = min(comp_min.get(r, ids[c]), ids[c])
     for c, lbl in cells.items():
         assert lbl == comp_min[find(c)]
+
+
+def test_merkle_diff_finds_exactly_the_cdc_changes(spark):
+    """The digest pre-filter must lose nothing on this fixture: the
+    merkle diff's changed-key set equals the canonical
+    cdc_snapshot_diff full-outer result (no false negatives up to the
+    ~2^-40 fingerprint-sum collision, which cannot occur on a fixture
+    this size)."""
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    qs = queries()
+    merkle = {
+        (r["o_orderkey"], r["change_type"])
+        for r in qs["dq_merkle_diff"](spark, SF).collect()
+    }
+    cdc = {
+        (r["o_orderkey"], r["change_type"])
+        for r in qs["cdc_snapshot_diff"](spark, SF).collect()
+    }
+    assert merkle == cdc and cdc
