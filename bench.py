@@ -105,6 +105,11 @@ ADDITIONS = [
     "text_textrank_keywords",
     "link_customer_entities",
     "dq_merkle_diff",
+    # r6 wave 3e: HITS, personalized-PageRank recommendations,
+    # half-life-decayed customer value
+    "graph_hits",
+    "graph_ppr_recommend",
+    "orders_decayed_value",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -164,6 +164,7 @@ def _ensure_loaded() -> None:
             wave6,
             wave6b,
             wave6c,
+            wave6d,
         )
 
         _LOADED = True
