@@ -190,3 +190,24 @@ def read_jsonl_docs(
     good = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
     quarantine = df.filter(F.col("_corrupt").isNotNull()).select("_corrupt")
     return JsonlSplit(good, quarantine, df)
+
+
+def read_columnar(spark: SparkSession, path: str | Path, fmt: str = "parquet") -> DataFrame:
+    """Columnar-format reader covering the warehouse interchange
+    formats Spark ships natively: parquet (the testdata default) and
+    ORC. Both carry footer statistics, so predicate pushdown and
+    column pruning reach the scan identically — the round-trip test
+    asserts ORC scans show PushedFilters the same way parquet scans
+    do. Avro needs the external spark-avro package and is import-gated
+    out in this container."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    return spark.read.format(fmt).load(str(path))
+
+
+def write_columnar(df: DataFrame, path: str | Path, fmt: str = "parquet") -> None:
+    """Columnar writer twin of :func:`read_columnar` (overwrite mode,
+    same format whitelist)."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format: {fmt!r}")
+    df.write.mode("overwrite").format(fmt).save(str(path))

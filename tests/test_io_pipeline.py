@@ -400,3 +400,32 @@ def test_orc_roundtrip_preserves_conformed_frame(spark, tmp_path):
         back.select("k", "grp")._jdf.queryExecution().executedPlan().toString()
     )
     assert "ReadSchema: struct<k:bigint,grp:int>" in plan
+
+
+def test_orc_round_trip_preserves_and_pushes_down(tmp_path, spark):
+    """ORC coverage: a round-trip preserves rows/schema exactly, and a
+    filtered read over the ORC files shows the predicate pushed into
+    the scan (footer-stats formats must not degrade to post-scan
+    filters)."""
+    from pyspark.sql import functions as F
+
+    from etl_neotel_sql_automation_spark.io_sources import (
+        read_columnar,
+        write_columnar,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    dest = f"{tmp_path}/orders_orc"
+    write_columnar(src, dest, fmt="orc")
+    back = read_columnar(spark, dest, fmt="orc")
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    filtered = back.filter(F.col("o_orderkey") == 42)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported columnar format"):
+        read_columnar(spark, dest, fmt="avro")
