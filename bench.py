@@ -110,6 +110,8 @@ ADDITIONS = [
     "graph_hits",
     "graph_ppr_recommend",
     "orders_decayed_value",
+    "corpus_source_clusters",
+    "events_pattern_match",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -319,3 +319,210 @@ def orders_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("decayed_cents"), "custkey")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_source_clusters — sources clustered by gram-profile
+# similarity: edges where exact source-pair Jaccard >= 1/5, true
+# connected components over them (recursive-CTE oracle, the
+# dedup_clusters convention). The corpus-curation decision layer on
+# top of corpus_source_minhash: "these crawls are the same feed —
+# keep one". At 100 TB the edge build swaps in the MinHash estimate
+# (corpus_source_minhash's sketch) — same downstream CC.
+# ---------------------------------------------------------------------------
+
+_SRC_J_NUM, _SRC_J_DEN = 1, 5
+
+
+@query(
+    "corpus_source_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT source AS src,
+             list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g0 AS (
+      SELECT DISTINCT src, unnest(CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+          ELSE CAST([] AS VARCHAR[]) END) AS sh
+      FROM t
+    ),
+    sizes AS (SELECT src, count(*) AS sz FROM g0 GROUP BY src),
+    inter AS (
+      SELECT a.src AS sa, b.src AS sb, count(*) AS n
+      FROM g0 a JOIN g0 b ON a.sh = b.sh AND a.src < b.src
+      GROUP BY a.src, b.src
+    ),
+    e0 AS (
+      SELECT sa, sb FROM inter
+      JOIN sizes za ON sa = za.src
+      JOIN sizes zb ON sb = zb.src
+      WHERE n * {_SRC_J_DEN} >= {_SRC_J_NUM} * (za.sz + zb.sz - n)
+    ),
+    edges AS (SELECT sa AS src, sb AS dst FROM e0
+              UNION ALL SELECT sb, sa FROM e0),
+    nodes AS (SELECT DISTINCT src FROM t),
+    reach AS (
+      SELECT src AS id, src AS lbl FROM nodes
+      UNION
+      SELECT e.dst, reach.lbl FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS source, min(lbl) AS cluster,
+           CAST(count(*) OVER (PARTITION BY min(lbl)) AS BIGINT) AS cluster_size
+    FROM reach GROUP BY id
+    """,
+)
+def corpus_source_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every source labeled with its similarity cluster (min source
+    name in the component) and the cluster's size — the "which feeds
+    are one feed" readout. Exact integer Jaccard accept test on the
+    per-source distinct-gram join, then
+    ops.graph.connected_components to the fixpoint."""
+    from ..ops.dedup import shingles
+    from ..ops.graph import connected_components
+    from pyspark.sql import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    g0 = docs.select(
+        F.col("source").alias("src"), F.explode(shingles("text", 3)).alias("sh")
+    ).distinct()
+    sizes = g0.groupBy("src").agg(F.count("*").alias("sz"))
+    a, b = g0.alias("a"), g0.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.src") < F.col("b.src")))
+        .groupBy(F.col("a.src").alias("sa"), F.col("b.src").alias("sb"))
+        .agg(F.count("*").alias("n"))
+    )
+    za = sizes.select(F.col("src").alias("sa"), F.col("sz").alias("za"))
+    zb = sizes.select(F.col("src").alias("sb"), F.col("sz").alias("zb"))
+    e0 = (
+        inter.join(za, "sa")
+        .join(zb, "sb")
+        .filter(
+            F.col("n") * _SRC_J_DEN
+            >= _SRC_J_NUM * (F.col("za") + F.col("zb") - F.col("n"))
+        )
+        .select("sa", "sb")
+    )
+    nodes = docs.select(F.col("source").alias("id")).distinct()
+    cc = connected_components(nodes, e0, src_col="sa", dst_col="sb")
+    w = W.partitionBy("component")
+    return cc.select(
+        F.col("id").alias("source"),
+        F.col("component").alias("cluster"),
+        F.count("*").over(w).cast("bigint").alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_pattern_match — MATCH_RECOGNIZE-style sequence patterns: each
+# user session (30-min gap rule) becomes an ordered string of event
+# initials, and regexes count the behavioral shapes — the funnel idea
+# generalized to arbitrary patterns. Session strings are built from
+# SORTED struct arrays (collect_list order is partition-dependent;
+# array_sort pins it), so the same string forms under any
+# parallelism.
+# ---------------------------------------------------------------------------
+
+_PM_GAP_S = 1800
+_PM_PATTERNS = {
+    "view_to_purchase": "v.*c.*p",
+    "error_retry": "e.*e",
+    "signup_first": "^s",
+}
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(epoch(ts) AS BIGINT) AS tse, event_id,
+             substr(event_type, 1, 1) AS init
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN tse - lag(tse) OVER w > {_PM_GAP_S}
+                          OR lag(tse) OVER w IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tse, event_id)
+    ),
+    sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY tse, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ),
+    strs AS (
+      SELECT user_id, sid,
+             string_agg(init, '' ORDER BY tse, event_id) AS s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT p.pattern,
+           CAST(sum(CASE WHEN regexp_matches(s, p.rx) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_total
+    FROM strs
+    CROSS JOIN (VALUES {", ".join(f"('{k}', '{v}')" for k, v in _PM_PATTERNS.items())})
+         AS p(pattern, rx)
+    GROUP BY p.pattern
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape counts for three behavioral regexes (funnel
+    view->click->purchase, repeated errors, signup-opening) over
+    gap-rule sessions rendered as initial-strings. One session window
+    + one combinable aggregate per session + a 3-row pattern explode —
+    MATCH_RECOGNIZE semantics with no dedicated operator."""
+    from pyspark.sql import Window as W
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("tse"),
+        F.substring("event_type", 1, 1).alias("init"),
+    )
+    w = W.partitionBy("user_id").orderBy("tse", "event_id")
+    marked = e.select(
+        "*",
+        F.when(
+            (F.col("tse") - F.lag("tse").over(w) > _PM_GAP_S)
+            | F.lag("tse").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    cum = w.rowsBetween(W.unboundedPreceding, 0)
+    sess = marked.select("*", F.sum("is_new").over(cum).alias("sid"))
+    strs = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("tse", "event_id", "init"))
+                ),
+                lambda s: s["init"],
+            ),
+            "",
+        ).alias("s")
+    )
+    pats = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(k).alias("pattern"), F.lit(v).alias("rx"))
+                for k, v in _PM_PATTERNS.items()
+            ]
+        )
+    ).alias("p")
+    return (
+        strs.select("s", pats)
+        .groupBy(F.col("p.pattern").alias("pattern"))
+        .agg(
+            F.sum(
+                F.when(F.regexp_like("s", F.col("p.rx")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+    )
