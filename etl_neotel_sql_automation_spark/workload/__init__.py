@@ -165,6 +165,7 @@ def _ensure_loaded() -> None:
             wave6b,
             wave6c,
             wave6d,
+            wave7,
         )
 
         _LOADED = True

@@ -284,9 +284,11 @@ _BM25_TERM_SCORE = (
 )
 
 
-@query(
-    "text_bm25_topk",
-    oracle=f"""
+# Full per-doc BM25 frame (doc_id, s_hash, s_merge, s_window, score),
+# shared by text_bm25_topk's oracle and wave7's hybrid RRF fusion —
+# the SQL twin of bm25_doc_scores(). Kept tail-free so callers append
+# their own ORDER BY / LIMIT.
+BM25_SCORED_SQL = f"""
     WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
     scal AS (
@@ -319,6 +321,47 @@ _BM25_TERM_SCORE = (
     SELECT doc_id, s_hash, s_merge, s_window,
            round(s_hash + s_merge + s_window, 6) AS score
     FROM piv
+"""
+
+
+def bm25_doc_scores(docs: DataFrame) -> DataFrame:
+    """Per-doc BM25 frame over any documents-shaped input — the body
+    of text_bm25_topk without its top-10 tail (see that query's
+    docstring for the plan shape and determinism argument). Shared
+    with wave7's reciprocal-rank fusion so both rankers score docs
+    identically."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("tot_tokens"))
+    qtok = tok.filter(F.col("term").isin(*_BM25_TERMS))
+    qt = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dft = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
+    scored = (
+        qt.join(dl, "doc_id")
+        .join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "term", F.expr(_BM25_TERM_SCORE).alias("s"))
+    )
+    piv = scored.groupBy("doc_id").agg(
+        F.coalesce(F.max(F.when(F.col("term") == "hash", F.col("s"))), F.lit(0.0)).alias("s_hash"),
+        F.coalesce(F.max(F.when(F.col("term") == "merge", F.col("s"))), F.lit(0.0)).alias("s_merge"),
+        F.coalesce(F.max(F.when(F.col("term") == "window", F.col("s"))), F.lit(0.0)).alias("s_window"),
+    )
+    return piv.select(
+        "doc_id",
+        "s_hash",
+        "s_merge",
+        "s_window",
+        F.round(F.col("s_hash") + F.col("s_merge") + F.col("s_window"), 6).alias("score"),
+    )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=BM25_SCORED_SQL
+    + """
     ORDER BY score DESC, doc_id
     LIMIT 10
     """,
@@ -343,36 +386,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     matching docs. At 100 TB the df/idf table is still |query| rows.
     """
     docs = table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    tot = dl.agg(F.sum("dl").cast("long").alias("tot_tokens"))
-    qtok = tok.filter(F.col("term").isin(*_BM25_TERMS))
-    qt = qtok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dft = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df_t"))
-    scored = (
-        qt.join(dl, "doc_id")
-        .join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(tot))
-        .select("doc_id", "term", F.expr(_BM25_TERM_SCORE).alias("s"))
-    )
-    piv = scored.groupBy("doc_id").agg(
-        F.coalesce(F.max(F.when(F.col("term") == "hash", F.col("s"))), F.lit(0.0)).alias("s_hash"),
-        F.coalesce(F.max(F.when(F.col("term") == "merge", F.col("s"))), F.lit(0.0)).alias("s_merge"),
-        F.coalesce(F.max(F.when(F.col("term") == "window", F.col("s"))), F.lit(0.0)).alias("s_window"),
-    )
-    return (
-        piv.select(
-            "doc_id",
-            "s_hash",
-            "s_merge",
-            "s_window",
-            F.round(F.col("s_hash") + F.col("s_merge") + F.col("s_window"), 6).alias("score"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(10)
-    )
+    return bm25_doc_scores(docs).orderBy(F.desc("score"), "doc_id").limit(10)
 
 
 # ---------------------------------------------------------------------------

@@ -601,9 +601,10 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "link_customer_entities",
-    oracle="""
+# Named so wave7's golden-record survivorship can embed the SAME link
+# definition as a CTE — the two queries must agree on what "linked"
+# means or the golden records drift from the link table.
+LINK_ORACLE = """
     WITH probes AS (
       SELECT c_custkey AS probe_key,
              substr(c_name, 1, 11) || 'X' || substr(c_name, 13) AS p_name,
@@ -631,8 +632,10 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT probe_key, match_key, CAST(name_dist AS INTEGER) AS name_dist,
            CAST(score AS INTEGER) AS score
     FROM scored WHERE score >= 45
-    """,
-)
+    """
+
+
+@query("link_customer_entities", oracle=LINK_ORACLE)
 def link_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe records with a corrupted name char and a few-cent
     balance drift are linked to the customer master: suffix blocking
