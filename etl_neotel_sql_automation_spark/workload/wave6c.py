@@ -601,19 +601,20 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-# Named so wave7's golden-record survivorship can embed the SAME link
-# definition as a CTE — the two queries must agree on what "linked"
-# means or the golden records drift from the link table.
-LINK_ORACLE = """
-    WITH probes AS (
+# The probe/score CTE bodies are named pieces so wave7's golden-record
+# survivorship can embed the SAME link definition — the two queries
+# must agree on what "linked" means or the golden records drift from
+# the link table.
+PROBES_SQL = """probes AS (
       SELECT c_custkey AS probe_key,
              substr(c_name, 1, 11) || 'X' || substr(c_name, 13) AS p_name,
              c_nationkey AS p_nation,
              CAST(round(c_acctbal * 100) AS BIGINT) + (c_custkey % 7) - 3
                AS p_bal_cent
       FROM customer WHERE c_custkey % 17 = 0
-    ),
-    scored AS (
+    )"""
+
+SCORED_SQL = """scored AS (
       SELECT probe_key, c_custkey AS match_key,
              levenshtein(p_name, c_name) AS name_dist,
              CASE WHEN levenshtein(p_name, c_name) = 0 THEN 40
@@ -628,11 +629,33 @@ LINK_ORACLE = """
       JOIN customer
         ON substr(p_name, length(p_name) - 2, 3)
            = substr(c_name, length(c_name) - 2, 3)
-    )
+    )"""
+
+LINK_ORACLE = f"""
+    WITH {PROBES_SQL},
+    {SCORED_SQL}
     SELECT probe_key, match_key, CAST(name_dist AS INTEGER) AS name_dist,
            CAST(score AS INTEGER) AS score
     FROM scored WHERE score >= 45
     """
+
+
+def probe_frame(cust: DataFrame) -> DataFrame:
+    """The corrupted probe records (Spark twin of PROBES_SQL): every
+    17th customer with one name char replaced and a few-cent balance
+    drift. Shared with wave7's golden-record survivorship."""
+    return cust.filter(F.col("c_custkey") % 17 == 0).select(
+        F.col("c_custkey").alias("probe_key"),
+        F.concat(
+            F.substring("c_name", 1, 11), F.lit("X"), F.expr("substr(c_name, 13)")
+        ).alias("p_name"),
+        F.col("c_nationkey").alias("p_nation"),
+        (
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+            + (F.col("c_custkey") % 7)
+            - 3
+        ).alias("p_bal_cent"),
+    )
 
 
 @query("link_customer_entities", oracle=LINK_ORACLE)
@@ -647,18 +670,7 @@ def link_customer_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product; weights would come from EM-fitted m/u
     probabilities, here fixed constants (the plan is identical)."""
     cust = table(spark, sf_dir, "customer")
-    probes = cust.filter(F.col("c_custkey") % 17 == 0).select(
-        F.col("c_custkey").alias("probe_key"),
-        F.concat(
-            F.substring("c_name", 1, 11), F.lit("X"), F.expr("substr(c_name, 13)")
-        ).alias("p_name"),
-        F.col("c_nationkey").alias("p_nation"),
-        (
-            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)")
-            + (F.col("c_custkey") % 7)
-            - 3
-        ).alias("p_bal_cent"),
-    )
+    probes = probe_frame(cust)
     blk = lambda c: F.substring(c, -3, 3)  # noqa: E731
     dist = F.levenshtein("p_name", "c_name")
     score = (

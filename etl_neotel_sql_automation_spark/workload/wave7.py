@@ -22,6 +22,7 @@ from ..ops import similarity as S
 from ..ops import text as X
 from .corpus_mining import BM25_SCORED_SQL, bm25_doc_scores
 from .llm_ops import _SQL_QUALITY
+from .wave6d import _EDGES_SQL, _purchase_edges
 
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
@@ -327,4 +328,335 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").cast("bigint").alias("min_k"),
         )
         .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_link_predict — link prediction on the bipartite purchase
+# graph by the Resource Allocation index (Zhou/Lü/Zhang 2009):
+# RA(a,b) = Σ_{s ∈ N(a)∩N(b)} 1/deg(s) — common-neighbor evidence
+# where RARE shared suppliers count more than hubs. The integer-exact
+# cousin of Adamic-Adar (1/ln deg needs a log; 1/deg in ppb units
+# divides exactly), and in practice the stronger predictor. Candidate
+# pairs come only from a probe cohort's edges joined to the edge list
+# on the shared supplier — never all customer pairs — so candidate
+# volume is |probe edges| × avg supplier degree. A hub supplier's
+# quadratic fan-out is self-limiting here (its 1/deg contribution
+# vanishes); a deployment would additionally drop deg > D suppliers
+# from candidate GENERATION (the contribution floor makes that loss
+# quantifiable: dropped mass ≤ n_common/D ppb per pair).
+# ---------------------------------------------------------------------------
+
+_RA_PPB = 10**9
+
+
+@query(
+    "graph_link_predict",
+    oracle=f"""
+    WITH{_EDGES_SQL},
+    deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM raw GROUP BY s),
+    pr AS (SELECT c, s FROM raw WHERE c % 100 = 0),
+    pairs AS (
+      SELECT pr.c AS a, r.c AS b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             CAST(sum({_RA_PPB} // d.deg) AS BIGINT) AS ra_ppb
+      FROM pr
+      JOIN raw r ON pr.s = r.s AND pr.c <> r.c
+      JOIN deg d ON pr.s = d.s
+      GROUP BY pr.c, r.c
+    )
+    SELECT a, b, n_common, ra_ppb
+    FROM pairs
+    ORDER BY ra_ppb DESC, a, b
+    LIMIT 25
+    """,
+)
+def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 predicted customer–customer affinities for the probe
+    cohort (every 100th customer) by integer Resource Allocation over
+    shared suppliers. Three equi-joins on the supplier key + one
+    combinable aggregate; the supplier-degree table joins on the same
+    key the candidates shuffle on, so AQE can co-plan them."""
+    raw = _purchase_edges(spark, sf_dir)
+    deg = raw.groupBy("s").agg(F.count("*").alias("deg"))
+    pr = raw.filter(F.col("c") % 100 == 0).select(
+        F.col("c").alias("a"), "s"
+    )
+    return (
+        pr.join(raw.select(F.col("c").alias("b"), "s"), "s")
+        .filter(F.col("a") != F.col("b"))
+        .join(deg, "s")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(F.expr(f"{_RA_PPB} div deg")).cast("bigint").alias("ra_ppb"),
+        )
+        .orderBy(F.desc("ra_ppb"), "a", "b")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_acf — sample autocorrelation of the daily order count at
+# lags 1..7, on the zero-filled calendar series. Centering is exact:
+# b_t = n·x_t − Σx (scaling the mean out without dividing), so
+# numerator and denominator are exact BIGINTs and the only float is
+# the final ratio — one identically-structured IEEE divide, rounded
+# to 6 on both engines. The weekly-seasonality detector behind the
+# seasonality profile: a lag-7 peak says "weekday pattern".
+#
+# Scale: b_t ~ n·x_t, so Σb² ~ n·(n·x̄)²; with daily grain n stays
+# ~10³ and x̄ is the only growing factor — at 10⁶ orders/day the sum
+# sits ~10²¹ past BIGINT, so renormalize b_t by a fixed divisor (the
+# _HITS_SCALE-style knob) or aggregate hourly. The calendar explode
+# is a 1-row sequence (bounded by days, not data).
+# ---------------------------------------------------------------------------
+
+_ACF_LAGS = 7
+
+
+@query(
+    "timeseries_acf",
+    oracle=f"""
+    WITH o AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dn
+      FROM orders
+    ),
+    cnt AS (SELECT dn, CAST(count(*) AS BIGINT) AS x FROM o GROUP BY dn),
+    rng AS (SELECT min(dn) AS mn, max(dn) AS mx FROM o),
+    cal AS (
+      SELECT dn, coalesce(x, 0) AS x
+      FROM (SELECT unnest(range(mn, mx + 1)) AS dn FROM rng)
+      LEFT JOIN cnt USING (dn)
+    ),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+             FROM cal),
+    b AS (SELECT dn, n * x - s AS b FROM cal CROSS JOIN scal),
+    den AS (SELECT CAST(sum(b * b) AS BIGINT) AS den FROM b),
+    num AS (
+      SELECT lag, CAST(sum(a.b * c.b) AS BIGINT) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM b a
+      CROSS JOIN (SELECT unnest(range(1, {_ACF_LAGS} + 1)) AS lag) l
+      JOIN b c ON c.dn = a.dn + lag
+      GROUP BY lag
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+           round(num * 1.0e0 / den, 6) AS acf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+)
+def timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of daily order counts over the
+    zero-filled calendar (see module comment for the exact-integer
+    centering). The lag pairing is an integer equi-join on day
+    number + lag; the calendar comes from one 1-row min/max
+    sequence explode."""
+    orders = table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dn")
+    )
+    cnt = o.groupBy("dn").agg(F.count("*").alias("x"))
+    rng = o.agg(F.min("dn").alias("mn"), F.max("dn").alias("mx"))
+    cal = (
+        rng.select(F.explode(F.sequence("mn", "mx")).alias("dn"))
+        .join(cnt, "dn", "left")
+        .select("dn", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    scal = cal.agg(F.count("*").alias("n"), F.sum("x").cast("bigint").alias("s"))
+    b = cal.crossJoin(F.broadcast(scal)).select(
+        "dn", (F.col("n") * F.col("x") - F.col("s")).alias("b")
+    )
+    den = b.agg(F.sum(F.col("b") * F.col("b")).cast("bigint").alias("den"))
+    lags = F.explode(F.array(*[F.lit(i) for i in range(1, _ACF_LAGS + 1)])).alias("lag")
+    left = b.select(F.col("dn").alias("adn"), F.col("b").alias("ab"), lags)
+    right = b.select(F.col("dn").alias("cdn"), F.col("b").alias("cb"))
+    num = (
+        left.join(right, F.col("cdn") == F.col("adn") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("ab") * F.col("cb")).cast("bigint").alias("num"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num") * F.lit(1.0) / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# io_compaction_bins — the small-file compaction planner: treat each
+# source as one "file" of Σ n_chars bytes, sort descending, and
+# assign files to target-size output bins by where each file's
+# cumulative START offset lands (next-fit-decreasing — the one-pass,
+# window-expressible member of the bin-packing family; first-fit
+# needs sequential per-bin state and buys little at a fixed target).
+# The plan every table maintenance job (OPTIMIZE / rewrite-small-
+# files) computes before rewriting. The cumsum window is global BUT
+# runs over MANIFEST rows (one per file, ~10⁶ at 100 TB), not data
+# rows — a single-task window over file metadata is the normal shape
+# for a compaction planner; shard by table partition if manifests
+# outgrow that.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET = 12_000
+
+
+@query(
+    "io_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS bytes
+      FROM documents GROUP BY source
+    ),
+    ord AS (
+      SELECT source, bytes,
+             sum(bytes) OVER (ORDER BY bytes DESC, source
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM files
+    ),
+    binned AS (
+      SELECT source, bytes, CAST((cum - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin
+      FROM ord
+    ),
+    stats AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS bin_files,
+             CAST(sum(bytes) AS BIGINT) AS bin_bytes
+      FROM binned GROUP BY bin
+    )
+    SELECT source, bytes, bin, bin_files, bin_bytes
+    FROM binned JOIN stats USING (bin)
+    ORDER BY bin, bytes DESC, source
+    """,
+)
+def io_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan for the per-source document "files": each file's
+    target bin (12 kB target, next-fit-decreasing by cumulative start
+    offset) plus per-bin file count and total bytes. One combinable
+    size aggregate, one manifest-scale cumsum window, one bin
+    aggregate joined back on the bin id."""
+    docs = table(spark, sf_dir, "documents")
+    files = docs.groupBy("source").agg(F.sum("n_chars").cast("bigint").alias("bytes"))
+    w = W.orderBy(F.desc("bytes"), "source").rowsBetween(W.unboundedPreceding, 0)
+    binned = (
+        files.withColumn("cum", F.sum("bytes").over(w))
+        .select(
+            "source",
+            "bytes",
+            F.expr(f"CAST((cum - bytes) div {_COMPACT_TARGET} AS BIGINT)").alias("bin"),
+        )
+    )
+    stats = binned.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("bin_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+    )
+    return (
+        binned.join(stats, "bin")
+        .select("source", "bytes", "bin", "bin_files", "bin_bytes")
+        .orderBy("bin", F.desc("bytes"), "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# link_golden_record — survivorship on top of the entity-resolution
+# links: each linked cluster (master + its matched probes) collapses
+# to ONE golden record by per-field rules — name by majority vote
+# (tie → lexicographic min, so two-member clusters resolve
+# deterministically), balance by MAX ("most recent wins" with the
+# drifted probe cents standing in for staleness), plus the member
+# count auditors ask for. The MDM (master-data-management) step that
+# consumes link_customer_entities' output; both queries embed the
+# same link definition (wave6c.PROBES_SQL/SCORED_SQL), so the golden
+# records cannot drift from the link table.
+# ---------------------------------------------------------------------------
+
+from .wave6c import PROBES_SQL, SCORED_SQL, link_customer_entities, probe_frame  # noqa: E402
+
+
+@query(
+    "link_golden_record",
+    oracle=f"""
+    WITH {PROBES_SQL},
+    {SCORED_SQL},
+    links AS (SELECT probe_key, match_key FROM scored WHERE score >= 45),
+    masters AS (
+      SELECT DISTINCT l.match_key AS entity_key, c_name AS name,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cent
+      FROM links l JOIN customer ON l.match_key = c_custkey
+    ),
+    probe_members AS (
+      SELECT l.match_key AS entity_key, p.p_name AS name,
+             p.p_bal_cent AS bal_cent
+      FROM links l JOIN probes p ON l.probe_key = p.probe_key
+    ),
+    members AS (SELECT * FROM masters UNION ALL SELECT * FROM probe_members),
+    votes AS (
+      SELECT entity_key, name, CAST(count(*) AS BIGINT) AS votes
+      FROM members GROUP BY entity_key, name
+    ),
+    best_name AS (
+      SELECT entity_key, name AS golden_name
+      FROM votes
+      QUALIFY row_number() OVER (PARTITION BY entity_key
+                                 ORDER BY votes DESC, name) = 1
+    ),
+    agg AS (
+      SELECT entity_key, CAST(max(bal_cent) AS BIGINT) AS golden_bal_cents,
+             CAST(count(*) AS BIGINT) AS n_members
+      FROM members GROUP BY entity_key
+    )
+    SELECT entity_key, golden_name, golden_bal_cents, n_members
+    FROM agg JOIN best_name USING (entity_key)
+    ORDER BY entity_key
+    """,
+)
+def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One golden record per resolved entity: majority-vote name
+    (lexicographic-min tiebreak), max balance, member count. All
+    survivorship rules are per-entity combinable aggregates or
+    entity-partitioned windows — the cluster key shards the work at
+    any scale."""
+    cust = table(spark, sf_dir, "customer")
+    links = link_customer_entities(spark, sf_dir).select("probe_key", "match_key")
+    probes = probe_frame(cust)
+    masters = (
+        links.select("match_key")
+        .distinct()
+        .join(cust, F.col("match_key") == F.col("c_custkey"))
+        .select(
+            F.col("match_key").alias("entity_key"),
+            F.col("c_name").alias("name"),
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("bal_cent"),
+        )
+    )
+    pm = links.join(probes, "probe_key").select(
+        F.col("match_key").alias("entity_key"),
+        F.col("p_name").alias("name"),
+        F.col("p_bal_cent").alias("bal_cent"),
+    )
+    members = masters.unionByName(pm)
+    votes = members.groupBy("entity_key", "name").agg(F.count("*").alias("votes"))
+    wv = W.partitionBy("entity_key").orderBy(F.desc("votes"), "name")
+    best = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("entity_key", F.col("name").alias("golden_name"))
+    )
+    agg = members.groupBy("entity_key").agg(
+        F.max("bal_cent").cast("bigint").alias("golden_bal_cents"),
+        F.count("*").cast("bigint").alias("n_members"),
+    )
+    return (
+        agg.join(best, "entity_key")
+        .select("entity_key", "golden_name", "golden_bal_cents", "n_members")
+        .orderBy("entity_key")
     )
