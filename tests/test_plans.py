@@ -288,6 +288,9 @@ CORPUS_HINT_ALLOWED = {
     "sim_sq8_topk": 1,
     # df/idf table bounded by the |query|-term IN filter (3 rows)
     "text_bm25_topk": 1,
+    # inherits both allowlisted shapes it composes: the bm25 df table
+    # (3-row IN filter) and the dense probe side (vec_id = 0 literal)
+    "sim_rrf_fusion": 2,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build
