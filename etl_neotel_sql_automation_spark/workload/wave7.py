@@ -660,3 +660,242 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("entity_key", "golden_name", "golden_bal_cents", "n_members")
         .orderBy("entity_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# train_epoch_shuffle — seed-reproducible epoch shuffling + sharding:
+# every sample gets a pseudorandom key md5(seed:doc_id), shard =
+# key mod n_shards, within-shard order = by key. The property a
+# training job needs — epoch 2's permutation differs from epoch 1's
+# (different seed string) yet any worker can recompute ITS shard's
+# exact order from (seed, shard) alone, with NO global sort: the
+# shard assignment is a hash partition and the ordering window runs
+# per shard. md5 keeps the permutation replayable across engines
+# (ops/hashing.py convention; swap xxhash64 in production for speed,
+# same plan).
+# ---------------------------------------------------------------------------
+
+_SHUF_SEED = "ep1"
+_SHUF_SHARDS = 8
+_SHUF_HEAD = 5
+
+_SHUF_KEY_SQL = (
+    "CAST(('0x' || substr(md5('"
+    + _SHUF_SEED
+    + ":' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@query(
+    "train_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, {_SHUF_KEY_SQL} AS key,
+             {_SHUF_KEY_SQL} % {_SHUF_SHARDS} AS shard
+      FROM documents
+    ),
+    pos AS (
+      SELECT shard, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS p
+      FROM keyed
+    ),
+    heads AS (
+      SELECT shard, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY p) AS head_ids
+      FROM pos WHERE p <= {_SHUF_HEAD} GROUP BY shard
+    ),
+    stats AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_samples FROM keyed GROUP BY shard
+    )
+    SELECT CAST(shard AS BIGINT) AS shard, n_samples, head_ids
+    FROM stats JOIN heads USING (shard)
+    ORDER BY shard
+    """,
+)
+def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard sample counts and the first 5 doc_ids of each
+    shard's seed-deterministic permutation (seed "ep1", 8 shards).
+    Shard sizes prove the hash balances; the heads prove the order is
+    the function of (seed, shard) a resumable loader requires."""
+    from ..ops.hashing import md5_long
+
+    docs = table(spark, sf_dir, "documents")
+    key = md5_long(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("key"), (key % _SHUF_SHARDS).alias("shard"))
+    wp = W.partitionBy("shard").orderBy("key", "doc_id")
+    pos = keyed.select("shard", "doc_id", F.row_number().over(wp).alias("p"))
+    heads = (
+        pos.filter(F.col("p") <= _SHUF_HEAD)
+        .groupBy("shard")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "doc_id"))),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("head_ids")
+        )
+    )
+    stats = keyed.groupBy("shard").agg(F.count("*").cast("bigint").alias("n_samples"))
+    return (
+        stats.join(heads, "shard")
+        .select(F.col("shard").cast("bigint").alias("shard"), "n_samples", "head_ids")
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_recall — dimension-truncation quality meter: exact
+# top-10 neighbors under the FULL 64-dim cosine vs exact top-10 under
+# the first-16-dims prefix (the Matryoshka representation-learning
+# deployment: serve the cheap prefix, fall back to full vectors), per
+# probe. The house meter pattern (dedup_*_quality / sim_margin_quality)
+# applied to the dimension knob: recall_ppm says what the 4× cheaper
+# distance actually costs. Both legs are the brute_force_topk plan —
+# broadcast probe rows × one corpus scan each; the prefix slice is a
+# scan-side projection.
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = 16
+_MAT_K = 10
+
+
+@query(
+    "emb_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS nv FROM embeddings),
+    full_rank AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(list_cosine_similarity(qv, nv), 6) DESC,
+                                         n_id) AS rank
+      FROM q JOIN c ON q_id <> n_id
+    ),
+    trunc_rank AS (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(list_cosine_similarity(
+                                    list_slice(qv, 1, {_MAT_DIMS}),
+                                    list_slice(nv, 1, {_MAT_DIMS})), 6) DESC,
+                                         n_id) AS rank
+      FROM q JOIN c ON q_id <> n_id
+    ),
+    hits AS (
+      SELECT f.q_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM full_rank f
+      JOIN trunc_rank t ON f.q_id = t.q_id AND f.n_id = t.n_id
+      WHERE f.rank <= {_MAT_K} AND t.rank <= {_MAT_K}
+      GROUP BY f.q_id
+    ),
+    probes AS (SELECT q_id FROM q)
+    SELECT p.q_id, coalesce(n_hits, 0) AS n_hits,
+           CAST(coalesce(n_hits, 0) * 1000000 // {_MAT_K} AS BIGINT) AS recall_ppm
+    FROM probes p LEFT JOIN hits ON p.q_id = hits.q_id
+    ORDER BY p.q_id
+    """,
+)
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe recall of prefix-truncated (16 of 64 dims) exact
+    top-10 against full-dim exact top-10, in ppm. Two brute-force
+    legs over the same scan + one small equi-join on (probe,
+    neighbor); at 100 TB each leg is the documented brute-force
+    baseline shape — the meter runs on a hash-sample as the sampled
+    quality twins demonstrate."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    full = S.brute_force_topk(emb, probes, k=_MAT_K).select("q_id", "n_id")
+    tr = lambda df: df.withColumn("embedding", F.slice("embedding", 1, _MAT_DIMS))  # noqa: E731
+    trunc = S.brute_force_topk(tr(emb), tr(probes), k=_MAT_K).select("q_id", "n_id")
+    hits = full.join(trunc, ["q_id", "n_id"]).groupBy("q_id").agg(
+        F.count("*").cast("bigint").alias("n_hits")
+    )
+    return (
+        probes.select(F.col("vec_id").alias("q_id"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0).cast("bigint")).alias("n_hits"),
+            F.expr(f"CAST(coalesce(n_hits, 0) * 1000000 div {_MAT_K} AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+        .orderBy("q_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_chi_square — chi-square test of independence between event
+# type and day-of-week: is behavior uniform across the week, or do
+# event mixes shift by day? The categorical sibling of events_ab_test.
+# Per-cell terms (O·N − R·C)²/(N·R·C) are computed in ONE identically-
+# structured IEEE expression from exact integer marginals, then
+# rounded to micro units per cell BEFORE summing — the integer sum is
+# order-free, so parallel aggregation cannot wiggle the statistic.
+# Marginals are three combinable aggregates; the cell table is
+# |types| × 7 rows at any event volume. At extreme counts the O·N
+# products leave the double's exact-integer range together — compute
+# the cell term in HUGEINT/DECIMAL there; the shape is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_chi_square",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+      FROM events
+    ),
+    cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+              FROM e GROUP BY event_type, dow),
+    rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY event_type),
+    cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS c2 FROM cells GROUP BY dow),
+    n_ AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT cells.event_type,
+             CAST(round(
+               (o * 1.0e0 * n - r * 1.0e0 * c2) * (o * 1.0e0 * n - r * 1.0e0 * c2)
+               / (n * 1.0e0 * r * c2) * 1000000e0
+             ) AS BIGINT) AS term_micro
+      FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (dow) CROSS JOIN n_
+    )
+    SELECT event_type, CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+           CAST(count(*) - 1 AS BIGINT) AS dof
+    FROM terms GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type chi-square contribution (micro units) for the
+    type × day-of-week independence test, with the per-type degrees
+    of freedom. Sum the column for the table-wide statistic; a large
+    per-type value localizes WHICH behavior is day-dependent."""
+    ev = table(spark, sf_dir, "events")
+    e = ev.select("event_type", F.dayofweek(F.col("ts").cast("date")).cast("bigint").alias("dow"))
+    cells = e.groupBy("event_type", "dow").agg(F.count("*").alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("c2"))
+    n_ = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    terms = (
+        cells.join(rows_, "event_type")
+        .join(cols_, "dow")
+        .crossJoin(F.broadcast(n_))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(round("
+                "(o * 1.0e0 * n - r * 1.0e0 * c2) * (o * 1.0e0 * n - r * 1.0e0 * c2)"
+                " / (n * 1.0e0 * r * c2) * 1000000e0"
+                ") AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.sum("term_micro").cast("bigint").alias("chi2_micro"),
+            (F.count("*") - 1).cast("bigint").alias("dof"),
+        )
+        .orderBy("event_type")
+    )

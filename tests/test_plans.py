@@ -291,6 +291,9 @@ CORPUS_HINT_ALLOWED = {
     # inherits both allowlisted shapes it composes: the bm25 df table
     # (3-row IN filter) and the dense probe side (vec_id = 0 literal)
     "sim_rrf_fusion": 2,
+    # two brute-force legs, each broadcasting the literal-filtered
+    # probe set (vec_id < 10) — the sim_cosine_topk shape twice
+    "emb_matryoshka_recall": 2,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build
