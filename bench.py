@@ -112,6 +112,17 @@ ADDITIONS = [
     "orders_decayed_value",
     "corpus_source_clusters",
     "events_pattern_match",
+    # r6 wave 4: hybrid-retrieval RRF fusion, capped inverted index,
+    # cross-source quantile calibration, link prediction, golden-record
+    # survivorship, seed-deterministic epoch shuffle, Matryoshka
+    # truncation recall meter
+    "sim_rrf_fusion",
+    "text_inverted_index",
+    "quality_quantile_normalize",
+    "graph_link_predict",
+    "link_golden_record",
+    "train_epoch_shuffle",
+    "emb_matryoshka_recall",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

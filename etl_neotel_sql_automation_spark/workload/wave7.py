@@ -169,7 +169,12 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds both legs: stats is a per-term combinable aggregate, the
     posting window partitions BY TERM (no global window), and the cap
     bounds row width before anything is collected."""
-    docs = table(spark, sf_dir, "documents")
+    return inverted_index_frame(table(spark, sf_dir, "documents"))
+
+
+def inverted_index_frame(docs: DataFrame) -> DataFrame:
+    """text_inverted_index over any documents-shaped frame (probed at
+    1x/10x/100x by tools/scale_wave7_probe.py)."""
     tok = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
     stats = tf.groupBy("term").agg(
@@ -247,7 +252,12 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the reference distribution, map-back by rank equi-join. The
     calibrated `norm_ppm` is what a single corpus-wide quality
     threshold should cut on."""
-    docs = table(spark, sf_dir, "documents")
+    return quantile_normalize_frame(table(spark, sf_dir, "documents"))
+
+
+def quantile_normalize_frame(docs: DataFrame) -> DataFrame:
+    """quality_quantile_normalize over any (doc_id, source, text)
+    frame — the probe-reusable body."""
     s = docs.select(
         "doc_id",
         "source",
@@ -377,7 +387,12 @@ def graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared suppliers. Three equi-joins on the supplier key + one
     combinable aggregate; the supplier-degree table joins on the same
     key the candidates shuffle on, so AQE can co-plan them."""
-    raw = _purchase_edges(spark, sf_dir)
+    return link_predict_frame(_purchase_edges(spark, sf_dir))
+
+
+def link_predict_frame(raw: DataFrame) -> DataFrame:
+    """graph_link_predict over any (c, s) bipartite edge frame — the
+    probe-reusable body."""
     deg = raw.groupBy("s").agg(F.count("*").alias("deg"))
     pr = raw.filter(F.col("c") % 100 == 0).select(
         F.col("c").alias("a"), "s"
@@ -716,9 +731,14 @@ def train_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard's seed-deterministic permutation (seed "ep1", 8 shards).
     Shard sizes prove the hash balances; the heads prove the order is
     the function of (seed, shard) a resumable loader requires."""
+    return epoch_shuffle_frame(table(spark, sf_dir, "documents"))
+
+
+def epoch_shuffle_frame(docs: DataFrame) -> DataFrame:
+    """train_epoch_shuffle over any documents-shaped frame — the
+    probe-reusable body."""
     from ..ops.hashing import md5_long
 
-    docs = table(spark, sf_dir, "documents")
     key = md5_long(F.concat(F.lit(_SHUF_SEED + ":"), F.col("doc_id").cast("string")))
     keyed = docs.select("doc_id", key.alias("key"), (key % _SHUF_SHARDS).alias("shard"))
     wp = W.partitionBy("shard").orderBy("key", "doc_id")
