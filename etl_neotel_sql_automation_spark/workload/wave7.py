@@ -919,3 +919,164 @@ def events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_concurrency — peak concurrency per day by the sweep-line
+# rule: every event opens a 30-minute activity interval, intervals
+# are clipped at midnight (a window crossing it contributes its
+# remainder to the NEXT day's sweep — the +1 carries over, so no
+# day's running sum can go negative), then +1/-1 deltas accumulate in
+# event-time order and the per-day maximum is the answer. The
+# capacity-planning readout ("how many concurrent windows must the
+# serving tier hold?"). The sweep window partitions BY DAY — at any
+# event volume each day's sweep is an independent partition; ties at
+# the same instant process -1 before +1 (an interval ending exactly
+# when another starts does not overlap it).
+# ---------------------------------------------------------------------------
+
+_CONC_WIN_S = 1800
+_SECS_DAY = 86400
+
+
+@query(
+    "events_concurrency",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_id, CAST(epoch(ts) AS BIGINT) AS s,
+             CAST(epoch(ts) AS BIGINT) + {_CONC_WIN_S} AS e
+      FROM events
+    ),
+    seg AS (
+      SELECT event_id,
+             greatest(s, d * {_SECS_DAY}) AS ss,
+             least(e, (d + 1) * {_SECS_DAY}) AS se,
+             d
+      FROM (SELECT event_id, s, e,
+                   unnest(range(s // {_SECS_DAY}, (e - 1) // {_SECS_DAY} + 1)) AS d
+            FROM iv)
+    ),
+    pts AS (
+      SELECT d, ss AS t, 1 AS delta, event_id FROM seg
+      UNION ALL
+      SELECT d, se AS t, -1 AS delta, event_id FROM seg
+    ),
+    swept AS (
+      SELECT d, sum(delta) OVER (PARTITION BY d ORDER BY t, delta, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    )
+    SELECT CAST(d AS BIGINT) AS day_num, CAST(max(conc) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY d
+    ORDER BY day_num
+    """,
+)
+def events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak number of simultaneously-open 30-minute event
+    windows (midnight-clipped sweep line; see block comment for the
+    tie and carry-over rules)."""
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + _CONC_WIN_S).alias("e"),
+    )
+    seg = iv.select(
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {_SECS_DAY}"), F.expr(f"(e - 1) div {_SECS_DAY}")
+            )
+        ).alias("d"),
+    ).select(
+        "event_id",
+        "d",
+        F.greatest(F.col("s"), F.col("d") * _SECS_DAY).alias("ss"),
+        F.least(F.col("e"), (F.col("d") + 1) * _SECS_DAY).alias("se"),
+    )
+    pts = seg.select("d", F.col("ss").alias("t"), F.lit(1).alias("delta"), "event_id").union(
+        seg.select("d", F.col("se").alias("t"), F.lit(-1).alias("delta"), "event_id")
+    )
+    w = W.partitionBy("d").orderBy("t", "delta", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    swept = pts.select("d", F.sum("delta").over(w).alias("conc"))
+    return (
+        swept.groupBy(F.col("d").cast("bigint").alias("day_num"))
+        .agg(F.max("conc").cast("bigint").alias("max_concurrent"))
+        .orderBy("day_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# lineitem_weighted_median — quantity-weighted median price per
+# return flag: order rows by price within each group, accumulate the
+# integer weights, and take the first row whose cumulative weight
+# reaches half the total (2·cum ≥ W with 2·(cum−w) < W identifies
+# exactly one crossing row — the lower weighted median, a pure
+# integer rule both engines replay). The robust price statistic a
+# pricing monitor keeps beside the plain percentiles: a few huge
+# orders cannot drag it. Cumsum windows partition by the group key;
+# weights and cents stay BIGINT end-to-end.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "lineitem_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag, price_cents, w,
+             sum(w) OVER (PARTITION BY flag
+                          ORDER BY price_cents, l_orderkey, l_linenumber
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY flag) AS tot
+      FROM r
+    )
+    SELECT flag, CAST(price_cents AS BIGINT) AS median_price_cents,
+           CAST(tot AS BIGINT) AS total_weight
+    FROM c
+    WHERE 2 * cum >= tot AND 2 * (cum - w) < tot
+    ORDER BY flag
+    """,
+)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price (cents) per return
+    flag via the integer crossing rule — one partitioned cumsum
+    window, no global sort, no floats."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = W.partitionBy("flag").orderBy("price_cents", "l_orderkey", "l_linenumber").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("flag")
+    c = r.select(
+        "flag",
+        "price_cents",
+        "w",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("tot"),
+    )
+    return (
+        c.filter((2 * F.col("cum") >= F.col("tot")) & (2 * (F.col("cum") - F.col("w")) < F.col("tot")))
+        .select(
+            "flag",
+            F.col("price_cents").cast("bigint").alias("median_price_cents"),
+            F.col("tot").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
