@@ -22,7 +22,7 @@ from ..ops import similarity as S
 from ..ops import text as X
 from .corpus_mining import BM25_SCORED_SQL, bm25_doc_scores
 from .llm_ops import _SQL_QUALITY
-from .wave6d import _EDGES_SQL, _purchase_edges
+from .wave6d import _EDGES_SQL, _SUPP_OFFSET, _purchase_edges
 
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
 
@@ -1079,4 +1079,203 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tot").cast("bigint").alias("total_weight"),
         )
         .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_hops — breadth-first shortest hop distance from a seed
+# customer cohort over the bipartite purchase graph, 4 rounds — the
+# shortest-path modality the graph family was missing (beside CC,
+# label propagation, PageRank/PPR, triangles, k-core, HITS). Each
+# round is one frontier equi-join + a min-combinable aggregate, the
+# pagerank_int iteration convention with min(dist) in place of sums;
+# rounds are localCheckpointed so the lineage stays flat. Output is
+# the reachability histogram: how many SUPPLIERS sit at each hop
+# distance from the cohort (odd hops only, by bipartiteness), the
+# "supply-chain blast radius" readout.
+#
+# Edges are the LARGE-quantity purchases (l_quantity >= 45) and the
+# seed cohort is small (every 997th buyer): the full purchase graph
+# has diameter ~2 (any 1% cohort touches every supplier in one hop —
+# the histogram degenerates to one row), while the sparse graph
+# leaves a real frontier to traverse at both test SFs.
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_QTY = 45
+_BFS_SEED_MOD = 997
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE raw AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_quantity >= {_BFS_QTY}
+    ),
+    raw2 AS (SELECT c, {_SUPP_OFFSET} + s AS s FROM raw),
+    edges AS (SELECT c AS src, s AS dst FROM raw2
+              UNION ALL SELECT s, c FROM raw2),
+    seeds AS (SELECT DISTINCT c FROM raw WHERE c % {_BFS_SEED_MOD} = 1),
+    walk AS (
+      SELECT c AS id, 0 AS hops FROM seeds
+      UNION
+      SELECT e.dst, walk.hops + 1
+      FROM walk JOIN edges e ON e.src = walk.id
+      WHERE walk.hops < {_BFS_ROUNDS}
+    ),
+    d AS (SELECT id, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY id)
+    SELECT hops, CAST(count(*) AS BIGINT) AS n_suppliers
+    FROM d WHERE id >= {_SUPP_OFFSET}
+    GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts by minimum hop distance (<= 4 rounds) from the
+    seed cohort over the large-quantity purchase graph. Per round:
+    frontier join + min aggregate; the frontier is the full
+    known-distance set, so a node discovered at hop 1 is never
+    re-labeled at hop 3 (min wins, matching the recursive-CTE
+    oracle's UNION + min)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= _BFS_QTY)
+    raw = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    raw2 = raw.select("c", (F.lit(_SUPP_OFFSET) + F.col("s")).alias("s"))
+    edges = raw2.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
+        raw2.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    dist = (
+        raw.filter(F.col("c") % _BFS_SEED_MOD == 1)
+        .select(F.col("c").alias("id"))
+        .distinct()
+        .select("id", F.lit(0).alias("hops"))
+    )
+    for _ in range(_BFS_ROUNDS):
+        nxt = (
+            edges.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.union(nxt).groupBy("id").agg(F.min("hops").alias("hops"))
+        ).localCheckpoint(eager=False)
+    return (
+        dist.filter(F.col("id") >= _SUPP_OFFSET)
+        .groupBy(F.col("hops").cast("bigint").alias("hops"))
+        .agg(F.count("*").cast("bigint").alias("n_suppliers"))
+        .orderBy("hops")
+    )
+
+
+# ---------------------------------------------------------------------------
+# privacy_l_diversity — the companion audit to privacy_k_anonymity:
+# group size alone does not protect a quasi-identified group whose
+# SENSITIVE attribute is uniform (everyone in the group shares one
+# market segment → membership reveals it). l-diversity counts
+# distinct sensitive values per QI group; groups below l = 3 need
+# generalization even if they pass k. Same two-combinable-aggregate
+# shape (distinct count per group, then per-nation rollup).
+# ---------------------------------------------------------------------------
+
+_LDIV_L = 3
+
+
+@query(
+    "privacy_l_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_nationkey,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l
+      FROM customer
+      GROUP BY c_nationkey, CAST(floor(c_acctbal / 1000e0) AS BIGINT)
+    )
+    SELECT c_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_low_diversity,
+           CAST(sum(CASE WHEN l < {_LDIV_L} THEN k ELSE 0 END) AS BIGINT)
+             AS rows_exposed,
+           CAST(min(l) AS BIGINT) AS min_l
+    FROM g GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation l-diversity of market segment within (nation,
+    balance-band) quasi-identifier groups: group count, groups below
+    l=3, rows they expose, and the worst diversity."""
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey", F.expr("CAST(floor(c_acctbal / 1000e0) AS BIGINT)").alias("band")
+    ).agg(
+        F.count("*").alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    return (
+        g.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("l") < _LDIV_L, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_diversity"),
+            F.sum(F.when(F.col("l") < _LDIV_L, F.col("k")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_exposed"),
+            F.min("l").cast("bigint").alias("min_l"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_sla — per-stream staleness: each event type's latest
+# timestamp lagged against the corpus watermark (global max ts), with
+# an SLA breach flag at 24 h. The first check an on-call runbook
+# fires for a silent upstream: "which feeds stopped?". Two max
+# aggregates (one grouped, one 1-row broadcast) — nothing scales
+# beyond the group count.
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_S = 86400
+
+
+@query(
+    "dq_freshness_sla",
+    oracle=f"""
+    WITH wm AS (SELECT max(ts) AS w FROM events),
+    s AS (
+      SELECT event_type, max(ts) AS latest FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(date_diff('second', latest, w) AS BIGINT) AS lag_seconds,
+           CAST(date_diff('second', latest, w) AS BIGINT) > {_FRESH_SLA_S}
+             AS sla_breach
+    FROM s CROSS JOIN wm
+    ORDER BY event_type
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness lag (seconds behind the corpus
+    watermark) and the 24 h SLA breach flag."""
+    ev = table(spark, sf_dir, "events")
+    wm = ev.agg(F.max("ts").alias("w"))
+    s = ev.groupBy("event_type").agg(F.max("ts").alias("latest"))
+    return (
+        s.crossJoin(F.broadcast(wm))
+        .select(
+            "event_type",
+            (F.unix_timestamp("w") - F.unix_timestamp("latest"))
+            .cast("bigint")
+            .alias("lag_seconds"),
+            (
+                (F.unix_timestamp("w") - F.unix_timestamp("latest")).cast("bigint")
+                > _FRESH_SLA_S
+            ).alias("sla_breach"),
+        )
+        .orderBy("event_type")
     )
