@@ -1,7 +1,12 @@
-"""Round-6 wave-4 workloads: hybrid-retrieval reciprocal-rank fusion,
-search-index posting-list construction, cross-source quantile score
-normalization, and a k-anonymity privacy audit — the retrieval-serving
-and data-governance passes that sit beside the curation pipeline.
+"""Round-6 wave-4 workloads: the retrieval-serving, data-governance
+and remaining-analytics passes that sit beside the curation pipeline —
+hybrid reciprocal-rank fusion, inverted-index construction,
+cross-source quantile calibration, k-anonymity + l-diversity privacy
+audits, Resource-Allocation link prediction, golden-record
+survivorship, seed-deterministic epoch shuffling, Matryoshka
+truncation recall, chi-square independence, sweep-line concurrency,
+weighted medians, BFS hop histograms, compaction planning, daily
+autocorrelation, and feed-freshness SLAs.
 
 Determinism rules (house style, see workload/__init__ docstring):
 ranks and fused scores are exact integers (reciprocal ranks in parts
