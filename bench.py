@@ -123,6 +123,15 @@ ADDITIONS = [
     "link_golden_record",
     "train_epoch_shuffle",
     "emb_matryoshka_recall",
+    # r6 wave 8: FIFO-as-prefix-sum allocation, Kneser-Ney LM,
+    # t-closeness privacy audit, Theil-Sen robust trend, monthly
+    # OHLC+VWAP bars, functional-dependency (g3) audit
+    "inventory_fifo_allocation",
+    "text_kneser_ney_top",
+    "privacy_t_closeness",
+    "timeseries_theil_sen",
+    "lineitem_monthly_ohlc_vwap",
+    "dq_fd_violations",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -166,6 +166,7 @@ def _ensure_loaded() -> None:
             wave6c,
             wave6d,
             wave7,
+            wave8,
         )
 
         _LOADED = True
