@@ -132,6 +132,11 @@ ADDITIONS = [
     "timeseries_theil_sen",
     "lineitem_monthly_ohlc_vwap",
     "dq_fd_violations",
+    # r6 wave 9: cross-source BLEU novelty meter, exact interpolated
+    # percentiles, purchase-graph assortativity
+    "corpus_cross_bleu",
+    "agg_percentile_cont_exact",
+    "graph_degree_assortativity",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

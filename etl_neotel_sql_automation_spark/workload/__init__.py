@@ -167,6 +167,7 @@ def _ensure_loaded() -> None:
             wave6d,
             wave7,
             wave8,
+            wave9,
         )
 
         _LOADED = True
