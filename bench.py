@@ -137,6 +137,9 @@ ADDITIONS = [
     "corpus_cross_bleu",
     "agg_percentile_cont_exact",
     "graph_degree_assortativity",
+    # r6 wave 10: running COUNT(DISTINCT) workaround, daily TWAP
+    "window_running_distinct",
+    "events_twap_daily",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -703,3 +703,102 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tick-to-bar resampling: hourly OHLC + volume over the
+    events stream as ONE windowed aggregation. Open/close cannot use
+    row_number in a streaming agg, so the within-window total order is
+    packed into a single BIGINT key (offset_us_from_hour_start * 2^24
+    + event_id — exact while event_id < 2^24 and the bar is <= 1 h)
+    and min_by/max_by extract the first/last tick's price; both are
+    declarative aggregates, so the whole bar is incremental per-window
+    state — the shape a market-data pipeline keeps over an infinite
+    feed. availableNow -> finite, complete mode; must equal the batch
+    arg_min/arg_max oracle exactly (prices in integer cents)."""
+    events = events_stream(spark, sf_dir)
+    priced = events.select(
+        "ts",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.date_trunc("hour", F.col("ts")))
+            )
+            * F.lit(16777216)
+            + F.col("event_id")
+        ).alias("k"),
+    )
+    agg = (
+        priced.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.expr("min_by(cents, k)").cast("bigint").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.expr("max_by(cents, k)").cast("bigint").alias("close_cents"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("vol_cents"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+            "n_events",
+            "vol_cents",
+        )
+    )
+    name = f"events_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)
+
+
+def stream_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming feed-freshness: per-event-type max(ts) maintained as
+    streaming state (complete mode — the monitor table a runbook
+    polls), then the type-cardinality final frame is lagged against
+    its own watermark and flagged at the 24 h SLA. The heavy part
+    (the max over the stream) is streaming; the 5-row post-processing
+    is batch on the sink table. Must equal the batch freshness
+    oracle."""
+    events = events_stream(spark, sf_dir)
+    agg = events.groupBy("event_type").agg(F.max("ts").alias("latest"))
+    name = f"events_fresh_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    final = spark.table(name)
+    lagged = final.select(
+        "event_type",
+        F.expr(
+            "CAST(unix_seconds(max(latest) OVER ()) - unix_seconds(latest)"
+            " AS BIGINT)"
+        ).alias("lag_seconds"),
+    )
+    return lagged.select(
+        "event_type",
+        "lag_seconds",
+        (F.col("lag_seconds") > 86400).alias("sla_breach"),
+    ).orderBy("event_type")

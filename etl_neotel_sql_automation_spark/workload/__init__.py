@@ -168,6 +168,7 @@ def _ensure_loaded() -> None:
             wave7,
             wave8,
             wave9,
+            wave10,
         )
 
         _LOADED = True
