@@ -140,6 +140,10 @@ ADDITIONS = [
     # r6 wave 10: running COUNT(DISTINCT) workaround, daily TWAP
     "window_running_distinct",
     "events_twap_daily",
+    # r6 wave 11: SCD2 point-in-time join, trimmed mean, packing meter
+    "scd2_point_in_time_join",
+    "agg_trimmed_mean",
+    "train_packing_efficiency",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -169,6 +169,7 @@ def _ensure_loaded() -> None:
             wave8,
             wave9,
             wave10,
+            wave11,
         )
 
         _LOADED = True

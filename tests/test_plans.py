@@ -72,6 +72,12 @@ TRIPWIRE_EXCLUDED = frozenset({
     "streaming_stateful_sessionize",
     "streaming_static_enrich",
     "streaming_stream_stream_join",
+    # r6 wave 10 — policy tests: tests/test_wave10.py
+    # test_streaming_ohlc_matches_batch_formula (streaming == batch of
+    # the same packed-key formula) and tests/test_plans.py
+    # test_streaming_freshness_matches_batch_twin
+    "streaming_hourly_ohlc",
+    "streaming_type_freshness",
 })
 # The families the exclusions come from; used only by the meta-guard.
 TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
@@ -573,3 +579,26 @@ def test_sampled_meters_filter_below_the_exact_join(spark, name):
     walk(plan)
     assert seen[0] >= 1, "expected an exact-leg pair join in the plan"
     assert not bad, f"pair joins without the sample filter below: {bad}"
+
+
+def test_streaming_freshness_matches_batch_twin(spark):
+    """Policy test for the streaming_type_freshness exclusion: the
+    streaming-state freshness monitor must produce exactly the batch
+    dq_freshness_sla rows (same feed lags, same SLA flags) — the
+    cross-query consistency the oracle differential checks only
+    engine-by-engine, not query-by-query."""
+    from etl_neotel_sql_automation_spark.workload.wave7 import dq_freshness_sla
+    from etl_neotel_sql_automation_spark.workload.wave10 import (
+        streaming_type_freshness,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: (r["lag_seconds"], r["sla_breach"])
+        for r in streaming_type_freshness(spark, sf).collect()
+    }
+    want = {
+        r["event_type"]: (r["lag_seconds"], r["sla_breach"])
+        for r in dq_freshness_sla(spark, sf).collect()
+    }
+    assert got == want
