@@ -144,6 +144,14 @@ ADDITIONS = [
     "scd2_point_in_time_join",
     "agg_trimmed_mean",
     "train_packing_efficiency",
+    # r6 wave 12: z-order pruning meter, one-pass bootstrap CI, PSI
+    # drift, calibration/ECE, Cohen's kappa, info-gain feature ranking
+    "io_zorder_layout",
+    "agg_bootstrap_ci",
+    "quality_psi_drift",
+    "quality_calibration_bins",
+    "agg_cohens_kappa",
+    "quality_info_gain",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -170,6 +170,7 @@ def _ensure_loaded() -> None:
             wave9,
             wave10,
             wave11,
+            wave12,
         )
 
         _LOADED = True
