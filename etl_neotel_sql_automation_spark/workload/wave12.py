@@ -62,56 +62,9 @@ _Z_ROWS_PER_FILE = 512
 _Z_BOX = (0, 1499, 400, 799)
 
 
-@query(
-    "io_zorder_layout",
-    oracle=f"""
-    WITH base AS (
-      SELECT o_orderkey, o_custkey AS x,
-             datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
-               AS y
-      FROM orders
-    ),
-    z AS (SELECT *, {sql_z_value("x", "y", 16)} AS zv FROM base),
-    lay AS (
-      SELECT 'linear_custkey' AS layout, x, y,
-             (row_number() OVER (ORDER BY x, o_orderkey) - 1)
-               // {_Z_ROWS_PER_FILE} AS file_id
-      FROM z
-      UNION ALL
-      SELECT 'zorder', x, y,
-             (row_number() OVER (ORDER BY zv, o_orderkey) - 1)
-               // {_Z_ROWS_PER_FILE}
-      FROM z
-    ),
-    files AS (
-      SELECT layout, file_id,
-             min(x) AS min_x, max(x) AS max_x,
-             min(y) AS min_y, max(y) AS max_y,
-             CAST(sum(CASE WHEN x BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
-                            AND y BETWEEN {_Z_BOX[2]} AND {_Z_BOX[3]}
-                           THEN 1 ELSE 0 END) AS BIGINT) AS matched
-      FROM lay GROUP BY layout, file_id
-    )
-    SELECT layout,
-           CAST(count(*) AS BIGINT) AS n_files,
-           CAST(sum(CASE WHEN min_x <= {_Z_BOX[1]} AND max_x >= {_Z_BOX[0]}
-                          AND min_y <= {_Z_BOX[3]} AND max_y >= {_Z_BOX[2]}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
-           CAST(sum(matched) AS BIGINT) AS rows_matched,
-           CAST((1000000 * sum(CASE WHEN min_x <= {_Z_BOX[1]}
-                                     AND max_x >= {_Z_BOX[0]}
-                                     AND min_y <= {_Z_BOX[3]}
-                                     AND max_y >= {_Z_BOX[2]}
-                                    THEN 1 ELSE 0 END)) // count(*)
-                AS BIGINT) AS scan_ppm
-    FROM files GROUP BY layout ORDER BY layout
-    """,
-)
-def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Files scanned under footer-stats min/max pruning for a 2-D box
-    predicate, linear-sort layout vs Morton (z-order) layout — the
-    measured pruning benefit of ops.zorder.cluster_by_z."""
-    orders = table(spark, sf_dir, "orders")
+def zorder_layout_frame(orders: DataFrame) -> DataFrame:
+    """Frame core of io_zorder_layout — the exact registered body over any
+    orders-shaped frame (scaling-probe entry point)."""
     xlo, xhi, ylo, yhi = _Z_BOX
     base = orders.select(
         "o_orderkey",
@@ -171,6 +124,59 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "io_zorder_layout",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey AS x,
+             datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+               AS y
+      FROM orders
+    ),
+    z AS (SELECT *, {sql_z_value("x", "y", 16)} AS zv FROM base),
+    lay AS (
+      SELECT 'linear_custkey' AS layout, x, y,
+             (row_number() OVER (ORDER BY x, o_orderkey) - 1)
+               // {_Z_ROWS_PER_FILE} AS file_id
+      FROM z
+      UNION ALL
+      SELECT 'zorder', x, y,
+             (row_number() OVER (ORDER BY zv, o_orderkey) - 1)
+               // {_Z_ROWS_PER_FILE}
+      FROM z
+    ),
+    files AS (
+      SELECT layout, file_id,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y,
+             CAST(sum(CASE WHEN x BETWEEN {_Z_BOX[0]} AND {_Z_BOX[1]}
+                            AND y BETWEEN {_Z_BOX[2]} AND {_Z_BOX[3]}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matched
+      FROM lay GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN min_x <= {_Z_BOX[1]} AND max_x >= {_Z_BOX[0]}
+                          AND min_y <= {_Z_BOX[3]} AND max_y >= {_Z_BOX[2]}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(matched) AS BIGINT) AS rows_matched,
+           CAST((1000000 * sum(CASE WHEN min_x <= {_Z_BOX[1]}
+                                     AND max_x >= {_Z_BOX[0]}
+                                     AND min_y <= {_Z_BOX[3]}
+                                     AND max_y >= {_Z_BOX[2]}
+                                    THEN 1 ELSE 0 END)) // count(*)
+                AS BIGINT) AS scan_ppm
+    FROM files GROUP BY layout ORDER BY layout
+    """,
+)
+def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files scanned under footer-stats min/max pruning for a 2-D box
+    predicate, linear-sort layout vs Morton (z-order) layout — the
+    measured pruning benefit of ops.zorder.cluster_by_z."""
+    return zorder_layout_frame(table(spark, sf_dir, "orders"))
+
+
+
 # ---------------------------------------------------------------------------
 # agg_bootstrap_ci — uncertainty on a corpus-scale aggregate without a
 # second pass: 64 half-subsample replicates, membership decided per
@@ -188,44 +194,9 @@ _BOOT_B = 64
 _BOOT_RANKS = (4, 32, 61)  # ~p05 / p50 / p95 of 64 ordered replicate means
 
 
-@query(
-    "agg_bootstrap_ci",
-    oracle=f"""
-    WITH reps AS (
-      SELECT b.b,
-             CAST((1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
-                  // count(*) AS BIGINT) AS rep_mean_millicents
-      FROM orders
-      CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
-      WHERE {sql_md5_long("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")} % 2 = 0
-      GROUP BY b.b
-    ),
-    ranked AS (
-      SELECT rep_mean_millicents,
-             row_number() OVER (ORDER BY rep_mean_millicents, b) AS rn
-      FROM reps
-    ),
-    point AS (
-      SELECT CAST((1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
-                  // count(*) AS BIGINT) AS mean_millicents
-      FROM orders
-    )
-    SELECT point.mean_millicents,
-           (SELECT rep_mean_millicents FROM ranked
-             WHERE rn = {_BOOT_RANKS[0]}) AS boot_p05_millicents,
-           (SELECT rep_mean_millicents FROM ranked
-             WHERE rn = {_BOOT_RANKS[1]}) AS boot_p50_millicents,
-           (SELECT rep_mean_millicents FROM ranked
-             WHERE rn = {_BOOT_RANKS[2]}) AS boot_p95_millicents,
-           CAST({_BOOT_B} AS BIGINT) AS n_reps
-    FROM point
-    """,
-)
-def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Subsample-bootstrap CI for mean order value: 64 md5-parity
-    half-samples in one pass, p05/p50/p95 off the ordered replicate
-    means, beside the full-data point estimate."""
-    orders = table(spark, sf_dir, "orders")
+def bootstrap_ci_frame(orders: DataFrame) -> DataFrame:
+    """Frame core of agg_bootstrap_ci — the exact registered body over any
+    orders-shaped frame (scaling-probe entry point)."""
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
     rows = orders.select("o_orderkey", cents).withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
@@ -272,6 +243,47 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT b.b,
+             CAST((1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+                  // count(*) AS BIGINT) AS rep_mean_millicents
+      FROM orders
+      CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
+      WHERE {sql_md5_long("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")} % 2 = 0
+      GROUP BY b.b
+    ),
+    ranked AS (
+      SELECT rep_mean_millicents,
+             row_number() OVER (ORDER BY rep_mean_millicents, b) AS rn
+      FROM reps
+    ),
+    point AS (
+      SELECT CAST((1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
+                  // count(*) AS BIGINT) AS mean_millicents
+      FROM orders
+    )
+    SELECT point.mean_millicents,
+           (SELECT rep_mean_millicents FROM ranked
+             WHERE rn = {_BOOT_RANKS[0]}) AS boot_p05_millicents,
+           (SELECT rep_mean_millicents FROM ranked
+             WHERE rn = {_BOOT_RANKS[1]}) AS boot_p50_millicents,
+           (SELECT rep_mean_millicents FROM ranked
+             WHERE rn = {_BOOT_RANKS[2]}) AS boot_p95_millicents,
+           CAST({_BOOT_B} AS BIGINT) AS n_reps
+    FROM point
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsample-bootstrap CI for mean order value: 64 md5-parity
+    half-samples in one pass, p05/p50/p95 off the ordered replicate
+    means, beside the full-data point estimate."""
+    return bootstrap_ci_frame(table(spark, sf_dir, "orders"))
+
+
+
 # ---------------------------------------------------------------------------
 # quality_psi_drift — the population-stability-index drift monitor: the
 # order-value distribution of the 1995+ window against the pre-1995
@@ -288,6 +300,78 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_BIN_W = 50_000
 _PSI_NBINS = 6  # least(5, floor(price / 50k)) -> bins 0..5
+
+
+def psi_drift_frame(orders: DataFrame) -> DataFrame:
+    """Frame core of quality_psi_drift — the exact registered body over any
+    orders-shaped frame (scaling-probe entry point)."""
+    nb = _PSI_NBINS
+    c = (
+        orders.select(
+            F.least(
+                F.lit(nb - 1),
+                F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("bigint"),
+            ).alias("bin"),
+            F.col("o_orderdate"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("ref_cnt"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cur_cnt"),
+        )
+    )
+    frame = orders.sparkSession.range(nb).select(F.col("id").alias("bin"))
+    bins = (
+        frame.join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
+            F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("ref_cnt").cast("bigint").alias("ref_tot"),
+        F.sum("cur_cnt").cast("bigint").alias("cur_tot"),
+    )
+    p = bins.crossJoin(F.broadcast(tot)).select(  # 1-row totals
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.expr(
+            f"CAST((1000000000 * (ref_cnt + 1)) div (ref_tot + {nb}) AS BIGINT)"
+        ).alias("ref_ppb"),
+        F.expr(
+            f"CAST((1000000000 * (cur_cnt + 1)) div (cur_tot + {nb}) AS BIGINT)"
+        ).alias("cur_ppb"),
+    )
+    t = p.select(
+        "bin",
+        "ref_cnt",
+        "cur_cnt",
+        F.expr("CAST(ref_ppb div 1000 AS BIGINT)").alias("ref_ppm"),
+        F.expr("CAST(cur_ppb div 1000 AS BIGINT)").alias("cur_ppm"),
+        F.expr(
+            "CAST(round(((cur_ppb - ref_ppb) / 1000.0D)"
+            " * ln(cur_ppb * 1.0D / ref_ppb)) AS BIGINT)"
+        ).alias("psi_term_micro"),
+    )
+    return t.select(
+        "*",
+        F.sum("psi_term_micro").over(W.partitionBy()).cast("bigint").alias(
+            "psi_total_micro"
+        ),
+    ).orderBy("bin")
 
 
 @query(
@@ -339,74 +423,8 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift of the order-value distribution (1998+ vs pre-1998)
     over fixed 50k-wide bins: per-bin counts, smoothed ppm shares, and
     micro-PSI terms with the order-free integer total."""
-    orders = table(spark, sf_dir, "orders")
-    nb = _PSI_NBINS
-    c = (
-        orders.select(
-            F.least(
-                F.lit(nb - 1),
-                F.floor(F.col("o_totalprice") / _PSI_BIN_W).cast("bigint"),
-            ).alias("bin"),
-            F.col("o_orderdate"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.sum(
-                F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 1)
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("ref_cnt"),
-            F.sum(
-                F.when(
-                    F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("cur_cnt"),
-        )
-    )
-    frame = spark.range(nb).select(F.col("id").alias("bin"))
-    bins = (
-        frame.join(c, "bin", "left")
-        .select(
-            "bin",
-            F.coalesce("ref_cnt", F.lit(0)).cast("bigint").alias("ref_cnt"),
-            F.coalesce("cur_cnt", F.lit(0)).cast("bigint").alias("cur_cnt"),
-        )
-    )
-    tot = bins.agg(
-        F.sum("ref_cnt").cast("bigint").alias("ref_tot"),
-        F.sum("cur_cnt").cast("bigint").alias("cur_tot"),
-    )
-    p = bins.crossJoin(F.broadcast(tot)).select(  # 1-row totals
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        F.expr(
-            f"CAST((1000000000 * (ref_cnt + 1)) div (ref_tot + {nb}) AS BIGINT)"
-        ).alias("ref_ppb"),
-        F.expr(
-            f"CAST((1000000000 * (cur_cnt + 1)) div (cur_tot + {nb}) AS BIGINT)"
-        ).alias("cur_ppb"),
-    )
-    t = p.select(
-        "bin",
-        "ref_cnt",
-        "cur_cnt",
-        F.expr("CAST(ref_ppb div 1000 AS BIGINT)").alias("ref_ppm"),
-        F.expr("CAST(cur_ppb div 1000 AS BIGINT)").alias("cur_ppm"),
-        F.expr(
-            "CAST(round(((cur_ppb - ref_ppb) / 1000.0D)"
-            " * ln(cur_ppb * 1.0D / ref_ppb)) AS BIGINT)"
-        ).alias("psi_term_micro"),
-    )
-    return t.select(
-        "*",
-        F.sum("psi_term_micro").over(W.partitionBy()).cast("bigint").alias(
-            "psi_total_micro"
-        ),
-    ).orderBy("bin")
+    return psi_drift_frame(table(spark, sf_dir, "orders"))
+
 
 
 # ---------------------------------------------------------------------------
@@ -422,39 +440,9 @@ def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "quality_calibration_bins",
-    oracle=f"""
-    WITH d AS (
-      SELECT CAST((1000000 * {_SQL_STOPS.format(toks=_SQL_TOKS)})
-                  // greatest(1, len({_SQL_TOKS})) AS BIGINT) AS score_ppm,
-             CASE WHEN len({_SQL_TOKS}) >= 30 THEN 1 ELSE 0 END AS pos
-      FROM documents
-    ),
-    b AS (
-      SELECT least(9, score_ppm // 100000) AS bin,
-             CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm,
-             CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_rate_ppm
-      FROM d GROUP BY 1
-    ),
-    g AS (
-      SELECT bin, n, avg_score_ppm, pos_rate_ppm,
-             abs(avg_score_ppm - pos_rate_ppm) AS gap_ppm
-      FROM b
-    )
-    SELECT bin, n, avg_score_ppm, pos_rate_ppm,
-           CAST(gap_ppm AS BIGINT) AS gap_ppm,
-           CAST(sum(n * gap_ppm) OVER () // sum(n) OVER () AS BIGINT)
-             AS ece_ppm
-    FROM g ORDER BY bin
-    """,
-)
-def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calibration of the stopword-ratio score against the long-doc
-    label: per-decile mean score vs observed positive rate (ppm) and
-    the n-weighted expected calibration error."""
-    docs = table(spark, sf_dir, "documents")
+def calibration_bins_frame(docs: DataFrame) -> DataFrame:
+    """Frame core of quality_calibration_bins — the exact registered body over any
+    documents-shaped frame (scaling-probe entry point)."""
     toks = X.tokens(F.col("text"))
     # both div operands non-negative, so Spark `div` (toward zero) and
     # DuckDB `//` (floor) agree
@@ -498,6 +486,42 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+@query(
+    "quality_calibration_bins",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST((1000000 * {_SQL_STOPS.format(toks=_SQL_TOKS)})
+                  // greatest(1, len({_SQL_TOKS})) AS BIGINT) AS score_ppm,
+             CASE WHEN len({_SQL_TOKS}) >= 30 THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    b AS (
+      SELECT least(9, score_ppm // 100000) AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(score_ppm) // count(*) AS BIGINT) AS avg_score_ppm,
+             CAST((1000000 * sum(pos)) // count(*) AS BIGINT) AS pos_rate_ppm
+      FROM d GROUP BY 1
+    ),
+    g AS (
+      SELECT bin, n, avg_score_ppm, pos_rate_ppm,
+             abs(avg_score_ppm - pos_rate_ppm) AS gap_ppm
+      FROM b
+    )
+    SELECT bin, n, avg_score_ppm, pos_rate_ppm,
+           CAST(gap_ppm AS BIGINT) AS gap_ppm,
+           CAST(sum(n * gap_ppm) OVER () // sum(n) OVER () AS BIGINT)
+             AS ece_ppm
+    FROM g ORDER BY bin
+    """,
+)
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration of the stopword-ratio score against the long-doc
+    label: per-decile mean score vs observed positive rate (ppm) and
+    the n-weighted expected calibration error."""
+    return calibration_bins_frame(table(spark, sf_dir, "documents"))
+
+
+
 # ---------------------------------------------------------------------------
 # agg_cohens_kappa — chance-corrected inter-rater agreement: rater A is
 # the shipped return flag, rater B is A with a deterministic 10% label
@@ -513,51 +537,9 @@ def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "agg_cohens_kappa",
-    oracle="""
-    WITH r AS (
-      SELECT l_returnflag AS a,
-             CASE WHEN l_orderkey % 10 = 0 THEN
-                    CASE l_returnflag WHEN 'R' THEN 'A'
-                                      WHEN 'A' THEN 'N'
-                                      ELSE 'R' END
-                  ELSE l_returnflag END AS b
-      FROM lineitem
-    ),
-    cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY a, b),
-    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
-    po AS (
-      SELECT CAST((1000000 * sum(CASE WHEN a = b THEN n ELSE 0 END))
-                  // (SELECT nn FROM tot) AS BIGINT) AS po_ppm
-      FROM cell
-    ),
-    marg AS (
-      SELECT lbl,
-             CAST((1000000 * suma) // (SELECT nn FROM tot) AS BIGINT) AS a_ppm,
-             CAST((1000000 * sumb) // (SELECT nn FROM tot) AS BIGINT) AS b_ppm
-      FROM (
-        SELECT coalesce(ca.a, cb.b) AS lbl,
-               coalesce(ca.na, 0) AS suma, coalesce(cb.nb, 0) AS sumb
-        FROM (SELECT a, sum(n) AS na FROM cell GROUP BY a) ca
-        FULL OUTER JOIN (SELECT b, sum(n) AS nb FROM cell GROUP BY b) cb
-          ON ca.a = cb.b
-      )
-    ),
-    pe AS (
-      SELECT CAST(sum(a_ppm * b_ppm) // 1000000 AS BIGINT) AS pe_ppm FROM marg
-    )
-    SELECT (SELECT nn FROM tot) AS n_items, po_ppm, pe_ppm,
-           CAST((1000000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm) AS BIGINT)
-             AS kappa_ppm
-    FROM po CROSS JOIN pe
-    """,
-)
-def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa (integer ppm) between the return flag and a
-    deterministically 10%-corrupted copy of it — the inter-annotator
-    agreement meter, chance-corrected via ppm marginal products."""
-    li = table(spark, sf_dir, "lineitem")
+def cohens_kappa_frame(li: DataFrame) -> DataFrame:
+    """Frame core of agg_cohens_kappa — the exact registered body over any
+    lineitem-shaped frame (scaling-probe entry point)."""
     r = li.select(
         F.col("l_returnflag").alias("a"),
         F.when(
@@ -611,6 +593,54 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "agg_cohens_kappa",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag AS a,
+             CASE WHEN l_orderkey % 10 = 0 THEN
+                    CASE l_returnflag WHEN 'R' THEN 'A'
+                                      WHEN 'A' THEN 'N'
+                                      ELSE 'R' END
+                  ELSE l_returnflag END AS b
+      FROM lineitem
+    ),
+    cell AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM r GROUP BY a, b),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+    po AS (
+      SELECT CAST((1000000 * sum(CASE WHEN a = b THEN n ELSE 0 END))
+                  // (SELECT nn FROM tot) AS BIGINT) AS po_ppm
+      FROM cell
+    ),
+    marg AS (
+      SELECT lbl,
+             CAST((1000000 * suma) // (SELECT nn FROM tot) AS BIGINT) AS a_ppm,
+             CAST((1000000 * sumb) // (SELECT nn FROM tot) AS BIGINT) AS b_ppm
+      FROM (
+        SELECT coalesce(ca.a, cb.b) AS lbl,
+               coalesce(ca.na, 0) AS suma, coalesce(cb.nb, 0) AS sumb
+        FROM (SELECT a, sum(n) AS na FROM cell GROUP BY a) ca
+        FULL OUTER JOIN (SELECT b, sum(n) AS nb FROM cell GROUP BY b) cb
+          ON ca.a = cb.b
+      )
+    ),
+    pe AS (
+      SELECT CAST(sum(a_ppm * b_ppm) // 1000000 AS BIGINT) AS pe_ppm FROM marg
+    )
+    SELECT (SELECT nn FROM tot) AS n_items, po_ppm, pe_ppm,
+           CAST((1000000 * (po_ppm - pe_ppm)) // (1000000 - pe_ppm) AS BIGINT)
+             AS kappa_ppm
+    FROM po CROSS JOIN pe
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (integer ppm) between the return flag and a
+    deterministically 10%-corrupted copy of it — the inter-annotator
+    agreement meter, chance-corrected via ppm marginal products."""
+    return cohens_kappa_frame(table(spark, sf_dir, "lineitem"))
+
+
+
 # ---------------------------------------------------------------------------
 # quality_info_gain — which feature most reduces label uncertainty:
 # information gain of three candidate splits (source, token-length
@@ -628,61 +658,9 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "quality_info_gain",
-    oracle=f"""
-    WITH base AS (
-      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
-             source,
-             CAST(least(5, len({_SQL_TOKS}) // 20) AS VARCHAR) AS len_bucket,
-             CAST(doc_id % 2 AS VARCHAR) AS parity
-      FROM documents
-    ),
-    lng AS (
-      SELECT 'source' AS feature, source AS v, label FROM base
-      UNION ALL
-      SELECT 'len_bucket', len_bucket, label FROM base
-      UNION ALL
-      SELECT 'doc_parity', parity, label FROM base
-    ),
-    cnt AS (
-      SELECT feature, v, label, CAST(count(*) AS BIGINT) AS n
-      FROM lng GROUP BY feature, v, label
-    ),
-    withv AS (
-      SELECT feature, v, label, n,
-             CAST(sum(n) OVER (PARTITION BY feature, v) AS BIGINT) AS nv,
-             CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nn
-      FROM cnt
-    ),
-    cond AS (
-      SELECT feature,
-             CAST(sum(n * CAST(round(ln(nv * 1.0e0 / n) * 1.0e6) AS BIGINT))
-                  // max(nn) AS BIGINT) AS h_cond_micro,
-             max(nn) AS nn
-      FROM withv GROUP BY feature
-    ),
-    lab AS (
-      SELECT CAST(count(*) AS BIGINT) AS nl, label
-      FROM base GROUP BY label
-    ),
-    hl AS (
-      SELECT CAST(sum(nl * CAST(round(ln((SELECT sum(nl) FROM lab) * 1.0e0 / nl)
-                                   * 1.0e6) AS BIGINT))
-                  // (SELECT sum(nl) FROM lab) AS BIGINT) AS h_label_micro
-      FROM lab
-    )
-    SELECT feature, h_label_micro, h_cond_micro,
-           CAST(h_label_micro - h_cond_micro AS BIGINT) AS info_gain_micro
-    FROM cond CROSS JOIN hl
-    ORDER BY info_gain_micro DESC, feature
-    """,
-)
-def quality_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Information gain (micro-nats) of source / length-bucket /
-    doc-parity for predicting the English label — exact-integer
-    entropy arithmetic, ranked most-informative first."""
-    docs = table(spark, sf_dir, "documents")
+def info_gain_frame(docs: DataFrame) -> DataFrame:
+    """Frame core of quality_info_gain — the exact registered body over any
+    documents-shaped frame (scaling-probe entry point)."""
     toks = X.tokens(F.col("text"))
     base = docs.select(
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
@@ -745,3 +723,61 @@ def quality_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("info_gain_micro"), "feature")
     )
+
+
+@query(
+    "quality_info_gain",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             source,
+             CAST(least(5, len({_SQL_TOKS}) // 20) AS VARCHAR) AS len_bucket,
+             CAST(doc_id % 2 AS VARCHAR) AS parity
+      FROM documents
+    ),
+    lng AS (
+      SELECT 'source' AS feature, source AS v, label FROM base
+      UNION ALL
+      SELECT 'len_bucket', len_bucket, label FROM base
+      UNION ALL
+      SELECT 'doc_parity', parity, label FROM base
+    ),
+    cnt AS (
+      SELECT feature, v, label, CAST(count(*) AS BIGINT) AS n
+      FROM lng GROUP BY feature, v, label
+    ),
+    withv AS (
+      SELECT feature, v, label, n,
+             CAST(sum(n) OVER (PARTITION BY feature, v) AS BIGINT) AS nv,
+             CAST(sum(n) OVER (PARTITION BY feature) AS BIGINT) AS nn
+      FROM cnt
+    ),
+    cond AS (
+      SELECT feature,
+             CAST(sum(n * CAST(round(ln(nv * 1.0e0 / n) * 1.0e6) AS BIGINT))
+                  // max(nn) AS BIGINT) AS h_cond_micro,
+             max(nn) AS nn
+      FROM withv GROUP BY feature
+    ),
+    lab AS (
+      SELECT CAST(count(*) AS BIGINT) AS nl, label
+      FROM base GROUP BY label
+    ),
+    hl AS (
+      SELECT CAST(sum(nl * CAST(round(ln((SELECT sum(nl) FROM lab) * 1.0e0 / nl)
+                                   * 1.0e6) AS BIGINT))
+                  // (SELECT sum(nl) FROM lab) AS BIGINT) AS h_label_micro
+      FROM lab
+    )
+    SELECT feature, h_label_micro, h_cond_micro,
+           CAST(h_label_micro - h_cond_micro AS BIGINT) AS info_gain_micro
+    FROM cond CROSS JOIN hl
+    ORDER BY info_gain_micro DESC, feature
+    """,
+)
+def quality_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain (micro-nats) of source / length-bucket /
+    doc-parity for predicting the English label — exact-integer
+    entropy arithmetic, ranked most-informative first."""
+    return info_gain_frame(table(spark, sf_dir, "documents"))
+
