@@ -152,6 +152,11 @@ ADDITIONS = [
     "quality_calibration_bins",
     "agg_cohens_kappa",
     "quality_info_gain",
+    # r6 wave 13: exact Wasserstein drift, Mann-Whitney U, lexical
+    # diversity
+    "quality_wasserstein_drift",
+    "agg_mann_whitney",
+    "text_lexical_diversity",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -171,6 +171,7 @@ def _ensure_loaded() -> None:
             wave10,
             wave11,
             wave12,
+            wave13,
         )
 
         _LOADED = True
