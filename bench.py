@@ -157,6 +157,10 @@ ADDITIONS = [
     "quality_wasserstein_drift",
     "agg_mann_whitney",
     "text_lexical_diversity",
+    # r6 wave 14: CMS join-size estimation, KS drift, n-gram coverage
+    "diag_join_size_estimate",
+    "quality_ks_drift",
+    "text_ngram_coverage",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -172,6 +172,7 @@ def _ensure_loaded() -> None:
             wave11,
             wave12,
             wave13,
+            wave14,
         )
 
         _LOADED = True
