@@ -244,9 +244,14 @@ def ks_drift_frame(orders: DataFrame) -> DataFrame:
 # corpora saturate early and the curve shows exactly where.
 #
 # Scale shape: one tokenize/explode into bigram counts (combinable,
-# vocabulary-bounded); the rank window runs over the bigram TYPE
-# support; the three curve points are conditional sums in ONE
-# aggregate, unpivoted from columns.
+# vocabulary-bounded), then the counts COLLAPSE to a count-of-counts
+# histogram (types per frequency — Zipf makes this a few hundred rows
+# at any corpus size) and the cutoff window runs over THAT. Coverage
+# of "top-N by count (gram tiebreak)" is computable from the histogram
+# alone — every gram tied at the cutoff count contributes the same n,
+# so which ties win cannot change the covered sum. No per-gram rank
+# window anywhere (measured: the ranked form cost 55.8 s at 100x
+# sf0.1; this form is support-collapsed).
 # ---------------------------------------------------------------------------
 
 _COV_NS = (100, 1000, 10000)
@@ -264,26 +269,30 @@ _COV_NS = (100, 1000, 10000)
       WHERE len(ts) >= 2
     ),
     c AS (SELECT gram, CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY gram),
-    r AS (
-      SELECT n, row_number() OVER (ORDER BY n DESC, gram) AS rn FROM c
+    cc AS (SELECT n, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY n),
+    cum AS (
+      SELECT n, m,
+             CAST(sum(m) OVER (ORDER BY n DESC) AS BIGINT) AS cum_t,
+             CAST(sum(n * m) OVER (ORDER BY n DESC) AS BIGINT) AS cum_o
+      FROM cc
     ),
-    agg AS (
-      SELECT CAST(sum(n) AS BIGINT) AS total,
-             CAST(count(*) AS BIGINT) AS n_types,
-             {", ".join(
-                 f"CAST(sum(CASE WHEN rn <= {k} THEN n ELSE 0 END) AS BIGINT)"
-                 f" AS cov{k}" for k in _COV_NS)}
-      FROM r
+    t AS (SELECT CAST(sum(n * m) AS BIGINT) AS total,
+                 CAST(sum(m) AS BIGINT) AS n_types FROM cc),
+    ks AS (SELECT unnest([{", ".join(map(str, _COV_NS))}]) AS top_n),
+    hit AS (
+      SELECT ks.top_n,
+             CAST(cum.cum_o - cum.n * cum.m
+                  + (ks.top_n - (cum.cum_t - cum.m)) * cum.n AS BIGINT)
+               AS covered
+      FROM ks JOIN cum
+        ON cum.cum_t >= ks.top_n AND cum.cum_t - cum.m < ks.top_n
     )
-    SELECT u.top_n, agg.n_types, agg.total AS n_occurrences,
-           CASE u.top_n {" ".join(
-               f"WHEN {k} THEN cov{k}" for k in _COV_NS)} END AS covered,
-           CAST((1000000 * CASE u.top_n {" ".join(
-               f"WHEN {k} THEN cov{k}" for k in _COV_NS)} END) // agg.total
+    SELECT ks.top_n, t.n_types, t.total AS n_occurrences,
+           CAST(coalesce(hit.covered, t.total) AS BIGINT) AS covered,
+           CAST((1000000 * coalesce(hit.covered, t.total)) // t.total
                 AS BIGINT) AS coverage_ppm
-    FROM agg CROSS JOIN (SELECT unnest([{", ".join(map(str, _COV_NS))}])
-                          AS top_n) u
-    ORDER BY u.top_n
+    FROM ks LEFT JOIN hit ON ks.top_n = hit.top_n CROSS JOIN t
+    ORDER BY ks.top_n
     """,
 )
 def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,7 +302,13 @@ def text_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_coverage_frame(docs: DataFrame) -> DataFrame:
-    """Frame core of text_ngram_coverage (scaling-probe entry point)."""
+    """Frame core of text_ngram_coverage (scaling-probe entry point).
+
+    Per-gram counts collapse to the count-of-counts histogram before
+    any window: coverage of the top-N (by count, gram tiebreak) is a
+    pure function of the histogram because cutoff ties all carry the
+    same count — so the only window runs over the distinct FREQUENCY
+    values (Zipf: a few hundred rows at any corpus size)."""
     toks = X.tokens(F.col("text"))
     tok = docs.select(toks.alias("ts")).filter(F.size("ts") >= 2)
     bg = tok.select(
@@ -304,36 +319,46 @@ def ngram_coverage_frame(docs: DataFrame) -> DataFrame:
         ).alias("gram")
     )
     c = bg.groupBy("gram").agg(F.count("*").cast("bigint").alias("n"))
-    r = c.select(
+    cc = c.groupBy("n").agg(F.count("*").cast("bigint").alias("m"))
+    wn = W.orderBy(F.desc("n"))
+    cum = cc.select(
         "n",
-        F.row_number().over(W.orderBy(F.desc("n"), "gram")).alias("rn"),
+        "m",
+        F.sum("m").over(wn).cast("bigint").alias("cum_t"),
+        F.sum(F.col("n") * F.col("m")).over(wn).cast("bigint").alias("cum_o"),
     )
-    covs = [
-        F.sum(F.when(F.col("rn") <= k, F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias(f"cov{k}")
-        for k in _COV_NS
-    ]
-    agg = r.agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.count("*").cast("bigint").alias("n_types"),
-        *covs,
+    t = cc.agg(
+        F.sum(F.col("n") * F.col("m")).cast("bigint").alias("total"),
+        F.sum("m").cast("bigint").alias("n_types"),
     )
-    stack = ", ".join(f"{k}, cov{k}" for k in _COV_NS)
-    return (
-        agg.selectExpr(
-            "n_types",
-            "total",
-            f"stack({len(_COV_NS)}, {stack}) AS (top_n, covered)",
+    ks = docs.sparkSession.createDataFrame(
+        [(k,) for k in _COV_NS], "top_n bigint"
+    )
+    hit = ks.join(
+        cum,
+        (F.col("cum_t") >= F.col("top_n"))
+        & (F.col("cum_t") - F.col("m") < F.col("top_n")),
+    ).select(
+        "top_n",
+        (
+            F.col("cum_o")
+            - F.col("n") * F.col("m")
+            + (F.col("top_n") - (F.col("cum_t") - F.col("m"))) * F.col("n")
         )
+        .cast("bigint")
+        .alias("covered"),
+    )
+    return (
+        ks.join(hit, "top_n", "left")
+        .crossJoin(F.broadcast(t))  # 1-row totals
         .select(
-            F.col("top_n").cast("bigint").alias("top_n"),
+            "top_n",
             "n_types",
             F.col("total").alias("n_occurrences"),
-            "covered",
-            F.expr("CAST((1000000 * covered) div total AS BIGINT)").alias(
-                "coverage_ppm"
-            ),
+            F.coalesce("covered", F.col("total")).cast("bigint").alias("covered"),
+            F.expr(
+                "CAST((1000000 * coalesce(covered, total)) div total AS BIGINT)"
+            ).alias("coverage_ppm"),
         )
         .orderBy("top_n")
     )
