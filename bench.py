@@ -161,6 +161,12 @@ ADDITIONS = [
     "diag_join_size_estimate",
     "quality_ks_drift",
     "text_ngram_coverage",
+    # r6 wave 15: OOV rate, sequential-key audit, inter-arrival
+    # quartiles, dedup-impact report
+    "text_oov_rate",
+    "dq_sequential_gaps",
+    "orders_interarrival_quartiles",
+    "quality_dedup_impact",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

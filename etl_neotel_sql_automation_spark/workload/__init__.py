@@ -173,6 +173,7 @@ def _ensure_loaded() -> None:
             wave12,
             wave13,
             wave14,
+            wave15,
         )
 
         _LOADED = True
