@@ -167,6 +167,11 @@ ADDITIONS = [
     "dq_sequential_gaps",
     "orders_interarrival_quartiles",
     "quality_dedup_impact",
+    # r6 wave 16: water-filling allocation, RFM migration matrix
+    # (streaming_oov_monitor stays out of bench, matching the policy
+    # of not timing streaming session startup)
+    "alloc_water_filling",
+    "orders_rfm_migration",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

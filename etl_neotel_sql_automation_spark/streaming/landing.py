@@ -802,3 +802,78 @@ def stream_type_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag_seconds",
         (F.col("lag_seconds") > 86400).alias("sla_breach"),
     ).orderBy("event_type")
+
+
+def stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vocabulary-drift alarm as a REAL streaming query — the
+    streaming twin of workload.wave15.text_oov_rate: the top-K token
+    vocabulary is built BATCH-side from the train sources (the
+    K-bounded static table a live intake broadcasts and refreshes
+    between micro-batches), eval documents stream in (availableNow),
+    each token screens against the static vocab via a stream-static
+    LEFT join, and per-source (n_tokens, n_oov) is a genuine streaming
+    aggregation emitted in complete mode. Must equal the batch meter —
+    the registered query carries text_oov_rate's oracle verbatim.
+
+    Scale: the vocab side is bounded by K (1000 rows) at ANY corpus
+    size — the broadcast is construction-bounded; the per-source
+    aggregation state is bounded by the source population.
+    """
+    from ..ops import text as X
+    from ..workload.wave15 import _OOV_K, _OOV_TRAIN
+    from pyspark.sql import Window as W
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train_tok = (
+        batch_docs.filter(F.col("source").isin(*_OOV_TRAIN))
+        .select(F.explode(X.tokens(F.col("text"))).alias("t"))
+    )
+    vocab = (
+        train_tok.groupBy("t")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "t", F.row_number().over(W.orderBy(F.desc("n"), "t")).alias("rn")
+        )
+        .filter(F.col("rn") <= _OOV_K)
+        .select("t", F.lit(1).alias("_inv"))
+    )
+
+    docs_schema = batch_docs.schema
+    src = (
+        spark.readStream.schema(docs_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ev_tok = (
+        src.filter(~F.col("source").isin(*_OOV_TRAIN))
+        .select("source", F.explode(X.tokens(F.col("text"))).alias("t"))
+    )
+    agg = (
+        ev_tok.join(vocab, "t", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+    )
+    name = f"oov_monitor_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name).select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        F.expr("CAST((1000000 * n_oov) div n_tokens AS BIGINT)").alias("oov_ppm"),
+    ).orderBy("source")

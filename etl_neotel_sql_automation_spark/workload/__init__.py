@@ -174,6 +174,7 @@ def _ensure_loaded() -> None:
             wave13,
             wave14,
             wave15,
+            wave16,
         )
 
         _LOADED = True

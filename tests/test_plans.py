@@ -78,6 +78,10 @@ TRIPWIRE_EXCLUDED = frozenset({
     # test_streaming_freshness_matches_batch_twin
     "streaming_hourly_ohlc",
     "streaming_type_freshness",
+    # r6 wave 16 — policy test: tests/test_wave16.py
+    # test_streaming_oov_equals_batch_meter (streaming == batch
+    # text_oov_rate row-for-row; same oracle verbatim)
+    "streaming_oov_monitor",
 })
 # The families the exclusions come from; used only by the meta-guard.
 TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
