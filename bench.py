@@ -172,6 +172,12 @@ ADDITIONS = [
     # of not timing streaming session startup)
     "alloc_water_filling",
     "orders_rfm_migration",
+    # r6 wave 17: Spearman, Kruskal-Wallis, nation modularity, coding
+    # length
+    "agg_spearman_corr",
+    "agg_kruskal_wallis",
+    "graph_modularity_nations",
+    "text_coding_length",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -175,6 +175,7 @@ def _ensure_loaded() -> None:
             wave14,
             wave15,
             wave16,
+            wave17,
         )
 
         _LOADED = True
