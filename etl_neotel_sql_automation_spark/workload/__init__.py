@@ -176,6 +176,7 @@ def _ensure_loaded() -> None:
             wave15,
             wave16,
             wave17,
+            wave18,
         )
 
         _LOADED = True

@@ -1,0 +1,183 @@
+"""Scaling probe for the round-6 wave-16/17/18 operators: water-filling
+allocation, RFM migration, Spearman, Kruskal-Wallis, nation
+modularity, coding length, the referential-orphan audit, embedding
+anisotropy, and the Holt fold at 1x / 10x / 100x their sf0.1 volumes.
+Every leg runs the EXACT registered code path (workload.wave16/17/18
+*_frame bodies) over the same synthetics the wave-12/13/15 probes use.
+
+Expected shapes: water-filling and coding length are tokenize passes
+into source-bounded aggregates; RFM migration is one per-customer
+aggregate into a 16-cell matrix; Spearman/Kruskal windows run over the
+bounded value SUPPORT (cents), which approaches the row count until the
+price domain saturates (the Mann-Whitney precedent — the documented
+bound); modularity is a distinct-pair aggregate plus two nation-keyed
+combinable aggregates.
+
+Usage: python tools/scale_wave17_probe.py [--scales=1,10,100]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_neotel_sql_automation_spark.session import get_spark
+from etl_neotel_sql_automation_spark.workload.wave16 import (
+    rfm_migration_frame,
+    water_filling_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave17 import (
+    coding_length_frame,
+    kruskal_wallis_frame,
+    modularity_frame,
+    spearman_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave18 import (
+    anisotropy_frame,
+    holt_linear_frame,
+    referential_orphans_frame,
+)
+from scale_wave12_probe import synth_documents, synth_orders
+
+BASE_ORDERS = 150_000
+BASE_CUSTS = 15_000
+BASE_SUPPS = 1_500
+BASE_LINES = 600_000
+BASE_DOCS = 5_000
+
+_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]
+
+
+def synth_orders_prio(spark: SparkSession, n: int, n_cust: int) -> DataFrame:
+    prios = F.array(*[F.lit(p) for p in _PRIOS])
+    return synth_orders(spark, n, n_cust).withColumn(
+        "o_orderpriority",
+        F.element_at(
+            prios,
+            (F.pmod(F.xxhash64(F.lit("q"), "o_orderkey"), F.lit(5)) + 1).cast(
+                "int"
+            ),
+        ),
+    )
+
+
+def synth_lineitem_qty(spark: SparkSession, n: int, n_supp: int) -> DataFrame:
+    return spark.range(n).select(
+        (F.col("id") % (n // 4 + 1)).alias("l_orderkey"),
+        F.pmod(F.xxhash64(F.lit("s"), "id"), F.lit(n_supp)).alias("l_suppkey"),
+        (F.pmod(F.xxhash64(F.lit("n"), "id"), F.lit(50)) + 1)
+        .cast("double")
+        .alias("l_quantity"),
+        (
+            F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(10_000_000)) / 100.0
+            + 900.0
+        ).alias("l_extendedprice"),
+    )
+
+
+def synth_keyed_nation(
+    spark: SparkSession, n: int, key: str, nat: str
+) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias(key),
+        F.pmod(F.xxhash64(F.lit("n"), "id"), F.lit(25)).cast("int").alias(nat),
+    )
+
+
+def run(label: str, df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"  {label}: {dt:.2f}s", flush=True)
+    return dt
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales="):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark(
+        app_name="scale_wave17_probe", master="local[32]", shuffle_partitions=32
+    )
+    nation = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.concat(F.lit("N"), F.col("id")).alias("n_name"),
+    )
+    for n in scales:
+        orders = synth_orders_prio(spark, BASE_ORDERS * n, BASE_CUSTS * n)
+        li = synth_lineitem_qty(spark, BASE_LINES * n, BASE_SUPPS * n)
+        docs = synth_documents(spark, BASE_DOCS * n)
+        cust = synth_keyed_nation(
+            spark, BASE_CUSTS * n, "c_custkey", "c_nationkey"
+        )
+        supp = synth_keyed_nation(
+            spark, BASE_SUPPS * n, "s_suppkey", "s_nationkey"
+        )
+        res = {"scale": n, "orders": BASE_ORDERS * n, "lines": BASE_LINES * n,
+               "docs": BASE_DOCS * n}
+        res["water_filling"] = run(
+            f"water_filling {n}x", water_filling_frame(docs)
+        )
+        res["rfm_migration"] = run(
+            f"rfm_migration {n}x", rfm_migration_frame(orders)
+        )
+        res["spearman"] = run(f"spearman {n}x", spearman_frame(li))
+        res["kruskal"] = run(f"kruskal {n}x", kruskal_wallis_frame(orders))
+        res["modularity"] = run(
+            f"modularity {n}x", modularity_frame(orders, li, cust, supp, nation)
+        )
+        res["coding_length"] = run(
+            f"coding_length {n}x", coding_length_frame(docs)
+        )
+        # wave-18 legs: the orphan audit over the 4 heavy edges the
+        # synthetics model (lineitem->orders/supplier, orders->customer,
+        # customer/supplier->nation via the keyed synthetics)
+        part = spark.range(BASE_SUPPS * n).selectExpr("id AS p_partkey")
+        li_fk = li.withColumn(
+            "l_partkey", F.pmod(F.xxhash64(F.lit("p"), "l_orderkey"),
+                                F.lit(BASE_SUPPS * n))
+        )
+        nation_fk = nation.withColumn("n_regionkey", F.lit(0).cast("int"))
+        region = spark.range(1).selectExpr("CAST(id AS INT) AS r_regionkey")
+        res["orphans"] = run(
+            f"orphans {n}x",
+            referential_orphans_frame(
+                {
+                    "lineitem": li_fk,
+                    "orders": orders.withColumnRenamed("id", "o_orderkey"),
+                    "part": part,
+                    "supplier": supp,
+                    "customer": cust,
+                    "nation": nation_fk,
+                    "region": region,
+                }
+            ),
+        )
+        emb = spark.range(60_000 * n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.lit("v"), F.col("id"), i), F.lit(200))
+                    - 100
+                ).cast("double")
+                / 100.0,
+            )
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        res["anisotropy"] = run(f"anisotropy {n}x", anisotropy_frame(emb))
+        res["holt"] = run(f"holt {n}x", holt_linear_frame(orders))
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
