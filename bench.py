@@ -178,6 +178,10 @@ ADDITIONS = [
     "agg_kruskal_wallis",
     "graph_modularity_nations",
     "text_coding_length",
+    # r6 wave 18: FK orphan audit, embedding anisotropy, Holt fold
+    "dq_referential_orphans",
+    "emb_anisotropy_ratio",
+    "timeseries_holt_linear",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 
