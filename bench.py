@@ -182,6 +182,12 @@ ADDITIONS = [
     "dq_referential_orphans",
     "emb_anisotropy_ratio",
     "timeseries_holt_linear",
+    # r6 wave 19: greedy knapsack, DP sensitivity audit, Theil
+    # decomposition, seasonal decomposition
+    "curation_greedy_knapsack",
+    "privacy_sensitivity_audit",
+    "orders_theil_decomposition",
+    "timeseries_seasonal_decompose",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -177,6 +177,7 @@ def _ensure_loaded() -> None:
             wave16,
             wave17,
             wave18,
+            wave19,
         )
 
         _LOADED = True

@@ -44,6 +44,12 @@ from etl_neotel_sql_automation_spark.workload.wave18 import (
     holt_linear_frame,
     referential_orphans_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave19 import (
+    greedy_knapsack_frame,
+    seasonal_decompose_frame,
+    sensitivity_audit_frame,
+    theil_frame,
+)
 from scale_wave12_probe import synth_documents, synth_orders
 
 BASE_ORDERS = 150_000
@@ -176,6 +182,20 @@ def main() -> None:
         )
         res["anisotropy"] = run(f"anisotropy {n}x", anisotropy_frame(emb))
         res["holt"] = run(f"holt {n}x", holt_linear_frame(orders))
+        # wave-19 legs
+        res["knapsack"] = run(f"knapsack {n}x", greedy_knapsack_frame(docs))
+        res["sensitivity"] = run(
+            f"sensitivity {n}x", sensitivity_audit_frame(orders)
+        )
+        res["theil"] = run(
+            f"theil {n}x",
+            theil_frame(
+                orders, cust.withColumn("c_name", F.lit("c"))
+            ),
+        )
+        res["seasonal"] = run(
+            f"seasonal {n}x", seasonal_decompose_frame(orders)
+        )
         print(json.dumps(res), flush=True)
 
 
