@@ -188,6 +188,11 @@ ADDITIONS = [
     "privacy_sensitivity_audit",
     "orders_theil_decomposition",
     "timeseries_seasonal_decompose",
+    # r6 wave 20: CUPED, power/MDE, Hill tail index, changepoint
+    "events_cuped_adjustment",
+    "events_power_mde",
+    "agg_hill_tail_index",
+    "timeseries_best_split",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

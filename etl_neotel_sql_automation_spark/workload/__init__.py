@@ -178,6 +178,7 @@ def _ensure_loaded() -> None:
             wave17,
             wave18,
             wave19,
+            wave20,
         )
 
         _LOADED = True

@@ -50,6 +50,12 @@ from etl_neotel_sql_automation_spark.workload.wave19 import (
     sensitivity_audit_frame,
     theil_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave20 import (
+    best_split_frame,
+    cuped_frame,
+    hill_frame,
+    power_mde_frame,
+)
 from scale_wave12_probe import synth_documents, synth_orders
 
 BASE_ORDERS = 150_000
@@ -196,6 +202,33 @@ def main() -> None:
         res["seasonal"] = run(
             f"seasonal {n}x", seasonal_decompose_frame(orders)
         )
+        # wave-20 legs: events-shaped synthetic for the experimentation
+        # pair; orders for the tail/changepoint pair
+        ev = spark.range(BASE_ORDERS * n).select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (
+                    F.lit(1_704_067_200)  # 2024-01-01 UTC
+                    + F.pmod(F.xxhash64(F.lit("t"), "id"), F.lit(30 * 86_400))
+                )
+                * 1_000_000
+            ).alias("ts"),
+            F.pmod(F.xxhash64(F.lit("u"), "id"), F.lit(BASE_CUSTS * n)).alias(
+                "user_id"
+            ),
+            F.when(
+                F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(5)) == 0, "purchase"
+            )
+            .otherwise("view")
+            .alias("event_type"),
+            (F.pmod(F.xxhash64(F.lit("v"), "id"), F.lit(30_000)) / 100.0).alias(
+                "value"
+            ),
+        )
+        res["cuped"] = run(f"cuped {n}x", cuped_frame(ev))
+        res["power_mde"] = run(f"power_mde {n}x", power_mde_frame(ev))
+        res["hill"] = run(f"hill {n}x", hill_frame(orders))
+        res["best_split"] = run(f"best_split {n}x", best_split_frame(orders))
         print(json.dumps(res), flush=True)
 
 
