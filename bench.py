@@ -193,6 +193,10 @@ ADDITIONS = [
     "events_power_mde",
     "agg_hill_tail_index",
     "timeseries_best_split",
+    # r6 wave 21: duplicate payments, p-chart SPC, funnel latency
+    "dq_duplicate_payments",
+    "quality_pchart_returns",
+    "events_funnel_latency",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

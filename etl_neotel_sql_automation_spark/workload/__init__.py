@@ -179,6 +179,7 @@ def _ensure_loaded() -> None:
             wave18,
             wave19,
             wave20,
+            wave21,
         )
 
         _LOADED = True
