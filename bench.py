@@ -197,6 +197,12 @@ ADDITIONS = [
     "dq_duplicate_payments",
     "quality_pchart_returns",
     "events_funnel_latency",
+    # r6 wave 22: seasonal anomaly composition, bag set ops,
+    # share-of-parent drill
+    "timeseries_seasonal_anomaly",
+    "set_except_all_returns",
+    "set_intersect_all_returns",
+    "part_share_of_parent",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -180,6 +180,7 @@ def _ensure_loaded() -> None:
             wave19,
             wave20,
             wave21,
+            wave22,
         )
 
         _LOADED = True
