@@ -203,6 +203,10 @@ ADDITIONS = [
     "set_except_all_returns",
     "set_intersect_all_returns",
     "part_share_of_parent",
+    # r6 wave 23: binary Hamming retrieval, Markov stationary
+    # (streaming_pchart_returns stays out of bench per streaming policy)
+    "emb_binary_hamming_topk",
+    "events_markov_stationary",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -877,3 +877,76 @@ def stream_oov_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         F.expr("CAST((1000000 * n_oov) div n_tokens AS BIGINT)").alias("oov_ppm"),
     ).orderBy("source")
+
+
+def stream_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-21 SPC p-chart as a REAL streaming query — the
+    streaming twin of workload.wave21.quality_pchart_returns: lineitem
+    rows stream in (availableNow), weekly (n, r) return counts are
+    genuine streaming aggregation state emitted in complete mode, and
+    the pooled p-bar / size-aware 3-sigma limits are derived
+    display-side from the emitted weekly table (exactly how a live SPC
+    dashboard works: the stream maintains counts, the chart layer
+    derives limits). Must equal the batch chart row-for-row — the
+    registered query carries PCHART_ORACLE verbatim.
+
+    Scale: streaming state is one row per (week) — bounded by the
+    calendar, not the row count.
+    """
+    batch_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    src = (
+        spark.readStream.schema(batch_li.schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .parquet(sf_dir)
+    )
+    weekly = (
+        src.select(
+            F.date_trunc("week", F.col("l_shipdate")).cast("date").alias("week"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("is_r"),
+        )
+        .groupBy("week")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("is_r").cast("bigint").alias("r"),
+        )
+    )
+    name = f"pchart_{uuid.uuid4().hex[:8]}"
+    q = (
+        weekly.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    w = spark.table(name)
+    pool = w.agg(
+        F.sum("r").cast("bigint").alias("rt"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    pbar = "(rt * 1.0e0 / nt)"
+    sig = f"sqrt({pbar} * (1.0e0 - {pbar}) / n)"
+    return (
+        w.crossJoin(F.broadcast(pool))  # 1-row pooled rate
+        .select(
+            "week",
+            "n",
+            "r",
+            F.expr("CAST((1000000 * r) div n AS BIGINT)").alias("rate_ppm"),
+            F.expr("CAST((1000000 * rt) div nt AS BIGINT)").alias("pbar_ppm"),
+            F.expr(f"round({pbar} + 3.0e0 * {sig}, 6)").alias("ucl"),
+            F.expr(
+                f"round(greatest({pbar} - 3.0e0 * {sig}, 0.0e0), 6)"
+            ).alias("lcl"),
+            F.expr(
+                f"CASE WHEN r * 1.0e0 / n > {pbar} + 3.0e0 * {sig}"
+                f" OR r * 1.0e0 / n < {pbar} - 3.0e0 * {sig}"
+                " THEN 1 ELSE 0 END"
+            ).alias("out_of_control"),
+        )
+        .orderBy("week")
+    )

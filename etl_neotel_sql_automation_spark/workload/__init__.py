@@ -181,6 +181,7 @@ def _ensure_loaded() -> None:
             wave20,
             wave21,
             wave22,
+            wave23,
         )
 
         _LOADED = True

@@ -130,9 +130,9 @@ def duplicate_payments_frame(orders: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "quality_pchart_returns",
-    oracle="""
+# shared verbatim with the streaming twin (wave23) so batch and stream
+# stay in oracle lock-step
+PCHART_ORACLE = """
     WITH w AS (
       SELECT CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
              CAST(count(*) AS BIGINT) AS n,
@@ -167,8 +167,10 @@ def duplicate_payments_frame(orders: DataFrame) -> DataFrame:
                                       / w.n)
                 THEN 1 ELSE 0 END AS out_of_control
     FROM w CROSS JOIN pool ORDER BY w.week
-    """,
-)
+    """
+
+
+@query("quality_pchart_returns", oracle=PCHART_ORACLE)
 def quality_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """p-chart on weekly lineitem return share: per-week rate, pooled
     p-bar, size-aware 3-sigma UCL/LCL, out-of-control flag."""

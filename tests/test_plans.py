@@ -82,6 +82,10 @@ TRIPWIRE_EXCLUDED = frozenset({
     # test_streaming_oov_equals_batch_meter (streaming == batch
     # text_oov_rate row-for-row; same oracle verbatim)
     "streaming_oov_monitor",
+    # r6 wave 23 — policy test: tests/test_wave23.py
+    # test_streaming_pchart_equals_batch (streaming == batch
+    # quality_pchart_returns row-for-row; PCHART_ORACLE verbatim)
+    "streaming_pchart_returns",
 })
 # The families the exclusions come from; used only by the meta-guard.
 TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
