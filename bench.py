@@ -207,6 +207,11 @@ ADDITIONS = [
     # (streaming_pchart_returns stays out of bench per streaming policy)
     "emb_binary_hamming_topk",
     "events_markov_stationary",
+    # r6 wave 24: binary recall meters, rerank path, Pareto/NBD inputs
+    "emb_binary_quality",
+    "emb_binary_rerank_topk",
+    "emb_binary_rerank_quality",
+    "orders_pareto_nbd_inputs",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -182,6 +182,7 @@ def _ensure_loaded() -> None:
             wave21,
             wave22,
             wave23,
+            wave24,
         )
 
         _LOADED = True
