@@ -212,6 +212,10 @@ ADDITIONS = [
     "emb_binary_rerank_topk",
     "emb_binary_rerank_quality",
     "orders_pareto_nbd_inputs",
+    # r6 wave 25: NRR cohorts, supplier scorecard, DAU/MAU stickiness
+    "orders_nrr_cohorts",
+    "supplier_scorecard",
+    "events_stickiness",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

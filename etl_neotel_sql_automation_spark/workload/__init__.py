@@ -183,6 +183,7 @@ def _ensure_loaded() -> None:
             wave22,
             wave23,
             wave24,
+            wave25,
         )
 
         _LOADED = True

@@ -18,7 +18,9 @@ carries a (distance, neighbor id) tiebreak; the stationary vector is
 scaled 1e12 with per-source floor division each iteration.
 
 Scale notes: binary retrieval scans corpus x queries with the query
-side literally bounded (5 vectors; AQE broadcasts it unhinted);
+side literally bounded (5 vectors) and explicitly broadcast — the
+unhinted cross join planned as a CartesianProduct that re-read the
+corpus once per partition pair (measured at the 100x probe);
 the Markov machinery is state-bounded (~6 rows) after one
 transition-count aggregate; the streaming chart's state is one row
 per week.
@@ -84,50 +86,69 @@ def emb_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_hamming_frame(table(spark, sf_dir, "embeddings"))
 
 
+def pack_sign_words(emb: DataFrame) -> DataFrame:
+    """(vec_id, w1, w2): sign bits of the 64 components packed into
+    two 32-bit words — as ONE generated unrolled projection (no
+    explode, no shuffle; the posexplode+groupBy form re-aggregated
+    384M rows at the 100x probe and was the dominant cost — the same
+    HOF-vs-generated-SQL lesson the LSH builder recorded in r5).
+    Semantics identical to the oracle's unnest+sum: bit d set iff
+    component d > 0."""
+
+    def word(lo: int) -> str:
+        terms = [
+            f"(CASE WHEN embedding[{lo + i}] > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32)
+        ]
+        return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+    return emb.select(
+        "vec_id",
+        F.expr(word(0)).alias("w1"),
+        F.expr(word(32)).alias("w2"),
+    )
+
+
 def binary_hamming_frame(emb: DataFrame) -> DataFrame:
     """Frame core of emb_binary_hamming_topk (scaling-probe entry)."""
     from pyspark.sql import Window as W
 
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim0", "val"
-        ),
-    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
-    packed = x.groupBy("vec_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN dim <= 32 AND val > 0"
-                " THEN shiftleft(CAST(1 AS BIGINT), dim - 1) ELSE 0 END"
-            )
-        )
-        .cast("bigint")
-        .alias("w1"),
-        F.sum(
-            F.expr(
-                "CASE WHEN dim > 32 AND val > 0"
-                " THEN shiftleft(CAST(1 AS BIGINT), dim - 33) ELSE 0 END"
-            )
-        )
-        .cast("bigint")
-        .alias("w2"),
-    )
+    packed = pack_sign_words(emb)
     q = packed.filter(F.col("vec_id") < _BH_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("w1").alias("q1"),
         F.col("w2").alias("q2"),
     )
     c = packed.filter(F.col("vec_id") >= _BH_QUERIES)
-    d = c.crossJoin(q).select(  # query side literally bounded (5 rows)
+    # broadcast the literally-bounded query side (vec_id < 5): the
+    # unhinted form planned as a 32x32 CartesianProduct that re-read
+    # the corpus-side packing once per partition pair (measured 380 s
+    # at the 100x probe); the broadcast NL join scans the corpus ONCE
+    d = c.crossJoin(F.broadcast(q)).select(
         "qid",
         F.col("vec_id").alias("neighbor"),
         F.expr(
             "CAST(bit_count(q1 ^ w1) + bit_count(q2 ^ w2) AS BIGINT)"
         ).alias("hamming"),
     )
+    # two-phase distributed top-k: a per-query window would sort the
+    # WHOLE corpus in |queries| single tasks (measured 158 s at the
+    # 100x probe on the rerank variant); bucketing by a neighbor hash
+    # first parallelizes the heavy sort, and the global pass only sees
+    # |buckets| * k survivors. Output is bit-identical: the global
+    # top-k is a subset of the union of per-bucket top-k.
+    salted = d.withColumn(
+        "salt", F.pmod(F.xxhash64("neighbor"), F.lit(32))
+    )
+    wb = W.partitionBy("qid", "salt").orderBy("hamming", "neighbor")
+    survivors = (
+        salted.withColumn("brnk", F.row_number().over(wb))
+        .filter(F.col("brnk") <= _BH_K)
+        .drop("brnk", "salt")
+    )
     w = W.partitionBy("qid").orderBy("hamming", "neighbor")
     return (
-        d.withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _BH_K)
         .select("qid", F.col("rnk").cast("int").alias("rnk"), "neighbor",
                 "hamming")

@@ -297,47 +297,42 @@ def _binary_candidates(emb: DataFrame) -> DataFrame:
     """Hamming top-_BH_CAND candidate pairs (qid, neighbor)."""
     from pyspark.sql import Window as W
 
-    x = emb.select(
-        "vec_id",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim0", "val"
-        ),
-    ).select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
-    packed = x.groupBy("vec_id").agg(
-        F.sum(
-            F.expr(
-                "CASE WHEN dim <= 32 AND val > 0"
-                " THEN shiftleft(CAST(1 AS BIGINT), dim - 1) ELSE 0 END"
-            )
-        )
-        .cast("bigint")
-        .alias("w1"),
-        F.sum(
-            F.expr(
-                "CASE WHEN dim > 32 AND val > 0"
-                " THEN shiftleft(CAST(1 AS BIGINT), dim - 33) ELSE 0 END"
-            )
-        )
-        .cast("bigint")
-        .alias("w2"),
-    )
+    from .wave23 import pack_sign_words
+
+    packed = pack_sign_words(emb)  # one unrolled projection, no shuffle
     q = packed.filter(F.col("vec_id") < _BH_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("w1").alias("q1"),
         F.col("w2").alias("q2"),
     )
     c = packed.filter(F.col("vec_id") >= _BH_QUERIES)
+    # broadcast the literally-bounded query side (vec_id < 5): the
+    # unhinted form planned as a 32x32 CartesianProduct that re-read
+    # the corpus-side packing once per partition pair (measured 380 s
+    # at the 100x probe); the broadcast NL join scans the corpus ONCE
+    d = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        F.col("vec_id").alias("neighbor"),
+        F.expr(
+            "CAST(bit_count(q1 ^ w1) + bit_count(q2 ^ w2) AS BIGINT)"
+        ).alias("hamming"),
+    )
+    # two-phase distributed top-k (see wave23.binary_hamming_frame):
+    # a per-query window sorts the whole corpus in |queries| tasks —
+    # measured 158 s at the 100x probe; bucketed pre-top-k
+    # parallelizes it with bit-identical output
+    salted = d.withColumn(
+        "salt", F.pmod(F.xxhash64("neighbor"), F.lit(32))
+    )
+    wb = W.partitionBy("qid", "salt").orderBy("hamming", "neighbor")
+    survivors = (
+        salted.withColumn("brnk", F.row_number().over(wb))
+        .filter(F.col("brnk") <= _BH_CAND)
+        .drop("brnk", "salt")
+    )
     w = W.partitionBy("qid").orderBy("hamming", "neighbor")
     return (
-        c.crossJoin(q)  # query side literally bounded (5 rows)
-        .select(
-            "qid",
-            F.col("vec_id").alias("neighbor"),
-            F.expr(
-                "CAST(bit_count(q1 ^ w1) + bit_count(q2 ^ w2) AS BIGINT)"
-            ).alias("hamming"),
-        )
-        .withColumn("rnk", F.row_number().over(w))
+        survivors.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _BH_CAND)
         .select("qid", "neighbor")
     )

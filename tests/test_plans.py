@@ -308,13 +308,20 @@ CORPUS_HINT_ALLOWED = {
     # two brute-force legs, each broadcasting the literal-filtered
     # probe set (vec_id < 10) — the sim_cosine_topk shape twice
     "emb_matryoshka_recall": 2,
-    # one brute-force exact leg broadcasting the literal-filtered
-    # query set (vec_id < 5); the hint appears twice in the analyzed
-    # tree — once on the main overlap branch and once inside the
-    # 1-row recall-pool subtree that re-references it (the
-    # emb_pca_power_iteration nesting precedent)
-    "emb_binary_quality": 2,
-    "emb_binary_rerank_quality": 2,
+    # the Hamming scan broadcasts the literal-filtered packed query
+    # set (vec_id < 5, two BIGINT words per row) — without the hint
+    # the cross join planned as a 32x32 CartesianProduct that re-read
+    # the corpus-side packing per partition pair (380 s -> 59 s at the
+    # 100x probe)
+    "emb_binary_hamming_topk": 1,
+    "emb_binary_rerank_topk": 1,
+    # the meters carry that Hamming-scan hint PLUS the brute-force
+    # exact leg's query broadcast (also vec_id < 5), each appearing
+    # twice in the analyzed tree — once on the main overlap branch and
+    # once inside the 1-row recall-pool subtree that re-references it
+    # (the emb_pca_power_iteration nesting precedent)
+    "emb_binary_quality": 4,
+    "emb_binary_rerank_quality": 4,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build

@@ -56,6 +56,21 @@ from etl_neotel_sql_automation_spark.workload.wave20 import (
     hill_frame,
     power_mde_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave21 import (
+    duplicate_payments_frame,
+    funnel_latency_frame,
+    pchart_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave22 import (
+    seasonal_anomaly_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave23 import (
+    markov_stationary_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave24 import (
+    binary_rerank_frame,
+    pareto_nbd_frame,
+)
 from scale_wave12_probe import synth_documents, synth_orders
 
 BASE_ORDERS = 150_000
@@ -229,6 +244,50 @@ def main() -> None:
         res["power_mde"] = run(f"power_mde {n}x", power_mde_frame(ev))
         res["hill"] = run(f"hill {n}x", hill_frame(orders))
         res["best_split"] = run(f"best_split {n}x", best_split_frame(orders))
+        # wave-21/22/23/24 legs: the events synthetic needs purchase
+        # AND signup types for the funnel; lineitem needs flags/dates
+        # for the p-chart
+        ev2 = ev.withColumn(
+            "event_type",
+            F.when(
+                F.pmod(F.xxhash64(F.lit("e2"), "event_id"), F.lit(10)) == 0,
+                "signup",
+            ).otherwise(F.col("event_type")),
+        )
+        li_pc = li.withColumn(
+            "l_returnflag",
+            F.when(
+                F.pmod(F.xxhash64(F.lit("rf"), "l_orderkey"), F.lit(10)) == 0,
+                "R",
+            ).otherwise("N"),
+        ).withColumn(
+            "l_shipdate",
+            F.timestamp_micros(
+                (
+                    F.lit(820_454_400)  # 1996-01-01 UTC
+                    + F.pmod(
+                        F.xxhash64(F.lit("sd"), "l_orderkey"),
+                        F.lit(2190 * 86_400),
+                    )
+                )
+                * 1_000_000
+            ),
+        )
+        res["dup_payments"] = run(
+            f"dup_payments {n}x", duplicate_payments_frame(orders)
+        )
+        res["pchart"] = run(f"pchart {n}x", pchart_frame(li_pc))
+        res["funnel_latency"] = run(
+            f"funnel_latency {n}x", funnel_latency_frame(ev2)
+        )
+        res["seasonal_anomaly"] = run(
+            f"seasonal_anomaly {n}x", seasonal_anomaly_frame(orders)
+        )
+        res["markov"] = run(f"markov {n}x", markov_stationary_frame(ev))
+        res["binary_rerank"] = run(
+            f"binary_rerank {n}x", binary_rerank_frame(emb)
+        )
+        res["pareto_nbd"] = run(f"pareto_nbd {n}x", pareto_nbd_frame(orders))
         print(json.dumps(res), flush=True)
 
 
