@@ -216,6 +216,9 @@ ADDITIONS = [
     "orders_nrr_cohorts",
     "supplier_scorecard",
     "events_stickiness",
+    # r6 wave 26: SPRT sequential monitor, weekday concentration
+    "events_sprt_monitor",
+    "orders_weekday_concentration",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -184,6 +184,7 @@ def _ensure_loaded() -> None:
             wave23,
             wave24,
             wave25,
+            wave26,
         )
 
         _LOADED = True
