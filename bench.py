@@ -219,6 +219,9 @@ ADDITIONS = [
     # r6 wave 26: SPRT sequential monitor, weekday concentration
     "events_sprt_monitor",
     "orders_weekday_concentration",
+    # r6 wave 27: contrastive pairs, rolling median
+    "train_contrastive_pairs",
+    "timeseries_rolling_median",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -185,6 +185,7 @@ def _ensure_loaded() -> None:
             wave24,
             wave25,
             wave26,
+            wave27,
         )
 
         _LOADED = True
