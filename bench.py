@@ -222,6 +222,8 @@ ADDITIONS = [
     # r6 wave 27: contrastive pairs, rolling median
     "train_contrastive_pairs",
     "timeseries_rolling_median",
+    # r6 wave 28: MinHash-LSH S-curve meter
+    "dedup_minhash_s_curve",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

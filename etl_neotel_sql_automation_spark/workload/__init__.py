@@ -186,6 +186,7 @@ def _ensure_loaded() -> None:
             wave25,
             wave26,
             wave27,
+            wave28,
         )
 
         _LOADED = True
