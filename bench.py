@@ -224,6 +224,9 @@ ADDITIONS = [
     "timeseries_rolling_median",
     # r6 wave 28: MinHash-LSH S-curve meter
     "dedup_minhash_s_curve",
+    # r6 wave 29: price-volume-mix decomposition, MLM masking audit
+    "orders_price_volume_mix",
+    "train_mlm_masking_stats",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

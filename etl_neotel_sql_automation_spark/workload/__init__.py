@@ -187,6 +187,7 @@ def _ensure_loaded() -> None:
             wave26,
             wave27,
             wave28,
+            wave29,
         )
 
         _LOADED = True
