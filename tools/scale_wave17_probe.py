@@ -71,6 +71,23 @@ from etl_neotel_sql_automation_spark.workload.wave24 import (
     binary_rerank_frame,
     pareto_nbd_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave25 import (
+    nrr_frame,
+    scorecard_frame,
+    stickiness_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave26 import (
+    sprt_frame,
+    weekday_concentration_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave27 import (
+    contrastive_pairs_frame,
+    rolling_median_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave29 import (
+    mlm_masking_frame,
+    pvm_frame,
+)
 from scale_wave12_probe import synth_documents, synth_orders
 
 BASE_ORDERS = 150_000
@@ -288,6 +305,31 @@ def main() -> None:
             f"binary_rerank {n}x", binary_rerank_frame(emb)
         )
         res["pareto_nbd"] = run(f"pareto_nbd {n}x", pareto_nbd_frame(orders))
+        # wave-25/26/27/29 legs
+        res["nrr"] = run(f"nrr {n}x", nrr_frame(orders))
+        res["scorecard"] = run(
+            f"scorecard {n}x",
+            scorecard_frame(
+                li_pc.withColumn(
+                    "l_extendedprice",
+                    (F.pmod(F.xxhash64(F.lit("xp"), "l_orderkey"),
+                            F.lit(1_000_000)) / 100.0),
+                )
+            ),
+        )
+        res["stickiness"] = run(f"stickiness {n}x", stickiness_frame(ev))
+        res["sprt"] = run(f"sprt {n}x", sprt_frame(ev))
+        res["weekday_mix"] = run(
+            f"weekday_mix {n}x", weekday_concentration_frame(orders)
+        )
+        res["contrastive"] = run(
+            f"contrastive {n}x", contrastive_pairs_frame(docs)
+        )
+        res["rolling_median"] = run(
+            f"rolling_median {n}x", rolling_median_frame(orders)
+        )
+        res["pvm"] = run(f"pvm {n}x", pvm_frame(orders))
+        res["mlm_masking"] = run(f"mlm_masking {n}x", mlm_masking_frame(docs))
         print(json.dumps(res), flush=True)
 
 
