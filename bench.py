@@ -227,6 +227,8 @@ ADDITIONS = [
     # r6 wave 29: price-volume-mix decomposition, MLM masking audit
     "orders_price_volume_mix",
     "train_mlm_masking_stats",
+    # r6 wave 30: winsorization transform with clip accounting
+    "quality_winsorize_orders",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -188,6 +188,7 @@ def _ensure_loaded() -> None:
             wave27,
             wave28,
             wave29,
+            wave30,
         )
 
         _LOADED = True
