@@ -322,11 +322,6 @@ CORPUS_HINT_ALLOWED = {
     # (the emb_pca_power_iteration nesting precedent)
     "emb_binary_quality": 4,
     "emb_binary_rerank_quality": 4,
-    # the p01/p99 clip bounds aggregate GROUPS BY the constant
-    # total-count scalar (same value on every CDF row), so it is one
-    # row by construction — the walker only recognizes ungrouped
-    # aggregates structurally
-    "quality_winsorize_orders": 1,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build
