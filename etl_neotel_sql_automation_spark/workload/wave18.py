@@ -346,7 +346,10 @@ def holt_linear_frame(orders: DataFrame) -> DataFrame:
             """
         ).alias("st"),
     )
-    return folded.select(
+    # an empty series yields one degenerate row from the ungrouped agg
+    # (n_days=0); the oracle's recursive CTE seeds no row — drop it so
+    # both engines return zero rows for an empty input
+    return folded.filter(F.col("n_days") > 0).select(
         "n_days",
         F.col("st.l").alias("level_micro"),
         F.col("st.b").alias("trend_micro"),

@@ -288,7 +288,7 @@ def _rerank_sql(select_clause: str) -> str:
     """),
 )
 def emb_binary_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-prefilter + exact-rerank retrieval: Hamming top-100
+    """Binary-prefilter + exact-rerank retrieval: Hamming top-_BH_CAND
     candidates, exact cosine rerank, top-10."""
     return binary_rerank_frame(table(spark, sf_dir, "embeddings"))
 

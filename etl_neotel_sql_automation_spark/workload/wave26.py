@@ -32,12 +32,9 @@ from . import query, table
 # per-day cumulative LLR walk with the standing decision.
 # ---------------------------------------------------------------------------
 
-_SPRT = {
-    "p0": "0.20e0",
-    "p1": "0.26e0",
-    # ln(0.26/0.20)*1e6, ln(0.74/0.80)*1e6, ln(19)*1e6, -ln(19)*1e6 are
-    # computed by each engine from the same literals (micro-rounded)
-}
+# The weights ln(0.26/0.20)*1e6, ln(0.74/0.80)*1e6 and boundaries
+# ±ln(19)*1e6 are computed by each engine from the same inline
+# literals (micro-rounded), keeping oracle and frame in lock-step.
 
 
 @query(
