@@ -229,6 +229,14 @@ ADDITIONS = [
     "train_mlm_masking_stats",
     # r6 wave 30: winsorization transform with clip accounting
     "quality_winsorize_orders",
+    # r7 wave 31: rank-aware retrieval meters (MRR/NDCG/MAP, PR curve)
+    "emb_rerank_rank_metrics",
+    "emb_rerank_pr_curve",
+    # r7 wave 32: Brier decomposition, charset hygiene profile
+    "quality_brier_decomposition",
+    "text_charset_profile",
+    # r7 wave 33: Croston/SBA intermittent-demand forecast
+    "timeseries_croston",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

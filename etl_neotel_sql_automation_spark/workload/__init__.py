@@ -189,6 +189,9 @@ def _ensure_loaded() -> None:
             wave28,
             wave29,
             wave30,
+            wave31,
+            wave32,
+            wave33,
         )
 
         _LOADED = True

@@ -88,17 +88,13 @@ _SQL_PACK_Q = """
       FROM exact LEFT JOIN bin
         ON exact.qid = bin.qid AND exact.n_id = bin.neighbor
       GROUP BY exact.qid
-    ),
-    pool AS (
-      SELECT CAST((1000000 * sum(n_overlap)) // ({_BH_QUERIES} * {_BH_K})
-                  AS BIGINT) AS recall_ppm
-      FROM per_q
     )
-    SELECT per_q.qid, per_q.n_overlap,
-           CAST((1000000 * per_q.n_overlap) // {_BH_K} AS BIGINT)
+    SELECT qid, n_overlap,
+           CAST((1000000 * n_overlap) // {_BH_K} AS BIGINT)
              AS recall_q_ppm,
-           pool.recall_ppm
-    FROM per_q CROSS JOIN pool ORDER BY per_q.qid
+           CAST((1000000 * sum(n_overlap) OVER ())
+                // ({_BH_QUERIES} * {_BH_K}) AS BIGINT) AS recall_ppm
+    FROM per_q ORDER BY qid
     """,
 )
 def emb_binary_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,24 +126,21 @@ def binary_quality_frame(emb: DataFrame) -> DataFrame:
         .groupBy(exact.qid)
         .agg(F.count("b_neighbor").cast("bigint").alias("n_overlap"))
     )
-    pool = per_q.agg(
+    # pooled recall as an unpartitioned window over the <=|queries|-row
+    # per-query frame: ONE pass — the 1-row-aggregate crossJoin shape
+    # recomputed the whole retrieval branch for the pool consumer
+    # (the wave-31 rank-metrics probe measured the same shape at 2.4x)
+    return per_q.select(
+        "qid",
+        "n_overlap",
         F.expr(
-            f"CAST((1000000 * sum(n_overlap)) div ({_BH_QUERIES} * {_BH_K})"
-            " AS BIGINT)"
-        ).alias("recall_ppm")
-    )
-    return (
-        per_q.crossJoin(F.broadcast(pool))  # 1-row pooled recall
-        .select(
-            "qid",
-            "n_overlap",
-            F.expr(
-                f"CAST((1000000 * n_overlap) div {_BH_K} AS BIGINT)"
-            ).alias("recall_q_ppm"),
-            "recall_ppm",
-        )
-        .orderBy("qid")
-    )
+            f"CAST((1000000 * n_overlap) div {_BH_K} AS BIGINT)"
+        ).alias("recall_q_ppm"),
+        F.expr(
+            f"CAST((1000000 * sum(n_overlap) OVER ())"
+            f" div ({_BH_QUERIES} * {_BH_K}) AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).orderBy("qid")
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +257,7 @@ def _rerank_sql(select_clause: str) -> str:
       ) WHERE rnk <= {_BH_K}
     ),
     exact AS (
-      SELECT qid, n_id FROM (
+      SELECT qid, n_id, rnk AS e_rnk FROM (
         SELECT q.qid, c.n_id,
                row_number() OVER (
                  PARTITION BY q.qid
@@ -388,17 +381,13 @@ def binary_rerank_frame(emb: DataFrame) -> DataFrame:
       FROM exact LEFT JOIN rer
         ON exact.qid = rer.qid AND exact.n_id = rer.n_id
       GROUP BY exact.qid
-    ),
-    pool AS (
-      SELECT CAST((1000000 * sum(n_overlap)) // ({_BH_QUERIES} * {_BH_K})
-                  AS BIGINT) AS recall_ppm
-      FROM per_q
     )
-    SELECT per_q.qid, per_q.n_overlap,
-           CAST((1000000 * per_q.n_overlap) // {_BH_K} AS BIGINT)
+    SELECT qid, n_overlap,
+           CAST((1000000 * n_overlap) // {_BH_K} AS BIGINT)
              AS recall_q_ppm,
-           pool.recall_ppm
-    FROM per_q CROSS JOIN pool ORDER BY per_q.qid
+           CAST((1000000 * sum(n_overlap) OVER ())
+                // ({_BH_QUERIES} * {_BH_K}) AS BIGINT) AS recall_ppm
+    FROM per_q ORDER BY qid
     """),
 )
 def emb_binary_rerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,21 +418,18 @@ def binary_rerank_quality_frame(emb: DataFrame) -> DataFrame:
         .groupBy(exact.qid)
         .agg(F.count("b_neighbor").cast("bigint").alias("n_overlap"))
     )
-    pool = per_q.agg(
+    # pooled recall as an unpartitioned window over the <=|queries|-row
+    # per-query frame: ONE pass — the 1-row-aggregate crossJoin shape
+    # recomputed the whole retrieval branch for the pool consumer
+    # (the wave-31 rank-metrics probe measured the same shape at 2.4x)
+    return per_q.select(
+        "qid",
+        "n_overlap",
         F.expr(
-            f"CAST((1000000 * sum(n_overlap)) div ({_BH_QUERIES} * {_BH_K})"
-            " AS BIGINT)"
-        ).alias("recall_ppm")
-    )
-    return (
-        per_q.crossJoin(F.broadcast(pool))  # 1-row pooled recall
-        .select(
-            "qid",
-            "n_overlap",
-            F.expr(
-                f"CAST((1000000 * n_overlap) div {_BH_K} AS BIGINT)"
-            ).alias("recall_q_ppm"),
-            "recall_ppm",
-        )
-        .orderBy("qid")
-    )
+            f"CAST((1000000 * n_overlap) div {_BH_K} AS BIGINT)"
+        ).alias("recall_q_ppm"),
+        F.expr(
+            f"CAST((1000000 * sum(n_overlap) OVER ())"
+            f" div ({_BH_QUERIES} * {_BH_K}) AS BIGINT)"
+        ).alias("recall_ppm"),
+    ).orderBy("qid")

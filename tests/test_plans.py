@@ -316,12 +316,18 @@ CORPUS_HINT_ALLOWED = {
     "emb_binary_hamming_topk": 1,
     "emb_binary_rerank_topk": 1,
     # the meters carry that Hamming-scan hint PLUS the brute-force
-    # exact leg's query broadcast (also vec_id < 5), each appearing
-    # twice in the analyzed tree — once on the main overlap branch and
-    # once inside the 1-row recall-pool subtree that re-references it
-    # (the emb_pca_power_iteration nesting precedent)
-    "emb_binary_quality": 4,
-    "emb_binary_rerank_quality": 4,
+    # exact leg's query broadcast (also vec_id < 5), once each — the
+    # pooled recall is an unpartitioned window over the per-query
+    # frame (r7: the 1-row recall-pool subtree recomputed the whole
+    # retrieval branch; the window is one pass)
+    "emb_binary_quality": 2,
+    "emb_binary_rerank_quality": 2,
+    # the rank-metric layer and PR curve compose the same two
+    # literal-bounded (vec_id < 5) hints — rerank's Hamming scan +
+    # the exact leg — once each (pooled means are an unpartitioned
+    # window over the per-query frame, not a 1-row-aggregate subtree)
+    "emb_rerank_rank_metrics": 2,
+    "emb_rerank_pr_curve": 2,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build

@@ -67,6 +67,10 @@ from etl_neotel_sql_automation_spark.workload.wave22 import (
 from etl_neotel_sql_automation_spark.workload.wave23 import (
     markov_stationary_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave31 import (
+    pr_curve_frame,
+    rank_metrics_frame,
+)
 from etl_neotel_sql_automation_spark.workload.wave24 import (
     binary_rerank_frame,
     pareto_nbd_frame,
@@ -330,6 +334,12 @@ def main() -> None:
         )
         res["pvm"] = run(f"pvm {n}x", pvm_frame(orders))
         res["mlm_masking"] = run(f"mlm_masking {n}x", mlm_masking_frame(docs))
+        # wave-31 legs: metric layers over the rerank path (the added
+        # work vs binary_rerank is one 50-row join + a 10-row window)
+        res["rank_metrics"] = run(
+            f"rank_metrics {n}x", rank_metrics_frame(emb)
+        )
+        res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
         print(json.dumps(res), flush=True)
 
 

@@ -1,0 +1,102 @@
+"""Scale probe for the round-7 wave legs (1x/10x/100x synthetics).
+
+Reuses the wave-17 probe's synthetic generators so the numbers are
+comparable with the existing SCALING.md rows, but times ONLY the
+round-7 frame cores — the full wave17 probe re-times six rounds of
+legs and takes an hour at 100x.
+
+Usage: python tools/scale_wave31_probe.py [--scales=1,10,100]
+Writes one JSON line per scale to stdout (redirect to a file: the
+memory note — background grep pipes buffer).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from etl_neotel_sql_automation_spark.session import get_spark
+from etl_neotel_sql_automation_spark.workload.wave31 import (
+    pr_curve_frame,
+    rank_metrics_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave32 import (
+    brier_decomposition_frame,
+    charset_profile_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave33 import croston_frame
+from tools.scale_wave12_probe import synth_documents
+from tools.scale_wave17_probe import run
+
+
+def synth_emb(spark, n_vecs: int):
+    emb = spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.lit("v"), F.col("id"), i), F.lit(200))
+                - 100
+            ).cast("double")
+            / 100.0,
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    # materialize: registered queries read parquet; an expression-
+    # backed synthetic would re-inline the generator per consumer
+    return emb.localCheckpoint()
+
+
+def synth_li_sparse(spark, n_lines: int):
+    """Sparse per-part demand: 2000 parts, hash-scattered ship days
+    over 6 years — every part recurses, exercising the multi-series
+    fold (the registered query filters to a literal part set; the
+    probe times the every-part shape)."""
+    return spark.range(n_lines).select(
+        F.pmod(F.xxhash64(F.lit("p"), "id"), F.lit(2_000)).alias("l_partkey"),
+        F.timestamp_micros(
+            (
+                F.lit(694_224_000)  # 1992-01-01 UTC
+                + F.pmod(F.xxhash64(F.lit("d"), "id"), F.lit(2190))
+                * 86_400
+            )
+            * 1_000_000
+        ).alias("l_shipdate"),
+        (F.pmod(F.xxhash64(F.lit("q"), "id"), F.lit(50)) + 1)
+        .cast("double")
+        .alias("l_quantity"),
+    )
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales="):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    spark = get_spark(
+        app_name="scale_wave31_probe", master="local[32]",
+        shuffle_partitions=32,
+    )
+    for n in scales:
+        emb = synth_emb(spark, 60_000 * n)
+        res = {"scale": n, "vecs": 60_000 * n}
+        res["rank_metrics"] = run(
+            f"rank_metrics {n}x", rank_metrics_frame(emb)
+        )
+        res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        docs = synth_documents(spark, 5_000 * n).localCheckpoint()
+        res["docs"] = 5_000 * n
+        res["brier"] = run(f"brier {n}x", brier_decomposition_frame(docs))
+        res["charset"] = run(f"charset {n}x", charset_profile_frame(docs))
+        li = synth_li_sparse(spark, 600_000 * n)
+        res["croston"] = run(f"croston {n}x", croston_frame(li))
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()
