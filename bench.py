@@ -237,6 +237,8 @@ ADDITIONS = [
     "text_charset_profile",
     # r7 wave 33: Croston/SBA intermittent-demand forecast
     "timeseries_croston",
+    # r7 wave 34: Markov removal-effect channel attribution
+    "events_markov_attribution",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -192,6 +192,7 @@ def _ensure_loaded() -> None:
             wave31,
             wave32,
             wave33,
+            wave34,
         )
 
         _LOADED = True

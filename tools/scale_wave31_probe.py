@@ -29,6 +29,9 @@ from etl_neotel_sql_automation_spark.workload.wave32 import (
     charset_profile_frame,
 )
 from etl_neotel_sql_automation_spark.workload.wave33 import croston_frame
+from etl_neotel_sql_automation_spark.workload.wave34 import (
+    markov_attribution_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -73,6 +76,37 @@ def synth_li_sparse(spark, n_lines: int):
     )
 
 
+def synth_events(spark, n_events: int):
+    """5-type event stream: ~20k users per 200k events, all five
+    channels plus purchases, 30-day window — every journey shape the
+    attribution walks (multi-touch, zero-touch converter, never-
+    converter)."""
+    types = F.array(
+        F.lit("view"), F.lit("click"), F.lit("signup"), F.lit("error"),
+        F.lit("purchase"),
+    )
+    return spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            (
+                F.lit(1_704_067_200)  # 2024-01-01 UTC
+                + F.pmod(F.xxhash64(F.lit("t"), "id"), F.lit(30 * 86_400))
+            )
+            * 1_000_000
+        ).alias("ts"),
+        F.pmod(F.xxhash64(F.lit("u"), "id"), F.lit(n_events // 10)).alias(
+            "user_id"
+        ),
+        F.element_at(
+            types,
+            (F.pmod(F.xxhash64(F.lit("e"), "id"), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.xxhash64(F.lit("v"), "id"), F.lit(30_000)) / 100.0).alias(
+            "value"
+        ),
+    )
+
+
 def main() -> None:
     scales = [1, 10, 100]
     for a in sys.argv[1:]:
@@ -95,6 +129,10 @@ def main() -> None:
         res["charset"] = run(f"charset {n}x", charset_profile_frame(docs))
         li = synth_li_sparse(spark, 600_000 * n)
         res["croston"] = run(f"croston {n}x", croston_frame(li))
+        ev = synth_events(spark, 200_000 * n)
+        res["markov_attr"] = run(
+            f"markov_attr {n}x", markov_attribution_frame(ev)
+        )
         print(json.dumps(res), flush=True)
 
 
