@@ -239,6 +239,8 @@ ADDITIONS = [
     "timeseries_croston",
     # r7 wave 34: Markov removal-effect channel attribution
     "events_markov_attribution",
+    # r7 wave 35: JL sign-projection distortion meter
+    "emb_jl_distortion",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

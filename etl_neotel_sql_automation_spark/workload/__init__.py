@@ -193,6 +193,7 @@ def _ensure_loaded() -> None:
             wave32,
             wave33,
             wave34,
+            wave35,
         )
 
         _LOADED = True

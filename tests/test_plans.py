@@ -286,6 +286,9 @@ CORPUS_HINT_ALLOWED = {
     # sample side is `vec_id < 1000` — bounded by the literal filter,
     # independent of corpus size (the estimator is a sample statistic)
     "emb_intrinsic_dim_two_nn": 1,
+    # JL distortion meter: the pair self-join's right side is the
+    # literal `vec_id < 40` sample (780 pairs at any corpus size)
+    "emb_jl_distortion": 1,
     # centroid table is |label classes| x 64 dims — the label set is a
     # closed class vocabulary fixed by the labeling scheme, not data
     "emb_label_outliers": 1,

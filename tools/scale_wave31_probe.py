@@ -32,6 +32,9 @@ from etl_neotel_sql_automation_spark.workload.wave33 import croston_frame
 from etl_neotel_sql_automation_spark.workload.wave34 import (
     markov_attribution_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave35 import (
+    jl_distortion_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -132,6 +135,9 @@ def main() -> None:
         ev = synth_events(spark, 200_000 * n)
         res["markov_attr"] = run(
             f"markov_attr {n}x", markov_attribution_frame(ev)
+        )
+        res["jl_distortion"] = run(
+            f"jl_distortion {n}x", jl_distortion_frame(emb)
         )
         print(json.dumps(res), flush=True)
 
