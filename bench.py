@@ -241,6 +241,8 @@ ADDITIONS = [
     "events_markov_attribution",
     # r7 wave 35: JL sign-projection distortion meter
     "emb_jl_distortion",
+    # r7 wave 36: Hilbert layout beside the Morton pruning meter
+    "io_hilbert_layout",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

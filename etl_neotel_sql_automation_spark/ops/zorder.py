@@ -77,3 +77,100 @@ def cluster_by_z(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+# --- Hilbert curve -----------------------------------------------------------
+#
+# The Hilbert code is the locality upgrade over Morton: consecutive
+# Hilbert indices are ALWAYS grid neighbors (Morton jumps across the
+# quadrant seam every 2^k rows), so fixed-size files cut from a
+# Hilbert-sorted order have tighter min/max envelopes. The classic
+# xy2d walk (Hamilton's / the Wikipedia reference form): per level s
+# (high bit first), accumulate s^2 * ((3*rx) XOR ry) and rotate/flip
+# the quadrant. Pure integer bit arithmetic, so it is exactly
+# reproducible in any engine — Spark runs it as ONE aggregate() fold
+# over the level sequence (a chained-projection form would blow up the
+# plan tree: each level references x/y several times and project
+# collapse multiplies the subtrees), DuckDB as generated chained CTE
+# stages (tools can't fold; stages materialize columns, so cost stays
+# linear in levels).
+
+
+def py_hilbert_value(x: int, y: int, bits: int = 16) -> int:
+    """Python reference implementation (tests/constant folding)."""
+    n = 1 << bits
+    d = 0
+    s = n >> 1
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_expr(e1: str, e2: str, bits: int = 16) -> str:
+    """Spark SQL text of the Hilbert code of two non-negative integer
+    expressions, as one aggregate() fold over the level sequence."""
+    n1 = (1 << bits) - 1
+    upd_x = (
+        "CASE WHEN shiftright(acc.y, i) & 1 = 0 THEN"
+        " CASE WHEN shiftright(acc.x, i) & 1 = 1"
+        f" THEN {n1}L - acc.y ELSE acc.y END ELSE acc.x END"
+    )
+    upd_y = (
+        "CASE WHEN shiftright(acc.y, i) & 1 = 0 THEN"
+        " CASE WHEN shiftright(acc.x, i) & 1 = 1"
+        f" THEN {n1}L - acc.x ELSE acc.x END ELSE acc.y END"
+    )
+    upd_d = (
+        "acc.d + shiftleft(CAST((3 * (shiftright(acc.x, i) & 1))"
+        " ^ (shiftright(acc.y, i) & 1) AS BIGINT), 2 * i)"
+    )
+    return (
+        f"aggregate(sequence({bits - 1}, 0, -1),"
+        f" named_struct('x', CAST({e1} AS BIGINT),"
+        f" 'y', CAST({e2} AS BIGINT), 'd', CAST(0 AS BIGINT)),"
+        f" (acc, i) -> named_struct('x', {upd_x}, 'y', {upd_y},"
+        f" 'd', {upd_d}), acc -> acc.d)"
+    )
+
+
+def sql_hilbert_stages(
+    base_cte: str, key_cols: str, e1: str, e2: str, bits: int = 16
+) -> str:
+    """DuckDB twin: generated chained CTE stages ``h0..h{bits}`` over
+    ``base_cte`` (which must expose ``key_cols`` plus the two integer
+    coordinates); the last stage exposes ``hd`` as the Hilbert code.
+    Returns the CTE chain text to splice after the base CTE."""
+    n1 = (1 << bits) - 1
+    stages = [
+        f"h0 AS (SELECT {key_cols}, CAST({e1} AS BIGINT) AS hx,"
+        f" CAST({e2} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM {base_cte})"
+    ]
+    for k, i in enumerate(range(bits - 1, -1, -1)):
+        upd_d = (
+            f"hd + (CAST(xor(3 * ((hx >> {i}) & 1),"
+            f" (hy >> {i}) & 1) AS BIGINT) << {2 * i})"
+        )
+        upd_x = (
+            f"CASE WHEN (hy >> {i}) & 1 = 0 THEN"
+            f" CASE WHEN (hx >> {i}) & 1 = 1"
+            f" THEN {n1} - hy ELSE hy END ELSE hx END"
+        )
+        upd_y = (
+            f"CASE WHEN (hy >> {i}) & 1 = 0 THEN"
+            f" CASE WHEN (hx >> {i}) & 1 = 1"
+            f" THEN {n1} - hx ELSE hx END ELSE hy END"
+        )
+        stages.append(
+            f"h{k + 1} AS (SELECT {key_cols}, {upd_x} AS hx,"
+            f" {upd_y} AS hy, {upd_d} AS hd FROM h{k})"
+        )
+    return ",\n    ".join(stages)

@@ -194,6 +194,7 @@ def _ensure_loaded() -> None:
             wave33,
             wave34,
             wave35,
+            wave36,
         )
 
         _LOADED = True

@@ -35,6 +35,9 @@ from etl_neotel_sql_automation_spark.workload.wave34 import (
 from etl_neotel_sql_automation_spark.workload.wave35 import (
     jl_distortion_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave36 import (
+    hilbert_layout_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -110,6 +113,26 @@ def synth_events(spark, n_events: int):
     )
 
 
+def synth_orders_like(spark, n_rows: int):
+    """(orderkey, custkey, orderdate) triple for the layout meter:
+    hash-scattered customers and days, the 2-D distribution the
+    space-filling sorts exist for."""
+    return spark.range(n_rows).select(
+        F.col("id").alias("o_orderkey"),
+        F.pmod(F.xxhash64(F.lit("c"), "id"), F.lit(15_000)).alias(
+            "o_custkey"
+        ),
+        F.timestamp_micros(
+            (
+                F.lit(789_004_800)  # 1995-01-01 UTC
+                + F.pmod(F.xxhash64(F.lit("d"), "id"), F.lit(2190))
+                * 86_400
+            )
+            * 1_000_000
+        ).alias("o_orderdate"),
+    )
+
+
 def main() -> None:
     scales = [1, 10, 100]
     for a in sys.argv[1:]:
@@ -138,6 +161,10 @@ def main() -> None:
         )
         res["jl_distortion"] = run(
             f"jl_distortion {n}x", jl_distortion_frame(emb)
+        )
+        orders = synth_orders_like(spark, 60_000 * n)
+        res["hilbert_layout"] = run(
+            f"hilbert_layout {n}x", hilbert_layout_frame(orders)
         )
         print(json.dumps(res), flush=True)
 
