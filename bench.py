@@ -243,6 +243,9 @@ ADDITIONS = [
     "emb_jl_distortion",
     # r7 wave 36: Hilbert layout beside the Morton pruning meter
     "io_hilbert_layout",
+    # r7 wave 37: gate tuning curve, length-bucket padding audit
+    "quality_gate_sweep",
+    "train_length_bucket_padding",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -195,6 +195,7 @@ def _ensure_loaded() -> None:
             wave34,
             wave35,
             wave36,
+            wave37,
         )
 
         _LOADED = True

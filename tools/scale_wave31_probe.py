@@ -38,6 +38,10 @@ from etl_neotel_sql_automation_spark.workload.wave35 import (
 from etl_neotel_sql_automation_spark.workload.wave36 import (
     hilbert_layout_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave37 import (
+    gate_sweep_frame,
+    length_bucket_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -165,6 +169,10 @@ def main() -> None:
         orders = synth_orders_like(spark, 60_000 * n)
         res["hilbert_layout"] = run(
             f"hilbert_layout {n}x", hilbert_layout_frame(orders)
+        )
+        res["gate_sweep"] = run(f"gate_sweep {n}x", gate_sweep_frame(docs))
+        res["length_buckets"] = run(
+            f"length_buckets {n}x", length_bucket_frame(docs)
         )
         print(json.dumps(res), flush=True)
 
