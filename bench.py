@@ -246,6 +246,9 @@ ADDITIONS = [
     # r7 wave 37: gate tuning curve, length-bucket padding audit
     "quality_gate_sweep",
     "train_length_bucket_padding",
+    # r7 wave 38: Holt-Winters seasonal forecast, tokenizer fertility
+    "timeseries_holt_winters",
+    "text_tokenizer_fertility",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -196,6 +196,7 @@ def _ensure_loaded() -> None:
             wave35,
             wave36,
             wave37,
+            wave38,
         )
 
         _LOADED = True

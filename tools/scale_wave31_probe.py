@@ -42,6 +42,10 @@ from etl_neotel_sql_automation_spark.workload.wave37 import (
     gate_sweep_frame,
     length_bucket_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave38 import (
+    fertility_frame,
+    holt_winters_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -174,6 +178,10 @@ def main() -> None:
         res["length_buckets"] = run(
             f"length_buckets {n}x", length_bucket_frame(docs)
         )
+        res["holt_winters"] = run(
+            f"holt_winters {n}x", holt_winters_frame(orders)
+        )
+        res["fertility"] = run(f"fertility {n}x", fertility_frame(docs))
         print(json.dumps(res), flush=True)
 
 
