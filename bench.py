@@ -249,6 +249,9 @@ ADDITIONS = [
     # r7 wave 38: Holt-Winters seasonal forecast, tokenizer fertility
     "timeseries_holt_winters",
     "text_tokenizer_fertility",
+    # r7 wave 39: SES alpha sweep, k-anonymity generalization ladder
+    "timeseries_ses_sweep",
+    "privacy_generalization_ladder",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -197,6 +197,7 @@ def _ensure_loaded() -> None:
             wave36,
             wave37,
             wave38,
+            wave39,
         )
 
         _LOADED = True

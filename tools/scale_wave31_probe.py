@@ -46,6 +46,10 @@ from etl_neotel_sql_automation_spark.workload.wave38 import (
     fertility_frame,
     holt_winters_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave39 import (
+    generalization_ladder_frame,
+    ses_sweep_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -182,6 +186,10 @@ def main() -> None:
             f"holt_winters {n}x", holt_winters_frame(orders)
         )
         res["fertility"] = run(f"fertility {n}x", fertility_frame(docs))
+        res["ses_sweep"] = run(f"ses_sweep {n}x", ses_sweep_frame(orders))
+        res["gen_ladder"] = run(
+            f"gen_ladder {n}x", generalization_ladder_frame(orders)
+        )
         print(json.dumps(res), flush=True)
 
 
