@@ -252,6 +252,9 @@ ADDITIONS = [
     # r7 wave 39: SES alpha sweep, k-anonymity generalization ladder
     "timeseries_ses_sweep",
     "privacy_generalization_ladder",
+    # r7 wave 40: Shapley airport cost shares, ABC-XYZ matrix
+    "alloc_shapley_airport",
+    "lineitem_abc_xyz",
 ]
 HEADLINE = STABLE_37 + ADDITIONS
 

@@ -198,6 +198,7 @@ def _ensure_loaded() -> None:
             wave37,
             wave38,
             wave39,
+            wave40,
         )
 
         _LOADED = True

@@ -50,6 +50,10 @@ from etl_neotel_sql_automation_spark.workload.wave39 import (
     generalization_ladder_frame,
     ses_sweep_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave40 import (
+    abc_xyz_frame,
+    shapley_airport_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave17_probe import run
 
@@ -190,6 +194,30 @@ def main() -> None:
         res["gen_ladder"] = run(
             f"gen_ladder {n}x", generalization_ladder_frame(orders)
         )
+        orders_p = orders.withColumn(
+            "o_orderpriority",
+            F.element_at(
+                F.array(
+                    F.lit("1-URGENT"), F.lit("2-HIGH"), F.lit("3-MEDIUM"),
+                    F.lit("4-NOT SPECI"), F.lit("5-LOW"),
+                ),
+                (F.pmod(F.xxhash64(F.lit("q"), "o_orderkey"), F.lit(5)) + 1)
+                .cast("int"),
+            ),
+        ).withColumn(
+            "o_totalprice",
+            F.pmod(F.xxhash64(F.lit("tp"), "o_orderkey"), F.lit(5_000_000))
+            / 100.0,
+        )
+        res["shapley"] = run(
+            f"shapley {n}x", shapley_airport_frame(orders_p)
+        )
+        li2 = synth_li_sparse(spark, 600_000 * n).withColumn(
+            "l_extendedprice",
+            F.pmod(F.xxhash64(F.lit("xp"), "l_partkey"), F.lit(1_000_000))
+            / 100.0,
+        )
+        res["abc_xyz"] = run(f"abc_xyz {n}x", abc_xyz_frame(li2))
         print(json.dumps(res), flush=True)
 
 
