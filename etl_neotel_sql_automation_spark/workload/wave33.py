@@ -48,7 +48,12 @@ def croston_frame(lineitem: DataFrame) -> DataFrame:
             F.col("l_quantity"),
         )
         .groupBy("l_partkey", "day")
-        .agg(F.sum("l_quantity").cast("bigint").alias("q"))
+        # round before the BIGINT cast: Spark's double->bigint cast
+        # truncates while DuckDB's rounds half away from zero, so the
+        # engines would diverge on any non-integral daily sum (r7
+        # ADVICE) — TPC-H quantities are integral, but the frame core
+        # accepts arbitrary lineitem-shaped input
+        .agg(F.expr("CAST(round(sum(l_quantity)) AS BIGINT)").alias("q"))
     )
     series = daily.groupBy("l_partkey").agg(
         F.sort_array(
@@ -96,7 +101,7 @@ def _croston_oracle() -> str:
     WITH daily AS (
       SELECT l_partkey,
              CAST(date_trunc('day', l_shipdate) AS DATE) AS day,
-             CAST(sum(l_quantity) AS BIGINT) AS q
+             CAST(round(sum(l_quantity)) AS BIGINT) AS q
       FROM lineitem WHERE l_partkey < {_CR_PARTS}
       GROUP BY 1, 2
     ),

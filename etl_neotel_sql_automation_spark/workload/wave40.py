@@ -112,7 +112,9 @@ def abc_xyz_frame(lineitem: DataFrame) -> DataFrame:
             F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias(
                 "rev_cents"
             ),
-            F.col("l_quantity").cast("bigint").alias("q"),
+            # round before the BIGINT cast (Spark truncates, DuckDB
+            # rounds — divergent on non-integral quantities, r7 ADVICE)
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("q"),
         )
         .groupBy("l_partkey", "month")
         .agg(
@@ -167,7 +169,7 @@ def abc_xyz_frame(lineitem: DataFrame) -> DataFrame:
       SELECT l_partkey,
              CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
              CAST(sum(round(l_extendedprice * 100)) AS BIGINT) AS rev,
-             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem GROUP BY 1, 2
     ),
     per_part AS (
