@@ -256,7 +256,29 @@ ADDITIONS = [
     "alloc_shapley_airport",
     "lineitem_abc_xyz",
 ]
-HEADLINE = STABLE_37 + ADDITIONS
+# The r7-close freeze (byte-stable from r8 on): the full 155-entry
+# headline as it stood when round 7 closed. r8+ rounds append to
+# ADDITIONS_R8 and report stable155_seconds alongside the older sums,
+# so every historical BENCH_r{N}.json stays comparable per set.
+STABLE_155 = STABLE_37 + ADDITIONS
+ADDITIONS_R8 = [
+    # r8: sampled twins of the rank-aware retrieval meters (the
+    # 100 TB metering recipe registered), deployed-write layout ladder
+    "emb_rerank_rank_metrics_sampled",
+    "emb_rerank_pr_curve_sampled",
+    "io_hilbert_layout_deployed",
+    # r8 wave 41: the experimentation stack composed end-to-end
+    "experiment_pipeline_e2e",
+]
+HEADLINE = STABLE_155 + ADDITIONS_R8
+
+# Frozen-set sums reported per round (name -> query list).
+FROZEN_SETS = {
+    "stable27": STABLE_27,
+    "stable33": STABLE_33,
+    "stable37": STABLE_37,
+    "stable155": STABLE_155,
+}
 
 # Queries that run Spark jobs DURING plan construction (quantizer
 # training, candidate-matrix localCheckpoint): bench reports their
@@ -322,42 +344,81 @@ def main() -> None:
     # controlled A/B measurement (ops/hashing.py).
     times: dict[str, float] = {name: float("inf") for name in HEADLINE}
     construct: dict[str, float] = {}
+    # per-pass per-query records: the PROTOCOL note (BUILDLOG r8) —
+    # run-level numbers make a round-over-round drift claim checkable
+    # against the observed variance band instead of "host noise".
+    passes: list[dict[str, float]] = []
     for pass_i in range(3):
         order = HEADLINE if pass_i % 2 == 0 else list(reversed(HEADLINE))
+        this_pass: dict[str, float] = {}
         for name in order:
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             t1 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
             t2 = time.perf_counter()
+            this_pass[name] = t2 - t0
             if t2 - t0 < times[name]:
                 times[name] = t2 - t0
                 construct[name] = t1 - t0
+        passes.append(this_pass)
     times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf_val,
-                # frozen-set sums for round-over-round comparability
-                "stable27_seconds": round(sum(times[n] for n in STABLE_27), 3),
-                "stable33_seconds": round(sum(times[n] for n in STABLE_33), 3),
-                "stable37_seconds": round(sum(times[n] for n in STABLE_37), 3),
-                # construct-vs-exec split for the training-at-construct
-                # entries (times[n] == construct + exec for these too)
-                "construct_seconds": {
-                    n: round(construct[n], 3)
-                    for n in sorted(CONSTRUCT_SPLIT)
-                    if n in construct
-                },
-            }
-        )
+    set_sums = {
+        key: round(sum(times[n] for n in names), 3)
+        for key, names in FROZEN_SETS.items()
+    }
+    full = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_val,
+        # frozen-set sums for round-over-round comparability
+        **{f"{k}_seconds": v for k, v in set_sums.items()},
+        # per-pass per-set sums: the run-level variance record
+        "runs": {
+            key: [
+                round(sum(p[n] for n in names), 3) for p in passes
+            ]
+            for key, names in FROZEN_SETS.items()
+        },
+        # construct-vs-exec split for the training-at-construct
+        # entries (times[n] == construct + exec for these too)
+        "construct_seconds": {
+            n: round(construct[n], 3)
+            for n in sorted(CONSTRUCT_SPLIT)
+            if n in construct
+        },
+    }
+    # Full record FIRST (humans + the BENCH_FULL.json sidecar), then a
+    # COMPACT summary as the LAST stdout line: the driver records only
+    # the final ~2000 chars of output, so the 155-entry per-query map
+    # on one line left BENCH_r*.json unparseable ("parsed": null, r7
+    # VERDICT item 4). The compact line carries everything needed for
+    # round-over-round comparison and fits the captured tail whole.
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(full))
+    compact = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(HEADLINE),
+        # set sums double as the compact "queries" map so the line
+        # keeps the driver's {"queries": {name: sec}} shape
+        "queries": set_sums,
+        **{f"{k}_seconds": v for k, v in set_sums.items()},
+        "runs": full["runs"],
+        "construct_seconds": full["construct_seconds"],
+        "per_query_map": "BENCH_FULL.json",
+    }
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -199,6 +199,7 @@ def _ensure_loaded() -> None:
             wave38,
             wave39,
             wave40,
+            wave41,
         )
 
         _LOADED = True

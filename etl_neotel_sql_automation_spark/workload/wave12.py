@@ -53,13 +53,19 @@ _SQL_STOPS = (
 # ---------------------------------------------------------------------------
 
 _Z_ROWS_PER_FILE = 512
-# custkey lo/hi, day-offset lo/hi (days since 1995-01-01). The x range
-# covers the whole sf0.01 key domain, so there the box degenerates to
-# the pure DATE predicate a custkey-sorted layout cannot prune at all
-# (linear scans 30/30 files, z-order 12); at sf0.1 the same literals
-# are ~10% key-selective and z-order still halves the linear scan
-# (14 vs 30 of 293 files).
-_Z_BOX = (0, 1499, 400, 799)
+# Grid epoch = the data minimum (TPC-H order dates start 1992-01-01),
+# so the y offset is non-negative for EVERY order — the bit-interleave
+# domain both z_value and hilbert_expr document (r7 ADVICE: the old
+# 1995-01-01 epoch made y negative for ~half the data, where the codes
+# are arithmetic artifacts, not locality curves).
+_Z_EPOCH = "1992-01-01"
+# custkey lo/hi, day-offset lo/hi (days since _Z_EPOCH — the y range
+# is the old [400, 799] window shifted by the 1096-day rebase, so it
+# selects the SAME dates). The x range covers the whole sf0.01 key
+# domain, so there the box degenerates to the pure DATE predicate a
+# custkey-sorted layout cannot prune at all; at sf0.1 the same
+# literals are ~10% key-selective (measured ladder: SCALING.md).
+_Z_BOX = (0, 1499, 1496, 1895)
 
 
 def zorder_layout_frame(orders: DataFrame) -> DataFrame:
@@ -69,7 +75,7 @@ def zorder_layout_frame(orders: DataFrame) -> DataFrame:
     base = orders.select(
         "o_orderkey",
         F.col("o_custkey").alias("x"),
-        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("y"),
+        F.datediff(F.col("o_orderdate"), F.lit(_Z_EPOCH)).alias("y"),
     ).withColumn("zv", z_value("x", "y", 16))
 
     def layout(name: str, *order_cols) -> DataFrame:
@@ -129,7 +135,7 @@ def zorder_layout_frame(orders: DataFrame) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT o_orderkey, o_custkey AS x,
-             datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+             datediff('day', TIMESTAMP '{_Z_EPOCH} 00:00:00', o_orderdate)
                AS y
       FROM orders
     ),

@@ -26,7 +26,13 @@ candidate-bounded join (Hamming top-500 per query, queries
 literally bounded at 5); the added work is one broadcast-size left
 join against the exact top-10 (50 rows) and a 10-position window.
 At 100 TB the metering recipe is the hash-sampled twin pattern
-(sim_margin_quality_sampled precedent).
+(sim_margin_quality_sampled precedent) — registered here (r8) as
+emb_rerank_rank_metrics_sampled / emb_rerank_pr_curve_sampled: the
+CORPUS side is restricted to a deterministic md5 hash-sample before
+BOTH legs (the Hamming candidate generator and the exact cosine
+truth), so the sampled metric is the exact metric ON the sample — an
+unbiased estimate of the corpus metric whose exact-leg cost scales
+with |sample| instead of |corpus|.
 """
 
 from __future__ import annotations
@@ -192,9 +198,7 @@ def rank_metrics_frame(emb: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "emb_rerank_pr_curve",
-    oracle=_rerank_sql(f"""
+_PR_SELECT = f"""
     , met AS (
       SELECT rer.qid, rer.rnk,
              CAST(CASE WHEN exact.n_id IS NOT NULL THEN 1 ELSE 0 END
@@ -215,8 +219,10 @@ def rank_metrics_frame(emb: DataFrame) -> DataFrame:
            CAST((1000000 * n_hits) // ({_BH_K} * {_BH_QUERIES}) AS BIGINT)
              AS recall_ppm
     FROM pooled ORDER BY cutoff
-    """),
-)
+    """
+
+
+@query("emb_rerank_pr_curve", oracle=_rerank_sql(_PR_SELECT))
 def emb_rerank_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pooled precision@i / recall@i curve (i = 1..10) of the
     binary-rerank retrieval vs the exact cosine top-10."""
@@ -247,3 +253,84 @@ def pr_curve_frame(emb: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("recall_ppm"),
     ).orderBy("cutoff")
+
+
+# ---------------------------------------------------------------------------
+# Sampled twins (r8) — the 100 TB metering recipe the module docstring
+# prescribed, registered as executable oracle-checked queries (the
+# sim_margin_quality_sampled precedent, corpus_mining.py:1458): the
+# CORPUS side (vec_id >= |queries|) is restricted to a deterministic
+# md5 hash-sample BEFORE both legs — the Hamming candidate generator
+# AND the exact cosine ground truth — so both legs rank the identical
+# sampled population and the metric is the exact metric ON the sample:
+# an unbiased estimate of the production number under a uniform hash
+# sample. The exact leg's brute-force cost drops from |queries|x|corpus|
+# to |queries|x|sample|; at 100 TB you tighten the modulus until the
+# validation pass fits its budget. The sample filter sits under the
+# corpus scans, plan-visibly (tests/test_plans.py
+# test_rerank_sampled_filter_below_exact_leg).
+# ---------------------------------------------------------------------------
+
+_RRM_SAMPLE_MOD = 4
+
+
+def _rerank_sampled_sql(select_clause: str) -> str:
+    """The _rerank_sql text with every embeddings scan replaced by the
+    hash-sampled view (queries always kept; corpus ids kept when the
+    15-hex-digit md5 prefix is 0 mod _RRM_SAMPLE_MOD — the exact
+    predicate of corpus_mining._margin_sides_sql)."""
+    sampled = (
+        f"(SELECT * FROM embeddings WHERE vec_id < {_BH_QUERIES}"
+        f" OR CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))"
+        f" AS BIGINT) % {_RRM_SAMPLE_MOD} = 0) embs"
+    )
+    return _rerank_sql(select_clause).replace(
+        "FROM embeddings", f"FROM {sampled}"
+    )
+
+
+def sampled_emb(emb: DataFrame) -> DataFrame:
+    """Spark twin of the sampled view: keep every query vector and the
+    md5 hash-sample of the corpus (same 15-hex-digit prefix arithmetic
+    as the DuckDB predicate, so both engines keep identical ids)."""
+    from .corpus_mining import _margin_sample_pred
+
+    return emb.filter(
+        (F.col("vec_id") < _BH_QUERIES)
+        | _margin_sample_pred(_RRM_SAMPLE_MOD)
+    )
+
+
+@query(
+    "emb_rerank_rank_metrics_sampled",
+    oracle=_rerank_sampled_sql(_metrics_select("//")),
+)
+def emb_rerank_rank_metrics_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hash-sampled twin of emb_rerank_rank_metrics: MRR / NDCG@10
+    / AP@10 of the rerank path vs the exact top-10, both computed on
+    the md5-sampled corpus — the exact leg scans only the sample."""
+    return rank_metrics_sampled_frame(table(spark, sf_dir, "embeddings"))
+
+
+def rank_metrics_sampled_frame(emb: DataFrame) -> DataFrame:
+    """Frame core of emb_rerank_rank_metrics_sampled (probe entry)."""
+    return rank_metrics_frame(sampled_emb(emb))
+
+
+@query(
+    "emb_rerank_pr_curve_sampled",
+    oracle=_rerank_sampled_sql(_PR_SELECT),
+)
+def emb_rerank_pr_curve_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hash-sampled twin of emb_rerank_pr_curve: the pooled
+    precision@i / recall@i curve on the md5-sampled corpus."""
+    return pr_curve_sampled_frame(table(spark, sf_dir, "embeddings"))
+
+
+def pr_curve_sampled_frame(emb: DataFrame) -> DataFrame:
+    """Frame core of emb_rerank_pr_curve_sampled (probe entry)."""
+    return pr_curve_frame(sampled_emb(emb))

@@ -331,6 +331,11 @@ CORPUS_HINT_ALLOWED = {
     # window over the per-query frame, not a 1-row-aggregate subtree)
     "emb_rerank_rank_metrics": 2,
     "emb_rerank_pr_curve": 2,
+    # the sampled twins compose the same two hints over the md5-sampled
+    # corpus (the sample filter sits under both scans — asserted by
+    # test_rerank_sampled_filter_below_exact_leg)
+    "emb_rerank_rank_metrics_sampled": 2,
+    "emb_rerank_pr_curve_sampled": 2,
     # hashing-trick weight tables: <= 4096 rows by modulus, at any
     # corpus size (the whole point of the hashed production twin) —
     # the lookup join plus the target-count side of the lr build
@@ -610,6 +615,44 @@ def test_sampled_meters_filter_below_the_exact_join(spark, name):
     walk(plan)
     assert seen[0] >= 1, "expected an exact-leg pair join in the plan"
     assert not bad, f"pair joins without the sample filter below: {bad}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["emb_rerank_rank_metrics_sampled", "emb_rerank_pr_curve_sampled"],
+)
+def test_rerank_sampled_filter_below_exact_leg(spark, name):
+    """The rerank sampled twins' 100 TB claim (the r7 VERDICT item):
+    the md5 hash-sample filter must sit BELOW every corpus-sized join
+    — the exact brute-force leg and the Hamming candidate scan both
+    rank only the sample, not the full corpus filtered after the
+    fact. Every cross/non-equi join node in the optimized plan must
+    have an md5-sample Filter somewhere in its subtree."""
+    df = queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def subtree_has_md5_filter(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Filter" and "md5" in node.simpleString(100):
+            return True
+        ch = node.children()
+        return any(subtree_has_md5_filter(ch.apply(i)) for i in range(ch.size()))
+
+    bad, seen = [], [0]
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "Join" and " = " not in node.simpleString(100):
+            seen[0] += 1
+            if not subtree_has_md5_filter(node):
+                bad.append(node.simpleString(100))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(plan)
+    assert seen[0] >= 1, "expected a corpus-sized cross/theta join"
+    assert not bad, f"joins without the sample filter below: {bad}"
 
 
 def test_streaming_freshness_matches_batch_twin(spark):

@@ -101,3 +101,53 @@ def test_rerank_metrics_perfect_on_small_corpus(spark):
         assert (
             r["recall_ppm"] == (1_000_000 * r["cutoff"]) // _BH_K
         )
+
+
+def test_sampled_emb_matches_independent_md5(spark):
+    """The r8 sampled twins' population: sampled_emb must keep every
+    query id (vec_id < 5) and exactly the corpus ids whose md5 prefix
+    is 0 mod 4 — checked against an independent hashlib.md5
+    recomputation of the 15-hex-digit prefix arithmetic, so a drift in
+    either engine's predicate (conv base, substring offset, modulus)
+    breaks here rather than silently shrinking the meter's sample."""
+    import hashlib
+
+    from etl_neotel_sql_automation_spark.workload.wave31 import (
+        _RRM_SAMPLE_MOD,
+        sampled_emb,
+    )
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    got = sorted(r["vec_id"] for r in sampled_emb(emb).collect())
+    want = sorted(
+        i
+        for i in range(200)
+        if i < 5
+        or int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        % _RRM_SAMPLE_MOD
+        == 0
+    )
+    assert got == want
+    assert 5 < len(want) < 200  # queries kept, corpus genuinely sampled
+
+
+def test_sampled_metric_is_exact_metric_on_sample(spark):
+    """Semantics pin: the sampled twin IS the full meter run on the
+    sampled population — rank_metrics_sampled_frame(emb) must equal
+    rank_metrics_frame(sampled_emb(emb)) row for row (the unbiased-
+    estimate claim rests on both legs seeing the identical sampled
+    corpus; any leg sampling independently would break this)."""
+    from etl_neotel_sql_automation_spark.workload.wave31 import (
+        rank_metrics_frame,
+        rank_metrics_sampled_frame,
+        sampled_emb,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = rank_metrics_sampled_frame(emb).collect()
+    want = rank_metrics_frame(sampled_emb(emb)).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert len(got) == 5

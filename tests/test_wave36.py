@@ -75,3 +75,64 @@ def test_layout_meter_forced_pruning(spark, tmp_path):
     for r in res.values():
         assert r["rows_matched"] == matched
         assert r["n_files"] == n_files
+
+
+def test_deployed_layout_matches_simulation_semantics(spark, tmp_path):
+    """The r8 deployed-write twin on the forced-pruning grid: same box
+    semantics as the simulation (identical rows_matched everywhere),
+    the x-sorted layout still cannot prune, the space-filling layouts
+    still must, and the bucket-local file cut only ADDS ragged tail
+    files (n_files >= the simulation's count per layout)."""
+    from etl_neotel_sql_automation_spark.workload.wave36 import (
+        io_hilbert_layout,
+        io_hilbert_layout_deployed,
+    )
+
+    epoch = datetime.datetime(1995, 1, 1)
+    rows = []
+    k = 0
+    for x in range(64):
+        for y in range(370, 434):
+            rows.append((k, x, epoch + datetime.timedelta(days=y)))
+            k += 1
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    dep = {
+        r["layout"]: r
+        for r in io_hilbert_layout_deployed(spark, str(tmp_path)).collect()
+    }
+    sim = {
+        r["layout"]: r
+        for r in io_hilbert_layout(spark, str(tmp_path)).collect()
+    }
+    for name in ("linear_custkey", "zorder", "hilbert"):
+        assert dep[name]["rows_matched"] == sim[name]["rows_matched"]
+        assert dep[name]["n_files"] >= sim[name]["n_files"]
+    assert dep["linear_custkey"]["files_scanned"] == (
+        dep["linear_custkey"]["n_files"]
+    )
+    assert dep["hilbert"]["files_scanned"] < dep["hilbert"]["n_files"]
+    assert dep["zorder"]["files_scanned"] < dep["zorder"]["n_files"]
+
+
+def test_deployed_layout_plan_has_no_global_sort_window(spark):
+    """The deployed twin's whole point: every row_number window in the
+    plan is PARTITIONED (bucket-local) — no single-partition window,
+    the shape that made the simulation linear in one task at 100x."""
+    from etl_neotel_sql_automation_spark.workload.wave36 import (
+        io_hilbert_layout_deployed,
+    )
+
+    df = io_hilbert_layout_deployed(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # a global window materializes as 'Window [...], [code ASC ...]'
+    # with an empty partition spec — Spark prints the partition keys
+    # between the function list and ORDER BY; SinglePartition exchange
+    # right below a Window is the smoking gun
+    import re
+
+    assert not re.search(
+        r"Exchange SinglePartition[^\n]*\n[^\n]*Sort", plan
+    ), plan

@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.wave31 import (
     pr_curve_frame,
+    pr_curve_sampled_frame,
     rank_metrics_frame,
+    rank_metrics_sampled_frame,
 )
 from etl_neotel_sql_automation_spark.workload.wave32 import (
     brier_decomposition_frame,
@@ -165,6 +167,12 @@ def main() -> None:
             f"rank_metrics {n}x", rank_metrics_frame(emb)
         )
         res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        res["rank_metrics_sampled"] = run(
+            f"rank_metrics_sampled {n}x", rank_metrics_sampled_frame(emb)
+        )
+        res["pr_curve_sampled"] = run(
+            f"pr_curve_sampled {n}x", pr_curve_sampled_frame(emb)
+        )
         docs = synth_documents(spark, 5_000 * n).localCheckpoint()
         res["docs"] = 5_000 * n
         res["brier"] = run(f"brier {n}x", brier_decomposition_frame(docs))
