@@ -269,6 +269,17 @@ ADDITIONS_R8 = [
     "io_hilbert_layout_deployed",
     # r8 wave 41: the experimentation stack composed end-to-end
     "experiment_pipeline_e2e",
+    # r8 wave 42: SRM guardrail, difference-in-differences
+    "events_srm_check",
+    "events_diff_in_diff",
+    # r8 wave 43: train/eval near-dup leakage audit
+    "split_leakage_audit",
+    # r8 wave 44: Jaccard threshold tuning curve
+    "dedup_threshold_sweep",
+    # r8 wave 45: hierarchical forecast reconciliation
+    "forecast_reconcile_hierarchy",
+    # r8 wave 46: split-conformal interval audit
+    "quality_conformal_bounds",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 
@@ -289,6 +300,8 @@ CONSTRUCT_SPLIT = {
     "sim_ivf_pq_sampled",
     "sim_margin_pairs_indexed",
     "sim_margin_quality_sampled",
+    # localCheckpoints the 25-row nation-series frame at construct
+    "forecast_reconcile_hierarchy",
 }
 
 

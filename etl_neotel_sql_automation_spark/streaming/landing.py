@@ -950,3 +950,52 @@ def stream_pchart_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week")
     )
+
+
+def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-42 sample-ratio-mismatch guardrail as a REAL streaming
+    monitor — the shape it runs in production, where assignment health
+    must alarm DURING the experiment, not at readout: events stream in
+    (availableNow), per-user dedup is genuine streaming state
+    (dropDuplicates on the assignment unit), the per-arm distinct-user
+    counts are a streaming aggregation in complete mode, and the
+    chi-square + verdict layer is applied display-side to the emitted
+    2-row table (workload.wave42.srm_readout — shared verbatim with
+    the batch query). Must equal events_srm_check row-for-row; the
+    registered query carries SRM_ORACLE verbatim (policy test:
+    tests/test_wave42.py::test_streaming_srm_equals_batch).
+
+    Scale: dedup state is one row per user (the assignment-unit
+    cardinality every SRM monitor inherently tracks); the arm
+    aggregate is 2 rows.
+    """
+    from ..workload.wave42 import srm_readout
+
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    arm = (
+        src.select(
+            "user_id", (F.col("user_id") % 2).cast("int").alias("arm")
+        )
+        .dropDuplicates(["user_id"])
+        .groupBy("arm")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    name = f"srm_{uuid.uuid4().hex[:8]}"
+    q = (
+        arm.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return srm_readout(spark.table(name))

@@ -200,6 +200,11 @@ def _ensure_loaded() -> None:
             wave39,
             wave40,
             wave41,
+            wave42,
+            wave43,
+            wave44,
+            wave45,
+            wave46,
         )
 
         _LOADED = True

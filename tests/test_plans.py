@@ -86,6 +86,10 @@ TRIPWIRE_EXCLUDED = frozenset({
     # test_streaming_pchart_equals_batch (streaming == batch
     # quality_pchart_returns row-for-row; PCHART_ORACLE verbatim)
     "streaming_pchart_returns",
+    # r8 wave 42 — policy test: tests/test_wave42.py
+    # test_streaming_srm_equals_batch (streaming == batch
+    # events_srm_check row-for-row; SRM_ORACLE verbatim)
+    "streaming_srm_monitor",
 })
 # The families the exclusions come from; used only by the meta-guard.
 TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
