@@ -280,6 +280,8 @@ ADDITIONS_R8 = [
     "forecast_reconcile_hierarchy",
     # r8 wave 46: split-conformal interval audit
     "quality_conformal_bounds",
+    # r8 wave 47: cluster-routed split (the wave-43 leak, fixed)
+    "split_cluster_routing",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 

@@ -45,6 +45,13 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+    # materialize the edge list ONCE: every propagation round joins
+    # `sym`, and an expression-backed edge frame (e.g. the MinHash
+    # candidate pipeline) would otherwise recompute its whole tree per
+    # round — measured as the dominant cost of split_cluster_routing
+    # (r8): candidates took ~30 s/round to rebuild while the CC loop
+    # itself ran ~3 s on the checkpointed pairs
+    sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("component"))
     labels = labels.localCheckpoint(eager=True)
     for it in range(max_iter):

@@ -205,6 +205,7 @@ def _ensure_loaded() -> None:
             wave44,
             wave45,
             wave46,
+            wave47,
         )
 
         _LOADED = True
