@@ -282,6 +282,8 @@ ADDITIONS_R8 = [
     "quality_conformal_bounds",
     # r8 wave 47: cluster-routed split (the wave-43 leak, fixed)
     "split_cluster_routing",
+    # r8 wave 48: Welch unequal-variance t-test
+    "events_welch_ttest",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 

@@ -206,6 +206,7 @@ def _ensure_loaded() -> None:
             wave45,
             wave46,
             wave47,
+            wave48,
         )
 
         _LOADED = True
