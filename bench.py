@@ -284,6 +284,8 @@ ADDITIONS_R8 = [
     "split_cluster_routing",
     # r8 wave 48: Welch unequal-variance t-test
     "events_welch_ttest",
+    # r8 wave 49: post-stratified A/B readout
+    "events_post_stratified",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 

@@ -207,6 +207,7 @@ def _ensure_loaded() -> None:
             wave46,
             wave47,
             wave48,
+            wave49,
         )
 
         _LOADED = True
