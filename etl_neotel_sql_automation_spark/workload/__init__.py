@@ -208,6 +208,8 @@ def _ensure_loaded() -> None:
             wave47,
             wave48,
             wave49,
+            wave50,
+            wave51,
         )
 
         _LOADED = True
