@@ -210,6 +210,7 @@ def _ensure_loaded() -> None:
             wave49,
             wave50,
             wave51,
+            wave52,
         )
 
         _LOADED = True
