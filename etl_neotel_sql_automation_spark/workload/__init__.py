@@ -211,6 +211,7 @@ def _ensure_loaded() -> None:
             wave50,
             wave51,
             wave52,
+            wave53,
         )
 
         _LOADED = True
