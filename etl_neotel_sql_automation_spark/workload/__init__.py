@@ -212,6 +212,7 @@ def _ensure_loaded() -> None:
             wave51,
             wave52,
             wave53,
+            wave54,
         )
 
         _LOADED = True
