@@ -213,6 +213,7 @@ def _ensure_loaded() -> None:
             wave52,
             wave53,
             wave54,
+            wave55,
         )
 
         _LOADED = True
