@@ -214,6 +214,7 @@ def _ensure_loaded() -> None:
             wave53,
             wave54,
             wave55,
+            wave56,
         )
 
         _LOADED = True
