@@ -215,6 +215,7 @@ def _ensure_loaded() -> None:
             wave54,
             wave55,
             wave56,
+            wave57,
         )
 
         _LOADED = True
