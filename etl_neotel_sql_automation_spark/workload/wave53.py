@@ -41,6 +41,10 @@ def cross_corr_frame(
     orders: DataFrame, customer: DataFrame, nation: DataFrame
 ) -> DataFrame:
     """Frame core of timeseries_cross_corr (scaling-probe entry)."""
+    # ONE fact pass: both series come out of a single (day) aggregate
+    # via conditional sums — a per-nation filter-and-join would scan
+    # the orders star once per series (the r7 recompute-per-consumer
+    # lesson)
     rev = (
         orders.join(
             F.broadcast(
@@ -60,8 +64,15 @@ def cross_corr_frame(
             "n_name",
             F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         )
-        .groupBy("d", "n_name")
-        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("n_name") == _NAT_X, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("xv"),
+            F.sum(F.when(F.col("n_name") == _NAT_Y, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("yv"),
+        )
     )
     bounds = rev.agg(
         F.min("d").cast("int").alias("lo"), F.max("d").cast("int").alias("hi")
@@ -69,24 +80,29 @@ def cross_corr_frame(
     grid = bounds.select(
         F.explode(F.expr("sequence(lo, hi)")).alias("d")
     )
-    def series(name: str, col: str) -> DataFrame:
-        s = rev.filter(F.col("n_name") == name).select("d", "v")
-        return grid.join(s, "d", "left").select(
-            "d", F.coalesce("v", F.lit(0)).cast("bigint").alias(col)
+    # the zero-filled day frame is date-domain-bounded (~10^3 rows at
+    # any corpus size) and consumed twice by the lag self-join:
+    # checkpoint it so the fact tree runs ONCE (the r8 CC lesson)
+    day = (
+        grid.join(rev, "d", "left")
+        .select(
+            "d",
+            F.coalesce("xv", F.lit(0)).cast("bigint").alias("x"),
+            F.coalesce("yv", F.lit(0)).cast("bigint").alias("y"),
         )
-
-    xs = series(_NAT_X, "x")
-    ys = series(_NAT_Y, "y")
+        .localCheckpoint()
+    )
     lagged = (
-        xs.crossJoin(
+        day.select("d", "x")
+        .crossJoin(
             F.broadcast(
-                xs.sparkSession.range(_MAX_LAG + 1).select(
+                day.sparkSession.range(_MAX_LAG + 1).select(
                     F.col("id").cast("int").alias("lag")
                 )
             )
         )
         .join(
-            ys.select(F.col("d").alias("dy"), "y"),
+            day.select(F.col("d").alias("dy"), "y"),
             F.col("dy") == F.col("d") + F.col("lag"),
         )
     )

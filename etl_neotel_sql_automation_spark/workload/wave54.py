@@ -55,13 +55,17 @@ def isotonic_frame(docs: DataFrame) -> DataFrame:
         F.count("*").cast("bigint").alias("w"),
         F.sum("pos").cast("bigint").alias("p"),
     )
+    # the bin frame is <=10 rows but fans out to FOUR consumers (both
+    # theta-join sides, the per-i probe, and the output join): without
+    # a checkpoint each consumer re-runs the corpus tokenize pass (the
+    # r8 CC lesson — checkpoint the expensive input once)
     wb = b.select(
         "bin",
         "w",
         "p",
         F.expr("sum(w) OVER (ORDER BY bin)").cast("bigint").alias("cw"),
         F.expr("sum(p) OVER (ORDER BY bin)").cast("bigint").alias("cp"),
-    )
+    ).localCheckpoint()
     jj = wb.select(
         F.col("bin").alias("jb"),
         (F.col("cw") - F.col("w")).alias("cw0"),

@@ -56,12 +56,19 @@ def pacf_frame(orders: DataFrame) -> DataFrame:
     scal = cal.agg(
         F.count("*").alias("n"), F.sum("x").cast("bigint").alias("s")
     )
-    b = cal.crossJoin(F.broadcast(scal)).select(
-        "dn", (F.col("n") * F.col("x") - F.col("s")).alias("b")
+    # the centered day series is date-domain-bounded (~10^3 rows at
+    # any corpus size) and feeds both sides of the lag self-join:
+    # checkpoint it so the fact tree runs once (the r8 CC lesson)
+    b = (
+        cal.crossJoin(F.broadcast(scal))
+        .select("dn", (F.col("n") * F.col("x") - F.col("s")).alias("b"))
+        .localCheckpoint()
     )
-    den = b.agg(F.sum(F.col("b") * F.col("b")).cast("bigint").alias("den"))
+    # lag 0 IS the denominator (C_0 = sum b^2): folding it into the
+    # lag join removes the separate den branch (wave-7's ACF pays two
+    # aggregate passes over b; one grouped pass covers all five C_k)
     lags = F.explode(
-        F.array(*[F.lit(i) for i in range(1, _PACF_LAGS + 1)])
+        F.array(*[F.lit(i) for i in range(0, _PACF_LAGS + 1)])
     ).alias("lag")
     left = b.select(F.col("dn").alias("adn"), F.col("b").alias("ab"), lags)
     right = b.select(F.col("dn").alias("cdn"), F.col("b").alias("cb"))
@@ -75,12 +82,12 @@ def pacf_frame(orders: DataFrame) -> DataFrame:
             F.max(F.when(F.col("lag") == k, F.col("num")))
             .cast("bigint")
             .alias(f"c{k}")
-            for k in range(1, _PACF_LAGS + 1)
+            for k in range(0, _PACF_LAGS + 1)
         ]
     )
-    one = piv.crossJoin(F.broadcast(den)).select(
+    one = piv.select(
         *[
-            F.expr(f"c{k} * 1.0e0 / den").alias(f"r{k}")
+            F.expr(f"c{k} * 1.0e0 / c0").alias(f"r{k}")
             for k in range(1, _PACF_LAGS + 1)
         ]
     )
