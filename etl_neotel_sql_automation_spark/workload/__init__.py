@@ -216,6 +216,7 @@ def _ensure_loaded() -> None:
             wave55,
             wave56,
             wave57,
+            wave58,
         )
 
         _LOADED = True
