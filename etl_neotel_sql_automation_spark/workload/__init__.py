@@ -217,6 +217,7 @@ def _ensure_loaded() -> None:
             wave56,
             wave57,
             wave58,
+            wave59,
         )
 
         _LOADED = True
