@@ -22,6 +22,10 @@ from etl_neotel_sql_automation_spark.workload.wave54 import isotonic_frame
 from etl_neotel_sql_automation_spark.workload.wave55 import pacf_frame
 from etl_neotel_sql_automation_spark.workload.wave56 import qini_frame
 from etl_neotel_sql_automation_spark.workload.wave57 import elasticity_frame
+from etl_neotel_sql_automation_spark.workload.wave58 import tukey_frame
+from etl_neotel_sql_automation_spark.workload.wave59 import (
+    energy_distance_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave31_probe import synth_events, synth_orders_like
 
@@ -97,6 +101,7 @@ def main() -> None:
                 res["events"] = 200_000 * n
                 res["anova_f"] = run(f"anova_f {n}x", lambda: anova_frame(ev))
                 res["qini"] = run(f"qini {n}x", lambda: qini_frame(ev))
+                res["tukey"] = run(f"tukey {n}x", lambda: tukey_frame(ev))
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
@@ -113,6 +118,22 @@ def main() -> None:
                     lambda: cross_corr_frame(orders, cust, nation),
                 )
                 res["pacf"] = run(f"pacf {n}x", lambda: pacf_frame(orders))
+                res["energy"] = run(
+                    f"energy {n}x",
+                    lambda: energy_distance_frame(
+                        orders.withColumn(
+                            "o_orderpriority",
+                            F.when(
+                                F.pmod(
+                                    F.xxhash64(F.lit("pr"), "o_orderkey"),
+                                    F.lit(2),
+                                )
+                                == 0,
+                                "1-URGENT",
+                            ).otherwise("5-LOW"),
+                        )
+                    ),
+                )
             else:
                 li = synth_lineitem(spark, 240_000 * n).localCheckpoint()
                 res["lineitem"] = 240_000 * n
