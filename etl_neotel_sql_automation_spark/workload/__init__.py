@@ -218,6 +218,7 @@ def _ensure_loaded() -> None:
             wave57,
             wave58,
             wave59,
+            wave60,
         )
 
         _LOADED = True
