@@ -999,3 +999,46 @@ def stream_srm_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         if q.isActive:
             q.stop()
     return srm_readout(spark.table(name))
+
+
+def stream_welch_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wave-48 Welch t readout as a REAL streaming monitor — the
+    continuous-metric sibling of stream_srm_monitor: per-user value
+    sums are genuine streaming state (a user-keyed streaming
+    aggregation in complete mode — updatable as late events arrive,
+    unlike the SRM monitor's insert-only dedup), and the Welch
+    arm/moment/t layer is applied display-side to the emitted per-user
+    table (workload.wave48.welch_readout — shared verbatim with the
+    batch query). Must equal events_welch_ttest row-for-row (policy
+    test: tests/test_wave61.py::test_streaming_welch_equals_batch).
+
+    Scale: state is one (user_id, sum) row per user — the assignment
+    unit every per-user experiment metric inherently tracks; the arm
+    readout runs over 2 rows.
+    """
+    from ..workload.wave48 import welch_readout
+
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(batch_ev.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    u = src.groupBy("user_id").agg(
+        F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
+        .alias("v")
+    )
+    name = f"welch_{uuid.uuid4().hex[:8]}"
+    q = (
+        u.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return welch_readout(spark.table(name))

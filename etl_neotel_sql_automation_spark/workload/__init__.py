@@ -219,6 +219,7 @@ def _ensure_loaded() -> None:
             wave58,
             wave59,
             wave60,
+            wave61,
         )
 
         _LOADED = True

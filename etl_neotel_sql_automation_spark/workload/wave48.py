@@ -33,7 +33,15 @@ def welch_frame(ev: DataFrame) -> DataFrame:
     u = ev.groupBy("user_id").agg(
         F.expr("CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)")
         .alias("v")
-    ).select((F.col("user_id") % 2).cast("int").alias("arm"), "v")
+    )
+    return welch_readout(u)
+
+
+def welch_readout(u: DataFrame) -> DataFrame:
+    """Welch readout over a per-user (user_id, v) cents frame — shared
+    verbatim by the batch query and the streaming monitor (wave-61),
+    which materializes `u` as genuine streaming state."""
+    u = u.select((F.col("user_id") % 2).cast("int").alias("arm"), "v")
     dec = "DECIMAL(38,0)"
     arm = u.groupBy("arm").agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -83,9 +91,7 @@ def welch_frame(ev: DataFrame) -> DataFrame:
     ).orderBy("arm")
 
 
-@query(
-    "events_welch_ttest",
-    oracle="""
+WELCH_ORACLE = """
     WITH u AS (
       SELECT user_id,
              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
@@ -143,8 +149,10 @@ def welch_frame(ev: DataFrame) -> DataFrame:
                       / (nb * (nb - 1.0e0))) / nb) / (nb - 1.0e0)), 6)
              AS welch_df
     FROM armw ORDER BY arm
-    """,
-)
+    """
+
+
+@query("events_welch_ttest", oracle=WELCH_ORACLE)
 def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test on per-user total value between
     arms: per-arm mean/variance, the mean difference, its SE, the t
