@@ -220,6 +220,7 @@ def _ensure_loaded() -> None:
             wave59,
             wave60,
             wave61,
+            wave62,
         )
 
         _LOADED = True
