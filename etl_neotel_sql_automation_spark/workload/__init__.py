@@ -221,6 +221,7 @@ def _ensure_loaded() -> None:
             wave60,
             wave61,
             wave62,
+            wave63,
         )
 
         _LOADED = True

@@ -354,6 +354,10 @@ CORPUS_HINT_ALLOWED = {
     # count-min sketch: <= 4 x 1024 (r, b) cells by moduli, at any
     # corpus size (the whole point of the sketch)
     "text_heavy_hitters_cms": 1,
+    # arm-total frame grouped by user_id % 2 — TWO rows by modulus at
+    # any corpus size; joined back so the cluster sandwich terms see
+    # their arm's (N, S) without a per-arm window over all users
+    "events_cluster_robust_se": 1,
 }
 
 
