@@ -222,6 +222,7 @@ def _ensure_loaded() -> None:
             wave61,
             wave62,
             wave63,
+            wave64,
         )
 
         _LOADED = True
