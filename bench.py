@@ -286,6 +286,24 @@ ADDITIONS_R8 = [
     "events_welch_ttest",
     # r8 wave 49: post-stratified A/B readout
     "events_post_stratified",
+    # r8 waves 50-64 (second session): classical + uplift + OPE
+    # readouts, regression/elasticity, PAV, PACF/cross-corr, energy
+    # distance, permutation null, cluster-robust SE, Heaps' law
+    # (streaming_welch_monitor stays out per the streaming policy)
+    "events_anova_f",
+    "quality_roc_auc",
+    "lineitem_ols_normal_eq",
+    "timeseries_cross_corr",
+    "quality_isotonic_calibration",
+    "timeseries_pacf",
+    "events_qini_uplift",
+    "lineitem_price_elasticity",
+    "events_tukey_pairs",
+    "orders_energy_distance",
+    "events_permutation_test",
+    "events_ips_offpolicy",
+    "events_cluster_robust_se",
+    "text_heaps_law",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 
@@ -308,6 +326,12 @@ CONSTRUCT_SPLIT = {
     "sim_margin_quality_sampled",
     # localCheckpoints the 25-row nation-series frame at construct
     "forecast_reconcile_hierarchy",
+    # r8 second session: checkpoint bounded intermediates at construct
+    # (day grid / bin ladder / arm frame)
+    "timeseries_cross_corr",
+    "timeseries_pacf",
+    "quality_isotonic_calibration",
+    "events_tukey_pairs",
 }
 
 

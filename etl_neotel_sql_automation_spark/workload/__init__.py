@@ -223,6 +223,7 @@ def _ensure_loaded() -> None:
             wave62,
             wave63,
             wave64,
+            wave65,
         )
 
         _LOADED = True

@@ -26,6 +26,12 @@ from etl_neotel_sql_automation_spark.workload.wave58 import tukey_frame
 from etl_neotel_sql_automation_spark.workload.wave59 import (
     energy_distance_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave60 import (
+    permutation_test_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave62 import ips_frame
+from etl_neotel_sql_automation_spark.workload.wave63 import cluster_se_frame
+from etl_neotel_sql_automation_spark.workload.wave64 import heaps_frame
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave31_probe import synth_events, synth_orders_like
 
@@ -102,6 +108,13 @@ def main() -> None:
                 res["anova_f"] = run(f"anova_f {n}x", lambda: anova_frame(ev))
                 res["qini"] = run(f"qini {n}x", lambda: qini_frame(ev))
                 res["tukey"] = run(f"tukey {n}x", lambda: tukey_frame(ev))
+                res["permutation"] = run(
+                    f"permutation {n}x", lambda: permutation_test_frame(ev)
+                )
+                res["ips"] = run(f"ips {n}x", lambda: ips_frame(ev))
+                res["cluster_se"] = run(
+                    f"cluster_se {n}x", lambda: cluster_se_frame(ev)
+                )
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
@@ -109,6 +122,7 @@ def main() -> None:
                 res["isotonic"] = run(
                     f"isotonic {n}x", lambda: isotonic_frame(docs)
                 )
+                res["heaps"] = run(f"heaps {n}x", lambda: heaps_frame(docs))
             elif family == "orders":
                 orders, cust, nation = synth_corr_star(spark, 60_000 * n)
                 orders = orders.localCheckpoint()
