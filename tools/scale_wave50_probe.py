@@ -32,6 +32,7 @@ from etl_neotel_sql_automation_spark.workload.wave60 import (
 from etl_neotel_sql_automation_spark.workload.wave62 import ips_frame
 from etl_neotel_sql_automation_spark.workload.wave63 import cluster_se_frame
 from etl_neotel_sql_automation_spark.workload.wave64 import heaps_frame
+from etl_neotel_sql_automation_spark.workload.wave65 import within_frame
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave31_probe import synth_events, synth_orders_like
 
@@ -154,6 +155,17 @@ def main() -> None:
                 res["ols"] = run(f"ols {n}x", lambda: ols_frame(li))
                 res["elasticity"] = run(
                     f"elasticity {n}x", lambda: elasticity_frame(li)
+                )
+                res["within"] = run(
+                    f"within {n}x",
+                    lambda: within_frame(
+                        li.withColumn(
+                            "l_suppkey",
+                            F.pmod(F.xxhash64(F.lit("s"), "l_quantity",
+                                              "l_extendedprice"),
+                                   F.lit(1_000)),
+                        )
+                    ),
                 )
             print(json.dumps(res), flush=True)
         spark.stop()
