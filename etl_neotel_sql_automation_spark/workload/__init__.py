@@ -224,6 +224,7 @@ def _ensure_loaded() -> None:
             wave63,
             wave64,
             wave65,
+            wave66,
         )
 
         _LOADED = True
