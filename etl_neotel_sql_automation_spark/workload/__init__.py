@@ -225,6 +225,7 @@ def _ensure_loaded() -> None:
             wave64,
             wave65,
             wave66,
+            wave67,
         )
 
         _LOADED = True
