@@ -226,6 +226,7 @@ def _ensure_loaded() -> None:
             wave65,
             wave66,
             wave67,
+            wave68,
         )
 
         _LOADED = True
