@@ -227,6 +227,7 @@ def _ensure_loaded() -> None:
             wave66,
             wave67,
             wave68,
+            wave69,
         )
 
         _LOADED = True
