@@ -358,12 +358,13 @@ CORPUS_HINT_ALLOWED = {
     # any corpus size; joined back so the cluster sandwich terms see
     # their arm's (N, S) without a per-arm window over all users
     "events_cluster_robust_se": 1,
-    # Rocchio feedback: the initial retrieval broadcasts the literal
-    # vec_id < 5 query set (the sim_cosine_topk shape) and the
-    # re-retrieval broadcasts the 5-row updated-query frame DERIVED
-    # from it (rank <= 10 per query x 5 queries -> 64-dim rebuild:
-    # bounded by the query-set literal, not the corpus)
-    "sim_rocchio_feedback": 2,
+    # Rocchio feedback: three pins, all bounded by the literal
+    # vec_id < 5 query set — the re-retrieval's 5-row updated-query
+    # frame (rank <= 10 x 5 queries -> 64-dim rebuild), the initial
+    # query broadcast NESTED inside it (the walker counts hints at
+    # every nesting level, the emb_pca precedent), and the overlap
+    # flag's second read of the initial list
+    "sim_rocchio_feedback": 3,
 }
 
 

@@ -33,6 +33,11 @@ from etl_neotel_sql_automation_spark.workload.wave62 import ips_frame
 from etl_neotel_sql_automation_spark.workload.wave63 import cluster_se_frame
 from etl_neotel_sql_automation_spark.workload.wave64 import heaps_frame
 from etl_neotel_sql_automation_spark.workload.wave65 import within_frame
+from etl_neotel_sql_automation_spark.workload.wave66 import dispersion_frame
+from etl_neotel_sql_automation_spark.workload.wave68 import littles_frame
+from etl_neotel_sql_automation_spark.workload.wave69 import (
+    event_study_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave31_probe import synth_events, synth_orders_like
 
@@ -116,6 +121,9 @@ def main() -> None:
                 res["cluster_se"] = run(
                     f"cluster_se {n}x", lambda: cluster_se_frame(ev)
                 )
+                res["event_study"] = run(
+                    f"event_study {n}x", lambda: event_study_frame(ev)
+                )
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
@@ -124,6 +132,9 @@ def main() -> None:
                     f"isotonic {n}x", lambda: isotonic_frame(docs)
                 )
                 res["heaps"] = run(f"heaps {n}x", lambda: heaps_frame(docs))
+                res["dispersion"] = run(
+                    f"dispersion {n}x", lambda: dispersion_frame(docs)
+                )
             elif family == "orders":
                 orders, cust, nation = synth_corr_star(spark, 60_000 * n)
                 orders = orders.localCheckpoint()
@@ -133,6 +144,27 @@ def main() -> None:
                     lambda: cross_corr_frame(orders, cust, nation),
                 )
                 res["pacf"] = run(f"pacf {n}x", lambda: pacf_frame(orders))
+                res["littles"] = run(
+                    f"littles {n}x",
+                    lambda: littles_frame(
+                        orders.select(
+                            "o_orderkey",
+                            F.col("o_orderdate").cast("date").alias(
+                                "o_orderdate"
+                            ),
+                        ),
+                        orders.select(
+                            F.col("o_orderkey").alias("l_orderkey"),
+                            F.date_add(
+                                F.col("o_orderdate").cast("date"),
+                                F.pmod(
+                                    F.xxhash64(F.lit("sh"), "o_orderkey"),
+                                    F.lit(30),
+                                ).cast("int"),
+                            ).alias("l_shipdate"),
+                        ),
+                    ),
+                )
                 res["energy"] = run(
                     f"energy {n}x",
                     lambda: energy_distance_frame(
