@@ -90,6 +90,10 @@ TRIPWIRE_EXCLUDED = frozenset({
     # test_streaming_srm_equals_batch (streaming == batch
     # events_srm_check row-for-row; SRM_ORACLE verbatim)
     "streaming_srm_monitor",
+    # test_streaming_welch_equals_batch (tests/test_wave61.py:
+    # streaming == batch events_welch_ttest row-for-row; WELCH_ORACLE
+    # verbatim)
+    "streaming_welch_monitor",
 })
 # The families the exclusions come from; used only by the meta-guard.
 TRIPWIRE_HEAVY_PATTERNS = ("streaming_", "sim_ivf", "sim_pq", "dedup_embedding_indexed")
