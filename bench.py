@@ -304,6 +304,11 @@ ADDITIONS_R8 = [
     "events_ips_offpolicy",
     "events_cluster_robust_se",
     "text_heaps_law",
+    "lineitem_within_estimator",
+    "text_term_dispersion",
+    "sim_rocchio_feedback",
+    "orders_littles_law",
+    "events_event_study",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 
