@@ -228,6 +228,7 @@ def _ensure_loaded() -> None:
             wave67,
             wave68,
             wave69,
+            wave70,
         )
 
         _LOADED = True
