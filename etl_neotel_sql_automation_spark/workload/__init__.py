@@ -229,6 +229,7 @@ def _ensure_loaded() -> None:
             wave68,
             wave69,
             wave70,
+            wave71,
         )
 
         _LOADED = True
