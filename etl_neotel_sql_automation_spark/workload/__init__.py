@@ -230,6 +230,7 @@ def _ensure_loaded() -> None:
             wave69,
             wave70,
             wave71,
+            wave72,
         )
 
         _LOADED = True
