@@ -309,6 +309,9 @@ ADDITIONS_R8 = [
     "sim_rocchio_feedback",
     "orders_littles_law",
     "events_event_study",
+    "events_bh_fdr",
+    "dedup_capture_recapture",
+    "sample_neyman_allocation",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8
 

@@ -59,6 +59,11 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
                 F.when(F.col("x.band") >= _SPLIT_BAND, 1).otherwise(0)
             ).cast("bigint").alias("cap_b"),
         )
+        # candidates feed BOTH the verification chain and the final
+        # capture join: checkpoint once or the signature+self-join tree
+        # recomputes per consumer (the split_cluster_routing lesson —
+        # 301 -> 41 s at its 100x probe)
+        .localCheckpoint()
     )
     tok = docs.select(
         F.col("doc_id").alias("id"),
