@@ -38,6 +38,11 @@ from etl_neotel_sql_automation_spark.workload.wave68 import littles_frame
 from etl_neotel_sql_automation_spark.workload.wave69 import (
     event_study_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave70 import bh_fdr_frame
+from etl_neotel_sql_automation_spark.workload.wave71 import (
+    capture_recapture_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave72 import neyman_frame
 from tools.scale_wave12_probe import synth_documents
 from tools.scale_wave31_probe import synth_events, synth_orders_like
 
@@ -124,6 +129,12 @@ def main() -> None:
                 res["event_study"] = run(
                     f"event_study {n}x", lambda: event_study_frame(ev)
                 )
+                res["bh_fdr"] = run(
+                    f"bh_fdr {n}x", lambda: bh_fdr_frame(ev)
+                )
+                res["neyman"] = run(
+                    f"neyman {n}x", lambda: neyman_frame(ev)
+                )
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
@@ -134,6 +145,12 @@ def main() -> None:
                 res["heaps"] = run(f"heaps {n}x", lambda: heaps_frame(docs))
                 res["dispersion"] = run(
                     f"dispersion {n}x", lambda: dispersion_frame(docs)
+                )
+                # heaviest leg: ~96 s at 100x on a dedicated run —
+                # give it its own invocation when sweeping all scales
+                res["capture_recapture"] = run(
+                    f"capture_recapture {n}x",
+                    lambda: capture_recapture_frame(docs),
                 )
             elif family == "orders":
                 orders, cust, nation = synth_corr_star(spark, 60_000 * n)
