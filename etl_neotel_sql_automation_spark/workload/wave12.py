@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 
 from . import query, table
 from ..ops import text as X
-from ..ops.hashing import md5_long, sql_md5_long
 from ..ops.zorder import sql_z_value, z_value
 
 _SQL_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
@@ -186,9 +185,19 @@ def io_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # agg_bootstrap_ci — uncertainty on a corpus-scale aggregate without a
 # second pass: 64 half-subsample replicates, membership decided per
-# (row, replicate) by the cross-engine md5 parity, replicate means in
-# exact milli-cents, and the CI read off the ORDERED replicate means
+# (row, replicate) from ONE md5 per row, replicate means in exact
+# milli-cents, and the CI read off the ORDERED replicate means
 # (ranks 4/32/61 of 64 ~ p05/p50/p95 — the convention is pinned here).
+#
+# Replicate membership is BIT-SLICED (r8 VERDICT #1): a single
+# md5(o_orderkey) digest carries 128 independent bits, so replicate b's
+# inclusion parity is simply bit b of the digest — hex digit at
+# position (b div 4), bit (b % 4) of that digit — instead of a fresh
+# md5 over (o_orderkey, b) per exploded row. That cuts the dominant
+# cost from B md5 calls per row to ONE, leaving only a shift-and-mask
+# per (row, replicate). The bit addressing is expressed identically in
+# DuckDB ('0x'||substr(digest, pos, 1) >> (b % 4)) so the oracle stays
+# bit-exact.
 #
 # Scale shape: the explode multiplies rows by B=64, but the per-
 # replicate aggregation is map-side combinable, so the shuffle carries
@@ -204,11 +213,17 @@ def bootstrap_ci_frame(orders: DataFrame) -> DataFrame:
     """Frame core of agg_bootstrap_ci — the exact registered body over any
     orders-shaped frame (scaling-probe entry point)."""
     cents = F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents")
-    rows = orders.select("o_orderkey", cents).withColumn(
+    digest = F.md5(F.col("o_orderkey").cast("string")).alias("h")
+    rows = orders.select(cents, digest).withColumn(
         "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
     )
+    # bit b of the 128-bit digest: hex digit (b div 4), bit (b % 4)
+    include = F.expr(
+        "(shiftright(CAST(conv(substring(h, CAST(b div 4 AS INT) + 1, 1),"
+        " 16, 10) AS INT), CAST(b % 4 AS INT)) & 1) = 0"
+    )
     reps = (
-        rows.filter(md5_long(F.concat_ws(":", "o_orderkey", "b")) % 2 == 0)
+        rows.filter(include)
         .groupBy("b")
         .agg(
             F.expr("CAST((1000 * sum(cents)) div count(*) AS BIGINT)").alias(
@@ -252,13 +267,19 @@ def bootstrap_ci_frame(orders: DataFrame) -> DataFrame:
 @query(
     "agg_bootstrap_ci",
     oracle=f"""
-    WITH reps AS (
-      SELECT b.b,
-             CAST((1000 * sum(CAST(round(o_totalprice * 100) AS BIGINT)))
-                  // count(*) AS BIGINT) AS rep_mean_millicents
+    WITH hashed AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             md5(CAST(o_orderkey AS VARCHAR)) AS h
       FROM orders
+    ),
+    reps AS (
+      SELECT b.b,
+             CAST((1000 * sum(cents)) // count(*) AS BIGINT)
+               AS rep_mean_millicents
+      FROM hashed
       CROSS JOIN (SELECT unnest(range({_BOOT_B})) AS b) b
-      WHERE {sql_md5_long("CAST(o_orderkey AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)")} % 2 = 0
+      WHERE ((CAST(('0x' || substr(h, CAST(b.b // 4 AS INT) + 1, 1))
+                   AS BIGINT) >> (b.b % 4)) & 1) = 0
       GROUP BY b.b
     ),
     ranked AS (
