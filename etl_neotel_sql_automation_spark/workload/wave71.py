@@ -65,33 +65,34 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
         # 301 -> 41 s at its 100x probe)
         .localCheckpoint()
     )
-    tok = docs.select(
-        F.col("doc_id").alias("id"),
-        F.explode(
-            F.array_distinct(
-                F.filter(
-                    F.split(F.lower(F.trim("text")), r"\s+"),
-                    lambda t: t != "",
-                )
-            )
-        ).alias("tok"),
-    )
-    sizes = tok.groupBy("id").agg(F.count("*").alias("sz"))
-    ta = tok.select(F.col("id").alias("id_a"), F.col("tok").alias("tok_a"))
-    tb = tok.select(F.col("id").alias("idb_t"), F.col("tok").alias("tok_b"))
-    inter = (
-        pairs.join(ta, "id_a")
-        .join(
-            tb,
-            (F.col("id_b") == F.col("idb_t"))
-            & (F.col("tok_a") == F.col("tok_b")),
+    # Verification (r8 VERDICT #2 — the bounded chain): two output-
+    # invariant prunes BEFORE any per-pair token work, then the exact
+    # intersection from per-document token ARRAYS (one array_intersect
+    # per surviving pair) instead of the token-explode equi-join the
+    # r8 100x probe showed dominating this audit (96 s leg).
+    #   1. length filter: J <= min/max, so J >= 1/2 forces
+    #      2*min(sa, sb) >= max(sa, sb) — exact-integer, loses no
+    #      qualifying pair (the jaccard_prefix_pairs lemma at t=1/2);
+    #   2. n_inter >= 1 mirrors the old inner join against the
+    #      exploded-intersection frame (and guards the ANSI div when
+    #      both token sets are empty).
+    # The floor-div ppm test is equivalent to exact J >= 1/2
+    # (floor(x/u) >= k <=> x >= k*u), so the Chapman outputs — and the
+    # oracle, which keeps the explode-join verification — are unchanged.
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(F.trim("text")), r"\s+"),
+            lambda t: t != "",
         )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
     )
-    dup = (
-        pairs.join(inter, ["id_a", "id_b"])
-        .join(
+    sets = docs.select(
+        F.col("doc_id").alias("id"),
+        toks.alias("toks"),
+        F.size(toks).alias("sz"),
+    )
+    sizes = sets.select("id", "sz")
+    pruned = (
+        pairs.join(
             sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sa")),
             "id_a",
         )
@@ -99,6 +100,28 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
             sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sb")),
             "id_b",
         )
+        .filter(
+            (2 * F.col("sa") >= F.col("sb"))
+            & (2 * F.col("sb") >= F.col("sa"))
+        )
+    )
+    dup = (
+        pruned.join(
+            sets.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b")),
+            "id_b",
+        )
+        .select(
+            "cap_a",
+            "cap_b",
+            "sa",
+            "sb",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+        )
+        .filter(F.col("n_inter") >= 1)
         .filter(
             F.expr(
                 "(1000000 * n_inter) div (sa + sb - n_inter)"
