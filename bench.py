@@ -415,6 +415,21 @@ def main() -> None:
         passes.append(this_pass)
     times = {name: round(t, 3) for name, t in times.items()}
 
+    # One COVERAGE pass over every registered query not in HEADLINE
+    # (r8 VERDICT #4): single-run timings, so the entire registry
+    # resolves to a per-round number in the BENCH_FULL.json sidecar
+    # and a judge's >=2x regression check can cover the whole surface.
+    # Single-pass (not best-of-3) keeps the added wall cost to one
+    # sweep; the headline set remains the noise-robust estimator.
+    coverage: dict[str, float] = {}
+    headline_set = set(HEADLINE)
+    for name in qs:
+        if name in headline_set:
+            continue
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        coverage[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(times.values()), 3)
     set_sums = {
         key: round(sum(times[n] for n in names), 3)
@@ -442,6 +457,17 @@ def main() -> None:
             for n in sorted(CONSTRUCT_SPLIT)
             if n in construct
         },
+        # r8 VERDICT #5: total AND construct side by side for every
+        # CONSTRUCT_SPLIT entry, so no round record can conflate the
+        # two again (the r7->r8 sim_ivf_pq_sampled false-regression)
+        "construct_split": {
+            n: {"total": times[n], "construct": round(construct[n], 3)}
+            for n in sorted(CONSTRUCT_SPLIT)
+            if n in construct
+        },
+        # single-pass coverage timings for every registered query
+        # outside HEADLINE — full-registry per-query record
+        "coverage_pass_seconds": coverage,
     }
     # Full record FIRST (humans + the BENCH_FULL.json sidecar), then a
     # COMPACT summary as the LAST stdout line: the driver records only
@@ -466,7 +492,11 @@ def main() -> None:
         "queries": set_sums,
         **{f"{k}_seconds": v for k, v in set_sums.items()},
         "runs": full["runs"],
-        "construct_seconds": full["construct_seconds"],
+        # total+construct pairs (r8 VERDICT #5) — supersedes the bare
+        # construct_seconds map in the compact record
+        "construct_split": full["construct_split"],
+        "n_coverage": len(coverage),
+        "coverage_pass_sum": round(sum(coverage.values()), 3),
         "per_query_map": "BENCH_FULL.json",
     }
     print(json.dumps(compact))

@@ -231,6 +231,7 @@ def _ensure_loaded() -> None:
             wave70,
             wave71,
             wave72,
+            wave73,
         )
 
         _LOADED = True

@@ -177,6 +177,58 @@ _AHASH_BANDS = 4    # 15-bit bands for the candidate join
 _AHASH_MAXH = 6     # Hamming radius for a near-dup verdict
 
 
+def ahash_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, ahash) — the 60-bit average-hash per binary payload,
+    computed inside the real mapInPandas decode plumbing (each of the
+    first 60 bytes becomes a bit by comparing against the payload mean,
+    cross-multiplied so there is no division). Shared by the near-dup
+    query, the banding-recall quality meter, and the pHash
+    capture–recapture audit (wave73)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    from ..ops import multimodal as M
+
+    media = M.attach_binary(docs.filter(F.length("text") >= _AHASH_PX)).select(
+        "doc_id", "media"
+    )
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("ahash", T.LongType())]
+    )
+
+    def ahash_batches(batches):
+        for pdf in batches:
+            hashes = []
+            for b in pdf["media"]:
+                px = np.frombuffer(bytes(b)[:_AHASH_PX], dtype=np.uint8).astype(np.int64)
+                s = int(px.sum())
+                bits = (px * _AHASH_PX) >= s
+                hashes.append(int((np.left_shift(1, np.arange(_AHASH_PX))[bits]).sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "ahash": hashes})
+
+    return media.mapInPandas(ahash_batches, out_schema)
+
+
+# DuckDB replay of ahash_frame over the printable-ASCII corpus: the
+# byte-level pixel math from the text the payload encodes.
+SQL_AHASH = f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_transform(range(1, {_AHASH_PX} + 1),
+                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS px
+      FROM documents WHERE length(text) >= {_AHASH_PX}
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, {_AHASH_PX} + 1),
+                   i -> CASE WHEN px[i] * {_AHASH_PX} >= list_sum(px)
+                             THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS ahash
+      FROM base
+    )
+"""
+
+
 @query(
     "multimodal_phash_neardup",
     oracle=f"""
@@ -231,31 +283,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd bit_count per candidate. The 60-bit width keeps hashes
     positive in BIGINT on both engines (the ops/hashing.py rule).
     """
-    import numpy as np
-    import pandas as pd
-
-    from pyspark.sql import types as T
-    from ..ops import multimodal as M
-
-    docs = table(spark, sf_dir, "documents").filter(
-        F.length("text") >= _AHASH_PX
-    )
-    media = M.attach_binary(docs).select("doc_id", "media")
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType()), T.StructField("ahash", T.LongType())]
-    )
-
-    def ahash_batches(batches):
-        for pdf in batches:
-            hashes = []
-            for b in pdf["media"]:
-                px = np.frombuffer(bytes(b)[:_AHASH_PX], dtype=np.uint8).astype(np.int64)
-                s = int(px.sum())
-                bits = (px * _AHASH_PX) >= s
-                hashes.append(int((np.left_shift(1, np.arange(_AHASH_PX))[bits]).sum()))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "ahash": hashes})
-
-    h = media.mapInPandas(ahash_batches, out_schema)
+    h = ahash_frame(table(spark, sf_dir, "documents"))
     kb = h.select(
         "doc_id",
         "ahash",

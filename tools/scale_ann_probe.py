@@ -124,6 +124,43 @@ def main() -> None:
                 for k in results[s]
             }
             print(json.dumps({"linearity_vs_vectors": ratios, "scale": s}))
+
+    # r8 VERDICT #6: isolate the CONSTRUCT cost of the sampled
+    # locally-fit IVF-PQ (hash-sample collect + 9 k-means fits run at
+    # plan-construction time — the real 100 TB training cost) from its
+    # exec cost, at 1x and 10x. Best-of-2 each; emb localCheckpointed
+    # so the synth codegen isn't charged to either stage.
+    for scale in [s for s in scales if s <= 10]:
+        n = BASE_VECS * scale
+        emb = synth_embeddings(spark, n).localCheckpoint()
+        best_c, best_tot = float("inf"), float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ann = S.ivf_pq_topk(
+                emb,
+                emb.filter(F.col("vec_id") < 10),
+                k=5,
+                train_fraction=0.25,
+                train_backend="local",
+                rerank=max(100, n // 5),
+            )
+            t1 = time.perf_counter()
+            ann.write.mode("overwrite").format("noop").save()
+            t2 = time.perf_counter()
+            if t2 - t0 < best_tot:
+                best_tot, best_c = t2 - t0, t1 - t0
+        print(
+            json.dumps(
+                {
+                    "construct_probe": "ivf_pq_sampled_local",
+                    "scale": scale,
+                    "vectors": n,
+                    "construct": round(best_c, 2),
+                    "exec": round(best_tot - best_c, 2),
+                    "total": round(best_tot, 2),
+                }
+            )
+        )
     spark.stop()
 
 
