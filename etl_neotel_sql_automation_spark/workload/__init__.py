@@ -232,6 +232,7 @@ def _ensure_loaded() -> None:
             wave71,
             wave72,
             wave73,
+            wave74,
         )
 
         _LOADED = True
