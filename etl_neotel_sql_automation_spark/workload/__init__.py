@@ -233,6 +233,7 @@ def _ensure_loaded() -> None:
             wave72,
             wave73,
             wave74,
+            wave75,
         )
 
         _LOADED = True
