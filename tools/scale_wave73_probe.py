@@ -1,0 +1,113 @@
+"""Scale probe for the round-9 waves 73-75 frames (1x/10x/100x
+synthetic inputs — the wave-12 document generator plus a codegen
+orders synth, so rows sit beside the existing SCALING.md families).
+
+Usage: python tools/scale_wave73_probe.py [--scales=1,10,100]
+Writes one JSON line per (family, scale) to stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from etl_neotel_sql_automation_spark.session import get_spark
+from etl_neotel_sql_automation_spark.workload.wave73 import (
+    dim_profile_frame,
+    phash_capture_recapture_frame,
+    phash_quality_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave74 import (
+    byte_entropy_frame,
+    clipping_rate_frame,
+    silence_runs_frame,
+)
+from etl_neotel_sql_automation_spark.workload.wave75 import (
+    doc_perplexity_frame,
+    median_of_means_frame,
+    weighted_reservoir_frame,
+)
+from tools.scale_wave12_probe import synth_documents
+
+
+def run(label, mk_frame):
+    t0 = time.perf_counter()
+    mk_frame().write.mode("overwrite").format("noop").save()
+    dt = time.perf_counter() - t0
+    print(f"  {label}: {dt:.2f}s", flush=True)
+    return round(dt, 2)
+
+
+def synth_orders(spark, n: int):
+    """(o_orderkey, o_totalprice) with a hash-scattered heavy-tail
+    price — the weighted-sampling / robust-mean domain."""
+    return spark.range(1, n + 1).select(
+        F.col("id").alias("o_orderkey"),
+        (
+            (F.pmod(F.xxhash64(F.lit("p"), "id"), F.lit(99_000)) + 1_000)
+            / 100.0
+        ).alias("o_totalprice"),
+    )
+
+
+def main() -> None:
+    scales = [1, 10, 100]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales="):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+
+    for family in ("docs", "orders"):
+        spark = get_spark(
+            app_name=f"scale_wave73_probe_{family}",
+            master="local[32]",
+            shuffle_partitions=32,
+        )
+        for n in scales:
+            res = {"family": family, "scale": n}
+            if family == "docs":
+                docs = synth_documents(spark, 5_000 * n).localCheckpoint()
+                res["docs"] = 5_000 * n
+                res["phash_quality"] = run(
+                    f"phash_quality {n}x", lambda: phash_quality_frame(docs)
+                )
+                res["phash_capture_recapture"] = run(
+                    f"phash_cr {n}x",
+                    lambda: phash_capture_recapture_frame(docs),
+                )
+                res["dim_profile"] = run(
+                    f"dim_profile {n}x", lambda: dim_profile_frame(docs)
+                )
+                res["byte_entropy"] = run(
+                    f"byte_entropy {n}x", lambda: byte_entropy_frame(docs)
+                )
+                res["clipping_rate"] = run(
+                    f"clipping_rate {n}x", lambda: clipping_rate_frame(docs)
+                )
+                res["silence_runs"] = run(
+                    f"silence_runs {n}x", lambda: silence_runs_frame(docs)
+                )
+                res["doc_perplexity"] = run(
+                    f"doc_perplexity {n}x", lambda: doc_perplexity_frame(docs)
+                )
+            else:
+                orders = synth_orders(spark, 150_000 * n).localCheckpoint()
+                res["orders"] = 150_000 * n
+                res["weighted_reservoir"] = run(
+                    f"weighted_reservoir {n}x",
+                    lambda: weighted_reservoir_frame(orders),
+                )
+                res["median_of_means"] = run(
+                    f"median_of_means {n}x",
+                    lambda: median_of_means_frame(orders),
+                )
+            print(json.dumps(res), flush=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
