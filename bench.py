@@ -313,7 +313,21 @@ ADDITIONS_R8 = [
     "dedup_capture_recapture",
     "sample_neyman_allocation",
 ]
-HEADLINE = STABLE_155 + ADDITIONS_R8
+# Round-9 additions: waves 73-75 (multimodal parity + sampling/robust)
+ADDITIONS_R9 = [
+    "multimodal_dim_profile",
+    "multimodal_phash_quality",
+    "multimodal_phash_capture_recapture",
+    "multimodal_byte_entropy",
+    "multimodal_clipping_rate",
+    "multimodal_silence_runs",
+    "sample_weighted_reservoir",
+    "agg_median_of_means",
+    "text_doc_perplexity",
+    "timeseries_spectral_peaks",
+    "multimodal_phash_threshold_sweep",
+]
+HEADLINE = STABLE_155 + ADDITIONS_R8 + ADDITIONS_R9
 
 # Frozen-set sums reported per round (name -> query list).
 FROZEN_SETS = {
@@ -321,6 +335,8 @@ FROZEN_SETS = {
     "stable33": STABLE_33,
     "stable37": STABLE_37,
     "stable155": STABLE_155,
+    # the full r8 headline, frozen at r9 open to baseline r10
+    "stable190": STABLE_155 + ADDITIONS_R8,
 }
 
 # Queries that run Spark jobs DURING plan construction (quantizer

@@ -234,6 +234,7 @@ def _ensure_loaded() -> None:
             wave73,
             wave74,
             wave75,
+            wave76,
         )
 
         _LOADED = True
