@@ -356,6 +356,12 @@ CONSTRUCT_SPLIT = {
     "timeseries_pacf",
     "quality_isotonic_calibration",
     "events_tukey_pairs",
+    # r9: the pHash ladder localCheckpoints its decode pass once at
+    # construct (the 62 -> 7 s probe lesson)
+    "multimodal_phash_neardup",
+    "multimodal_phash_quality",
+    "multimodal_phash_capture_recapture",
+    "multimodal_phash_threshold_sweep",
 }
 
 

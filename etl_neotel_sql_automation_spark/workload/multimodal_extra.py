@@ -175,6 +175,15 @@ def cogroup_user_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AHASH_PX = 60      # 60 "pixels" -> 60-bit hash (the md5_long 60-bit family: stays positive in BIGINT)
 _AHASH_BANDS = 4    # 15-bit bands for the candidate join
 _AHASH_MAXH = 6     # Hamming radius for a near-dup verdict
+# Fat-bucket skip (round 9): a 15-bit band value shared by more than
+# this many payloads is non-discriminative (near-constant images — a
+# 60-bit aHash has far less entropy than a 32-perm MinHash signature),
+# and the self-join inside such a bucket is the quadratic failure mode
+# the wave-73 probe caught (252 s at 10x on a homogeneous synthetic).
+# Production banded-pHash ladders skip them; the quality and
+# capture-recapture meters then MEASURE what the capped ladder misses.
+# The cap is part of the operator's semantics: the oracles replay it.
+_BUCKET_CAP = 64
 
 
 def ahash_frame(docs: DataFrame) -> DataFrame:
@@ -228,39 +237,80 @@ SQL_AHASH = f"""
     )
 """
 
-
-@query(
-    "multimodal_phash_neardup",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id,
-             list_transform(range(1, {_AHASH_PX} + 1),
-                            i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS px
-      FROM documents WHERE length(text) >= {_AHASH_PX}
-    ),
-    h AS (
-      SELECT doc_id,
-             CAST(list_sum(list_transform(range(1, {_AHASH_PX} + 1),
-                   i -> CASE WHEN px[i] * {_AHASH_PX} >= list_sum(px)
-                             THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT) AS ahash
-      FROM base
-    ),
+# DuckDB replay of banded_candidate_occurrences (composes after
+# SQL_AHASH's `h` CTE): per-band bucket occupancy, the fat-bucket
+# skip, and the per-(pair, band) candidate occurrences.
+SQL_BANDED_CAND = f""",
     bands AS (
       SELECT doc_id, ahash, unnest(range(0, {_AHASH_BANDS})) AS k FROM h
     ),
     kb AS (
-      SELECT doc_id, ahash, k, (ahash >> (15 * CAST(k AS INTEGER))) & 32767 AS band
+      SELECT doc_id, ahash, k,
+             (ahash >> (15 * CAST(k AS INTEGER))) & 32767 AS band
       FROM bands
     ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.ahash AS ha, b.ahash AS hb
-      FROM kb a JOIN kb b
+    occ AS (SELECT k, band, count(*) AS occ_n FROM kb GROUP BY k, band),
+    slim AS (
+      SELECT kb.doc_id, kb.ahash, kb.k, kb.band
+      FROM kb JOIN occ USING (k, band) WHERE occ_n <= {_BUCKET_CAP}
+    ),
+    cand_k AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ahash AS ha, b.ahash AS hb, a.k AS k
+      FROM slim a JOIN slim b
         ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b,
+"""
+
+
+def banded_candidate_occurrences(h: DataFrame) -> DataFrame:
+    """(id_a, id_b, ha, hb, k) — one row per candidate pair per
+    colliding band, from the fat-bucket-capped banded self-join over
+    the aHash frame. The occupancy table is bounded by construction
+    (at most {bands} x 2^15 rows); buckets over ``_BUCKET_CAP`` are
+    skipped — the deployed pHash-LSH ladder, whose achieved recall the
+    wave-73 quality and capture-recapture meters measure.
+
+    The hash frame is localCheckpointed ONCE here: the mapInPandas
+    decode pass otherwise recomputes for every consumer (occupancy,
+    both join sides — the 62 -> 7 s lesson at the 100x probe), and at
+    deploy scale re-decoding payloads is the single most expensive
+    thing a ladder can do twice."""
+    h = h.localCheckpoint()
+    kb = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
+    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
+    occ = kb.groupBy("k", "band").agg(F.count("*").alias("occ_n"))
+    slim = (
+        kb.join(occ, ["k", "band"])
+        .filter(F.col("occ_n") <= _BUCKET_CAP)
+        .select("doc_id", "ahash", "k", "band")
+    )
+    a = slim.select(
+        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
+        F.col("k"), F.col("band"),
+    )
+    b = slim.select(
+        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
+        F.col("k"), F.col("band"),
+    )
+    return (
+        a.join(b, ["k", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb", "k")
+    )
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=SQL_AHASH
+    + SQL_BANDED_CAND
+    + f"""
+    SELECT DISTINCT id_a, id_b,
            CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
-    FROM cand
+    FROM cand_k
     WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAXH}
     """,
 )
@@ -279,30 +329,17 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: hashes are one mapInPandas pass (payload bytes never
     leave the executors), the candidate join is the banded-LSH
-    equi-join (never all-pairs), and the Hamming check is one
-    codegen'd bit_count per candidate. The 60-bit width keeps hashes
-    positive in BIGINT on both engines (the ops/hashing.py rule).
+    equi-join (never all-pairs) with the fat-bucket skip
+    (occupancy > {cap} bands carry no discrimination and are the
+    quadratic failure mode — the wave-73 probe evidence), and the
+    Hamming check is one codegen'd bit_count per candidate. The 60-bit
+    width keeps hashes positive in BIGINT on both engines
+    (the ops/hashing.py rule).
     """
     h = ahash_frame(table(spark, sf_dir, "documents"))
-    kb = h.select(
-        "doc_id",
-        "ahash",
-        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
-    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
-    a = kb.select(
-        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
-        F.col("k"), F.col("band"),
-    )
-    b = kb.select(
-        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
-        F.col("k"), F.col("band"),
-    )
-    cand = (
-        a.join(b, ["k", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ha", "hb")
-        .distinct()
-    )
+    cand = banded_candidate_occurrences(h).select(
+        "id_a", "id_b", "ha", "hb"
+    ).distinct()
     return cand.select(
         "id_a",
         "id_b",

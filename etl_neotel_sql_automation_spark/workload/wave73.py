@@ -32,7 +32,14 @@ from pyspark.sql import functions as F
 
 from . import query, table
 from ..ops.hashing import sql_md5_long
-from .multimodal_extra import _AHASH_BANDS, SQL_AHASH, ahash_frame
+from .multimodal_extra import (
+    _AHASH_BANDS,
+    _BUCKET_CAP,
+    SQL_AHASH,
+    SQL_BANDED_CAND,
+    ahash_frame,
+    banded_candidate_occurrences,
+)
 
 _QUAL_MAXH = 8   # near-dup radius for the quality/audit meters: wider
 # than bands-1 = 3, so a true pair CAN differ in every 15-bit band and
@@ -128,29 +135,70 @@ def multimodal_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def phash_quality_frame(docs: DataFrame) -> DataFrame:
-    """Frame core of multimodal_phash_quality (scaling-probe entry)."""
+def phash_quality_frame(docs: DataFrame, mod: int = _QUAL_MOD) -> DataFrame:
+    """Frame core of multimodal_phash_quality (scaling-probe entry).
+
+    ``mod`` is the deploy knob: the ground-truth leg is all-pairs over
+    the md5 hash-sample, so at s times the corpus you run mod = s *
+    2 to hold the sample (and the truth join) CONSTANT-sized —
+    the sim_margin_quality_sampled metering recipe. The registered
+    query pins mod at the test-SF default."""
     from ..ops.hashing import md5_long
 
-    h = ahash_frame(docs).filter(md5_long(F.col("doc_id")) % _QUAL_MOD == 0)
-    a = h.select(F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"))
-    b = h.select(F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"))
+    # checkpoint once: the decode pass feeds occupancy, both truth
+    # sides, and the caught chain (the 62 -> 7 s probe lesson)
+    h_full = ahash_frame(docs).localCheckpoint()
+    # FULL-corpus bucket occupancy: "caught" means caught by the
+    # DEPLOYED capped ladder, so a band match inside a fat bucket
+    # (skipped in production) does not count — occupancy is a
+    # whole-corpus property even when truth runs on the sample
+    kb = h_full.select(
+        "doc_id",
+        "ahash",
+        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
+    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
+    occ = kb.groupBy("k", "band").agg(F.count("*").alias("occ_n"))
+    s = h_full.filter(md5_long(F.col("doc_id")) % mod == 0)
+    a = s.select(F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"))
     # documented brute-force-on-sample leg: the ground-truth join is
     # deliberately all-pairs over the SAMPLED 8-byte hash frame
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
-        F.greatest(
-            *[
-                (
-                    F.expr(f"shiftright(ha, 15 * {k}) & 32767")
-                    == F.expr(f"shiftright(hb, 15 * {k}) & 32767")
-                ).cast("int")
-                for k in range(_AHASH_BANDS)
-            ]
-        ).alias("banded"),
+    true_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "ha",
+            "hb",
+            F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _QUAL_MAXH)
     )
-    true_pairs = pairs.filter(F.col("hamming") <= _QUAL_MAXH)
-    return true_pairs.agg(
+    caught = (
+        true_pairs.select(
+            "id_a",
+            "id_b",
+            F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias(
+                "k"
+            ),
+            "ha",
+            "hb",
+        )
+        .withColumn("band", F.expr("shiftright(ha, 15 * k) & 32767"))
+        .filter(
+            F.expr("shiftright(ha, 15 * k) & 32767")
+            == F.expr("shiftright(hb, 15 * k) & 32767")
+        )
+        .join(occ, ["k", "band"])
+        .filter(F.col("occ_n") <= _BUCKET_CAP)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("banded", F.lit(1))
+    )
+    marked = true_pairs.join(caught, ["id_a", "id_b"], "left").select(
+        "hamming", F.coalesce("banded", F.lit(0)).alias("banded")
+    )
+    return marked.agg(
         F.count("*").cast("bigint").alias("n_true"),
         F.coalesce(F.sum("banded"), F.lit(0)).cast("bigint").alias("n_caught"),
         F.expr(
@@ -169,20 +217,33 @@ def phash_quality_frame(docs: DataFrame) -> DataFrame:
 @query(
     "multimodal_phash_quality",
     oracle=SQL_AHASH
+    + SQL_BANDED_CAND
     + f""",
     s AS (
       SELECT doc_id, ahash FROM h
       WHERE {sql_md5_long("doc_id")} % {_QUAL_MOD} = 0
     ),
-    pairs AS (
-      SELECT CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
-             CAST((SELECT max(CASE WHEN (a.ahash >> (15 * CAST(k AS INTEGER))) & 32767
-                                      = (b.ahash >> (15 * CAST(k AS INTEGER))) & 32767
-                                   THEN 1 ELSE 0 END)
-                   FROM range({_AHASH_BANDS}) t(k)) AS INTEGER) AS banded
+    t AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ahash AS ha, b.ahash AS hb,
+             CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
       FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= {_QUAL_MAXH}
     ),
-    t AS (SELECT * FROM pairs WHERE hamming <= {_QUAL_MAXH})
+    caught AS (
+      SELECT DISTINCT t.id_a, t.id_b
+      FROM t, range({_AHASH_BANDS}) bk(k)
+      JOIN occ ON occ.k = bk.k
+              AND occ.band = (t.ha >> (15 * CAST(bk.k AS INTEGER))) & 32767
+      WHERE (t.ha >> (15 * CAST(bk.k AS INTEGER))) & 32767
+            = (t.hb >> (15 * CAST(bk.k AS INTEGER))) & 32767
+        AND occ.occ_n <= {_BUCKET_CAP}
+    ),
+    marked AS (
+      SELECT t.hamming,
+             CASE WHEN caught.id_a IS NULL THEN 0 ELSE 1 END AS banded
+      FROM t LEFT JOIN caught USING (id_a, id_b)
+    )
     SELECT CAST(count(*) AS BIGINT) AS n_true,
            CAST(coalesce(sum(banded), 0) AS BIGINT) AS n_caught,
            CAST(CASE WHEN count(*) > 0 THEN
@@ -190,7 +251,7 @@ def phash_quality_frame(docs: DataFrame) -> DataFrame:
                 ELSE 1000000 END AS BIGINT) AS recall_ppm,
            CAST(coalesce(sum(CASE WHEN hamming = 0 THEN 1 ELSE 0 END), 0)
                 AS BIGINT) AS n_exact_dup
-    FROM t
+    FROM marked
     """,
 )
 def multimodal_phash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,23 +281,8 @@ def multimodal_phash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def phash_capture_recapture_frame(docs: DataFrame) -> DataFrame:
     """Frame core of multimodal_phash_capture_recapture
     (scaling-probe entry)."""
-    h = ahash_frame(docs)
-    kb = h.select(
-        "doc_id",
-        "ahash",
-        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
-    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
-    a = kb.select(
-        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
-        F.col("k"), F.col("band"),
-    )
-    b = kb.select(
-        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
-        F.col("k"), F.col("band"),
-    )
     cand = (
-        a.join(b, ["k", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded_candidate_occurrences(ahash_frame(docs))
         .groupBy("id_a", "id_b")
         .agg(
             F.first("ha").alias("ha"),
@@ -281,25 +327,17 @@ def phash_capture_recapture_frame(docs: DataFrame) -> DataFrame:
 @query(
     "multimodal_phash_capture_recapture",
     oracle=SQL_AHASH
+    + SQL_BANDED_CAND
     + f""",
-    bands AS (
-      SELECT doc_id, ahash, unnest(range(0, {_AHASH_BANDS})) AS k FROM h
-    ),
-    kb AS (
-      SELECT doc_id, ahash, k,
-             (ahash >> (15 * CAST(k AS INTEGER))) & 32767 AS band
-      FROM bands
-    ),
     cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             any_value(a.ahash) AS ha, any_value(b.ahash) AS hb,
-             CAST(max(CASE WHEN a.k < {_CR_SPLIT} THEN 1 ELSE 0 END)
+      SELECT id_a, id_b,
+             any_value(ha) AS ha, any_value(hb) AS hb,
+             CAST(max(CASE WHEN k < {_CR_SPLIT} THEN 1 ELSE 0 END)
                   AS BIGINT) AS cap_a,
-             CAST(max(CASE WHEN a.k >= {_CR_SPLIT} THEN 1 ELSE 0 END)
+             CAST(max(CASE WHEN k >= {_CR_SPLIT} THEN 1 ELSE 0 END)
                   AS BIGINT) AS cap_b
-      FROM kb a JOIN kb b
-        ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
-      GROUP BY a.doc_id, b.doc_id
+      FROM cand_k
+      GROUP BY id_a, id_b
     ),
     dup AS (
       SELECT cap_a, cap_b FROM cand

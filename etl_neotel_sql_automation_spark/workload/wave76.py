@@ -32,7 +32,12 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from . import query, table
-from .multimodal_extra import _AHASH_BANDS, SQL_AHASH, ahash_frame
+from .multimodal_extra import (
+    SQL_AHASH,
+    SQL_BANDED_CAND,
+    ahash_frame,
+    banded_candidate_occurrences,
+)
 
 _EPOCH = "1992-01-01"
 _PERIODS = (7, 30)
@@ -159,23 +164,8 @@ _SWEEP_MAX = 10
 def phash_threshold_sweep_frame(docs: DataFrame) -> DataFrame:
     """Frame core of multimodal_phash_threshold_sweep
     (scaling-probe entry)."""
-    h = ahash_frame(docs)
-    kb = h.select(
-        "doc_id",
-        "ahash",
-        F.explode(F.sequence(F.lit(0), F.lit(_AHASH_BANDS - 1))).alias("k"),
-    ).withColumn("band", F.expr("shiftright(ahash, 15 * k) & 32767"))
-    a = kb.select(
-        F.col("doc_id").alias("id_a"), F.col("ahash").alias("ha"),
-        F.col("k"), F.col("band"),
-    )
-    b = kb.select(
-        F.col("doc_id").alias("id_b"), F.col("ahash").alias("hb"),
-        F.col("k"), F.col("band"),
-    )
     per_h = (
-        a.join(b, ["k", "band"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        banded_candidate_occurrences(ahash_frame(docs))
         .select("id_a", "id_b", "ha", "hb")
         .distinct()
         .select(F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"))
@@ -200,20 +190,10 @@ def phash_threshold_sweep_frame(docs: DataFrame) -> DataFrame:
 @query(
     "multimodal_phash_threshold_sweep",
     oracle=SQL_AHASH
+    + SQL_BANDED_CAND
     + f""",
-    bands AS (
-      SELECT doc_id, ahash, unnest(range(0, {_AHASH_BANDS})) AS k FROM h
-    ),
-    kb AS (
-      SELECT doc_id, ahash, k,
-             (ahash >> (15 * CAST(k AS INTEGER))) & 32767 AS band
-      FROM bands
-    ),
     cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-             a.ahash AS ha, b.ahash AS hb
-      FROM kb a JOIN kb b
-        ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+      SELECT DISTINCT id_a, id_b, ha, hb FROM cand_k
     ),
     per_h AS (
       SELECT CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming,

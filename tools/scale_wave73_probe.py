@@ -72,8 +72,12 @@ def main() -> None:
             if family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
+                # deploy recipe: mod scales with the corpus so the
+                # sampled ground-truth join stays CONSTANT-sized
+                res["phash_quality_mod"] = 2 * n
                 res["phash_quality"] = run(
-                    f"phash_quality {n}x", lambda: phash_quality_frame(docs)
+                    f"phash_quality {n}x",
+                    lambda: phash_quality_frame(docs, mod=2 * n),
                 )
                 res["phash_capture_recapture"] = run(
                     f"phash_cr {n}x",
