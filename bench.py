@@ -326,6 +326,8 @@ ADDITIONS_R9 = [
     "text_doc_perplexity",
     "timeseries_spectral_peaks",
     "multimodal_phash_threshold_sweep",
+    "graph_closeness_bfs",
+    "orders_pareto_front",
 ]
 HEADLINE = STABLE_155 + ADDITIONS_R8 + ADDITIONS_R9
 

@@ -235,6 +235,7 @@ def _ensure_loaded() -> None:
             wave74,
             wave75,
             wave76,
+            wave77,
         )
 
         _LOADED = True
