@@ -32,6 +32,10 @@ from etl_neotel_sql_automation_spark.workload.wave75 import (
     median_of_means_frame,
     weighted_reservoir_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave77 import (
+    closeness_bfs_frame,
+    pareto_front_frame,
+)
 from tools.scale_wave12_probe import synth_documents
 
 
@@ -108,6 +112,37 @@ def main() -> None:
                 res["median_of_means"] = run(
                     f"median_of_means {n}x",
                     lambda: median_of_means_frame(orders),
+                )
+                res["pareto_front"] = run(
+                    f"pareto_front {n}x",
+                    lambda: pareto_front_frame(
+                        orders.select(
+                            "o_orderkey",
+                            "o_totalprice",
+                            F.expr(
+                                "date_add(DATE '1992-01-01',"
+                                " CAST(o_orderkey % 2400 AS INT))"
+                            ).alias("o_orderdate"),
+                        )
+                    ),
+                )
+                # BFS over a synthetic bipartite purchase graph:
+                # customers n/15, suppliers n/150 (the TPC-H ratio),
+                # ~n distinct edges; undirected
+                raw = orders.select(
+                    F.pmod(F.xxhash64(F.lit("c"), "o_orderkey"),
+                           F.lit(max(150_000 * n // 15, 5))).alias("a"),
+                    (100000
+                     + F.pmod(F.xxhash64(F.lit("s"), "o_orderkey"),
+                              F.lit(max(150_000 * n // 150, 5)))).alias("b"),
+                ).distinct()
+                edges = raw.select(
+                    F.col("a").alias("src"), F.col("b").alias("dst")
+                ).union(
+                    raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+                ).localCheckpoint()
+                res["closeness_bfs"] = run(
+                    f"closeness_bfs {n}x", lambda: closeness_bfs_frame(edges)
                 )
             print(json.dumps(res), flush=True)
         spark.stop()
