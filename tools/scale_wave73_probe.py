@@ -32,6 +32,9 @@ from etl_neotel_sql_automation_spark.workload.wave75 import (
     median_of_means_frame,
     weighted_reservoir_frame,
 )
+from etl_neotel_sql_automation_spark.workload.wave76 import (
+    spectral_peaks_frame,
+)
 from etl_neotel_sql_automation_spark.workload.wave77 import (
     closeness_bfs_frame,
     pareto_front_frame,
@@ -113,18 +116,20 @@ def main() -> None:
                     f"median_of_means {n}x",
                     lambda: median_of_means_frame(orders),
                 )
+                dated = orders.select(
+                    "o_orderkey",
+                    "o_totalprice",
+                    F.expr(
+                        "date_add(DATE '1992-01-01',"
+                        " CAST(o_orderkey % 2400 AS INT))"
+                    ).alias("o_orderdate"),
+                )
                 res["pareto_front"] = run(
-                    f"pareto_front {n}x",
-                    lambda: pareto_front_frame(
-                        orders.select(
-                            "o_orderkey",
-                            "o_totalprice",
-                            F.expr(
-                                "date_add(DATE '1992-01-01',"
-                                " CAST(o_orderkey % 2400 AS INT))"
-                            ).alias("o_orderdate"),
-                        )
-                    ),
+                    f"pareto_front {n}x", lambda: pareto_front_frame(dated)
+                )
+                res["spectral_peaks"] = run(
+                    f"spectral_peaks {n}x",
+                    lambda: spectral_peaks_frame(dated),
                 )
                 # BFS over a synthetic bipartite purchase graph:
                 # customers n/15, suppliers n/150 (the TPC-H ratio),
