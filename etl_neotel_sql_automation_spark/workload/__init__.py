@@ -29,6 +29,14 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Shared node-id offset for the bipartite customer-supplier purchase
+# graph (graph_ops / wave6 / wave6d / wave77): supplier s becomes node
+# GRAPH_SUPP_OFFSET + s. Far above any TPC-H custkey (150k rows/SF —
+# 1e9 covers SF ~6666) so customer and supplier keyspaces can never
+# collide; the r9 ADVICE flagged the old 100000 offset colliding at
+# SF >= ~0.67. Every graph oracle interpolates the same constant.
+GRAPH_SUPP_OFFSET = 1_000_000_000
+
 
 @dataclass(frozen=True)
 class Workload:

@@ -12,11 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import GRAPH_SUPP_OFFSET, query, table
 from ..ops.graph import pagerank_int
 
 _SCALE = 10**12
-_SUPP_OFFSET = 100000
+_SUPP_OFFSET = GRAPH_SUPP_OFFSET  # shared graph keyspace offset
 
 
 def _pagerank_oracle(iters: int = 3, scale: int = _SCALE) -> str:

@@ -267,7 +267,7 @@ def banded_candidate_occurrences(h: DataFrame) -> DataFrame:
     """(id_a, id_b, ha, hb, k) — one row per candidate pair per
     colliding band, from the fat-bucket-capped banded self-join over
     the aHash frame. The occupancy table is bounded by construction
-    (at most {bands} x 2^15 rows); buckets over ``_BUCKET_CAP`` are
+    (at most _AHASH_BANDS=4 x 2^15 rows); buckets over ``_BUCKET_CAP`` are
     skipped — the deployed pHash-LSH ladder, whose achieved recall the
     wave-73 quality and capture-recapture meters measure.
 
@@ -330,7 +330,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: hashes are one mapInPandas pass (payload bytes never
     leave the executors), the candidate join is the banded-LSH
     equi-join (never all-pairs) with the fat-bucket skip
-    (occupancy > {cap} bands carry no discrimination and are the
+    (occupancy > _BUCKET_CAP=64 bands carry no discrimination and are the
     quadratic failure mode — the wave-73 probe evidence), and the
     Hamming check is one codegen'd bit_count per candidate. The 60-bit
     width keeps hashes positive in BIGINT on both engines

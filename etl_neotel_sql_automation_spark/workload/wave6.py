@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import GRAPH_SUPP_OFFSET, query, table
 from ..ops import dedup as D
 from ..ops.geo import grid_nearest
 from ..ops.graph import kcore_peel
@@ -88,7 +88,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replayable oracle), over the customer-supplier purchase graph.
 # ---------------------------------------------------------------------------
 
-_SUPP_OFFSET = 100000
+_SUPP_OFFSET = GRAPH_SUPP_OFFSET  # shared graph keyspace offset
 # k chosen where peeling actually CASCADES on this graph (sf0.01:
 # 1600 -> 193 -> 148 -> 55 nodes over the 3 rounds — each round's
 # removals push new nodes below k); at k <= 45 the first round is

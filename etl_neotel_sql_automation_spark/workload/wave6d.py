@@ -10,10 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import GRAPH_SUPP_OFFSET, query, table
 
 _SCALE = 10**12
-_SUPP_OFFSET = 100000
+_SUPP_OFFSET = GRAPH_SUPP_OFFSET  # shared graph keyspace offset
 
 _EDGES_SQL = f"""
     raw AS (

@@ -70,9 +70,10 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
     # intersection from per-document token ARRAYS (one array_intersect
     # per surviving pair) instead of the token-explode equi-join the
     # r8 100x probe showed dominating this audit (96 s leg).
-    #   1. length filter: J <= min/max, so J >= 1/2 forces
-    #      2*min(sa, sb) >= max(sa, sb) — exact-integer, loses no
-    #      qualifying pair (the jaccard_prefix_pairs lemma at t=1/2);
+    #   1. length filter: J <= min/max, so J >= t forces
+    #      1e6*min(sa, sb) >= _JACC_PPM*max(sa, sb) — exact-integer,
+    #      DERIVED from the threshold constant (loses no qualifying
+    #      pair at any t; the jaccard_prefix_pairs lemma);
     #   2. n_inter >= 1 mirrors the old inner join against the
     #      exploded-intersection frame (and guards the ANSI div when
     #      both token sets are empty).
@@ -101,8 +102,8 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
             "id_b",
         )
         .filter(
-            (2 * F.col("sa") >= F.col("sb"))
-            & (2 * F.col("sb") >= F.col("sa"))
+            (1_000_000 * F.col("sa") >= _JACC_PPM * F.col("sb"))
+            & (1_000_000 * F.col("sb") >= _JACC_PPM * F.col("sa"))
         )
     )
     dup = (

@@ -258,7 +258,9 @@ def silence_runs_frame(docs: DataFrame) -> DataFrame:
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 n = len(arr)
                 if n == 0:
-                    rows.append((rid, 0, 0, 0, 0))
+                    # drop empty payloads: the oracle's range(1, len+1)
+                    # explode emits no rows for them, so a zero row here
+                    # would be a Spark-vs-oracle row-count mismatch
                     continue
                 # run lengths: distances between change points
                 edges = np.flatnonzero(np.diff(arr)) + 1

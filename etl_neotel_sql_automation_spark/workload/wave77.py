@@ -29,9 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from . import query, table
+from . import GRAPH_SUPP_OFFSET, query, table
 
-_SUPP_OFFSET = 100000  # the graph_ops key-space offset, same graph
+_SUPP_OFFSET = GRAPH_SUPP_OFFSET  # the graph_ops key-space offset, same graph
 _SEEDS = (1, 2, 3, 5)  # literal seed customers (present at every SF)
 _DEPTH = 4
 
@@ -54,7 +54,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def closeness_bfs_frame(edges: DataFrame) -> DataFrame:
     """Frame core of graph_closeness_bfs (scaling-probe entry): BFS
-    from the literal seeds to depth {d}, all seeds in ONE pass (seed is
+    from the literal seeds to depth _DEPTH=4, all seeds in ONE pass (seed is
     a key column on the visited frame). Per round: frontier ⋈ edges,
     min-dist dedup, localCheckpoint (the ops/graph.py round pattern —
     lineage must not grow with rounds)."""

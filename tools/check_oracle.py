@@ -31,10 +31,15 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+_USAGE = "usage: python tools/check_oracle.py [sf_dir] [--json out.json] [query ...]"
+
 _args = sys.argv[1:]
 JSON_OUT = None
 if "--json" in _args:
     _i = _args.index("--json")
+    if _i + 1 >= len(_args) or _args[_i + 1].startswith("--"):
+        print(f"--json requires a value\n{_USAGE}")
+        raise SystemExit(2)
     JSON_OUT = _args[_i + 1]
     del _args[_i : _i + 2]
 for _a in list(_args):
@@ -107,6 +112,13 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Untimed warm-up action (r9 VERDICT #2): session start, codegen
+    # and parquet-footer costs land here, not on the alphabetically
+    # first timed query (agg_approx_stats was absorbing 14-24 s of it).
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").selectExpr(
+        "sum(l_quantity)"
+    ).collect()
 
     con = duckdb.connect()
     for t in TABLES:
