@@ -483,6 +483,8 @@ def pq_topk(
     dim: int = 64,
     seed: int = 42,
     rerank: int | None = None,
+    train_fraction: float | None = None,
+    train_backend: str = "ml",
 ) -> DataFrame:
     """PQ ANN top-k, two-stage as deployed in practice: (1) asymmetric
     distance computation — each query precomputes a lookup table of
@@ -496,6 +498,12 @@ def pq_topk(
     into high recall@k while still scanning codes, not floats.
     Output: q_id, n_id, rank, sim (exact dot, round 6).
 
+    ``train_fraction`` / ``train_backend`` are threaded to
+    :func:`pq_train_codebooks` — same semantics as :func:`ivf_pq_topk`
+    (hash-sampled training; ``"local"`` = one capped collect + numpy
+    Lloyd's instead of m × maxIter tiny pyspark.ml jobs); ADC scan and
+    exact re-rank stay full-corpus and distributed either way.
+
     ``rerank`` defaults to max(50, corpus/10): a FIXED rerank budget
     decays as the corpus grows (ADC noise admits more impostors into
     any constant-size shortlist — measured recall@5 0.72 at 500
@@ -505,7 +513,9 @@ def pq_topk(
     probed cells, not the whole corpus."""
     if rerank is None:
         rerank = max(50, -(-corpus.count() // 10))
-    books = pq_train_codebooks(corpus, vec_col, m, n_codes, dim, seed)
+    books = pq_train_codebooks(
+        corpus, vec_col, m, n_codes, dim, seed, id_col, train_fraction, train_backend
+    )
     corpus_cached = _fan_out(corpus)
     cb = pq_encode(corpus_cached, books, id_col, vec_col).select(
         F.col(id_col).alias("n_id"), "codes"

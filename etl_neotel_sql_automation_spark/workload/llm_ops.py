@@ -1174,9 +1174,19 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact inner-product top-5 over the same 10 queries, emitting
     booleans the oracle reproduces as TRUE: every query returns exactly
     k results and mean recall@5 >= 0.6 (measured 0.72-0.80 on the
-    random — worst-case — test embeddings)."""
+    random — worst-case — test embeddings).
+
+    Trainer: full-corpus TRAINING DATA (this is the recall baseline —
+    no sample) through the capped LOCAL fit (_kmeans_local; the corpus
+    is below _LOCAL_TRAIN_CAP at every test SF, and the cap raises
+    loudly past it). The previous full pyspark.ml fit spent ~25 s at
+    sf0.1 on 8 codebooks × 20 tiny per-iteration jobs over 2k vectors
+    — pure scheduler overhead, no statistical benefit (r9 VERDICT #1).
+    ADC scan and exact re-rank stay full-corpus and distributed."""
     emb = table(spark, sf_dir, "embeddings")
-    pq = S.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    pq = S.pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, train_backend="local"
+    )
     return _recall_property(pq, _exact_ip_topk(emb, k=5), k=5)
 
 
@@ -1196,9 +1206,18 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries: every query returns exactly k rows and mean recall@5 vs
     exact inner-product search >= 0.6. The plan's candidate generation
     is asserted shuffle-shape-correct in tests/test_ops.py (cell
-    equi-join feeding the ADC projection, no corpus-wide pair join)."""
+    equi-join feeding the ADC projection, no corpus-wide pair join).
+
+    Trainer: full-corpus TRAINING DATA (the recall baseline — no
+    sample, unlike sim_ivf_pq_sampled's 25% hash-sample) through the
+    capped LOCAL fit — the 1+8 full pyspark.ml KMeans fits cost ~25 s
+    at sf0.1 in 9 × 20 tiny per-iteration jobs over 2k vectors, pure
+    scheduler overhead (r9 VERDICT #1). Cell assignment, ADC scan and
+    exact re-rank stay full-corpus and distributed."""
     emb = table(spark, sf_dir, "embeddings")
-    ann = S.ivf_pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    ann = S.ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5, train_backend="local"
+    )
     return _recall_property(ann, _exact_ip_topk(emb, k=5), k=5)
 
 
