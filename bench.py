@@ -382,6 +382,41 @@ def _minhash_xxhash64(spark, sf_dir):
 EXTRA_QUERIES = {"dedup_minhash_xxhash64": _minhash_xxhash64}
 
 
+def _warm(spark, qs, sf_dir) -> None:
+    """Untimed session warm-up: JVM/codegen startup on a tiny query so
+    it isn't charged to the first timed entry, plus a Pandas-UDF no-op
+    so the Python worker pool measures steady state, not fork cost."""
+    qs["sort_topk_orders"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    warm = F.pandas_udf(lambda s: s * 1.0, returnType=T.DoubleType())
+    spark.range(1000).select(warm(F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+
+def _session_conf(spark) -> dict[str, str]:
+    """The config summary recorded per bench session (r9 VERDICT #2:
+    cross-round per-query diffs need to know WHICH session produced a
+    number)."""
+    out = {"spark_version": spark.version}
+    for key in (
+        "spark.app.name",
+        "spark.master",
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled",
+        "spark.driver.memory",
+        "spark.sql.ansi.enabled",
+    ):
+        try:
+            out[key] = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 - unset key: record absence
+            out[key] = None
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -393,19 +428,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = dict(workload.queries())
     qs.update(EXTRA_QUERIES)
-
-    # Warm the JVM/session on a tiny query so startup cost isn't charged
-    # to the first headline entry, and spin up the Python worker pool so
-    # the Pandas-UDF entries measure steady state rather than fork cost.
-    qs["sort_topk_orders"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    warm = F.pandas_udf(lambda s: s * 1.0, returnType=T.DoubleType())
-    spark.range(1000).select(warm(F.col("id").cast("double"))).write.mode(
-        "overwrite"
-    ).format("noop").save()
+    _warm(spark, qs, sf_dir)
 
     # Best-of-3 per query, measured as 3 FULL PASSES over the suite
     # rather than 3 back-to-back runs of each query: min is the
@@ -439,12 +462,25 @@ def main() -> None:
         passes.append(this_pass)
     times = {name: round(t, 3) for name, t in times.items()}
 
+    headline_conf = _session_conf(spark)
+
     # One COVERAGE pass over every registered query not in HEADLINE
     # (r8 VERDICT #4): single-run timings, so the entire registry
     # resolves to a per-round number in the BENCH_FULL.json sidecar
     # and a judge's >=2x regression check can cover the whole surface.
     # Single-pass (not best-of-3) keeps the added wall cost to one
     # sweep; the headline set remains the noise-robust estimator.
+    #
+    # Run in its OWN warmed session (r9 VERDICT #2): the r9 record's
+    # headline numbers shared a JVM with the 211-entry coverage sweep,
+    # so accumulated block-manager/broadcast state contaminated
+    # cross-round per-query diffs (the ABDRIFT caveat). Stopping the
+    # context releases every localCheckpoint block; the new session is
+    # re-warmed so its first timed entry pays no startup either.
+    spark.stop()
+    spark = get_spark(app_name="bench-coverage")
+    _warm(spark, qs, sf_dir)
+    coverage_conf = _session_conf(spark)
     coverage: dict[str, float] = {}
     headline_set = set(HEADLINE)
     for name in qs:
@@ -492,6 +528,8 @@ def main() -> None:
         # single-pass coverage timings for every registered query
         # outside HEADLINE — full-registry per-query record
         "coverage_pass_seconds": coverage,
+        # which session produced which numbers (r9 VERDICT #2)
+        "sessions": {"headline": headline_conf, "coverage": coverage_conf},
     }
     # Full record FIRST (humans + the BENCH_FULL.json sidecar), then a
     # COMPACT summary as the LAST stdout line: the driver records only
@@ -527,5 +565,162 @@ def main() -> None:
     spark.stop()
 
 
+# ---------------------------------------------------------------------------
+# --ab <ref>: the same-session A/B drift protocol (r9 VERDICT #7).
+#
+# The r9 drift question ("did r8 regress the frozen sets?") was settled
+# by a /tmp script that loaded BOTH code versions into one Spark session
+# and alternated passes — same JVM, same host window, so a >=10% set
+# move is attributable to CODE, not session or host state. This makes
+# that protocol a one-command tool: `python bench.py --ab <prev_commit>`
+# writes ABDRIFT.json (override with --ab-out).
+# ---------------------------------------------------------------------------
+
+
+def _load_queries_from(repo_root: str):
+    """Import the workload registry from another checkout of this repo
+    and return its queries() dict. The package is imported fresh with
+    ``repo_root`` first on sys.path, then sys.modules is restored, so
+    the current checkout's modules are untouched; the returned
+    callables keep their own module globals alive by reference."""
+    saved = {
+        k: v
+        for k, v in list(sys.modules.items())
+        if k.startswith("etl_neotel_sql_automation_spark")
+    }
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, repo_root)
+    try:
+        import etl_neotel_sql_automation_spark.workload as wl_other
+
+        qs = dict(wl_other.queries())
+    finally:
+        sys.path.remove(repo_root)
+        for k in list(sys.modules):
+            if k.startswith("etl_neotel_sql_automation_spark"):
+                del sys.modules[k]
+        sys.modules.update(saved)
+    return qs
+
+
+def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> None:
+    import subprocess
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "-C", repo, "rev-parse", ref],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    wt = f"/tmp/bench_ab_{sha[:12]}"
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
+            check=True, capture_output=True,
+        )
+    try:
+        old_qs = _load_queries_from(wt)
+        new_qs = dict(workload.queries())
+        wanted = []
+        for s in set_names:
+            for n in FROZEN_SETS[s]:
+                if n not in wanted:
+                    wanted.append(n)
+        # EXTRA_QUERIES close over the current package at call time, so
+        # they cannot represent the OLD side faithfully — skipped, and
+        # the skip is recorded (no silent caps).
+        runnable = [n for n in wanted if n in old_qs and n in new_qs]
+        skipped = [n for n in wanted if n not in runnable]
+
+        spark = get_spark(app_name="bench-ab")
+        _warm(spark, new_qs, sf_dir)
+        best = {"new": dict.fromkeys(runnable, float("inf")),
+                "old": dict.fromkeys(runnable, float("inf"))}
+        pass_sums: dict[str, list[float]] = {"new": [], "old": []}
+        for p in range(n_passes):
+            sides = [("new", new_qs), ("old", old_qs)]
+            if p % 2:
+                sides.reverse()
+            for side, qmap in sides:
+                tot = 0.0
+                for name in runnable:
+                    t0 = time.perf_counter()
+                    qmap[name](spark, sf_dir).write.mode("overwrite").format(
+                        "noop"
+                    ).save()
+                    dt = time.perf_counter() - t0
+                    tot += dt
+                    if dt < best[side][name]:
+                        best[side][name] = dt
+                pass_sums[side].append(round(tot, 3))
+        ab_conf = _session_conf(spark)
+        spark.stop()
+
+        sets_out = {}
+        for s in set_names:
+            names = [n for n in FROZEN_SETS[s] if n in runnable]
+            a = round(sum(best["new"][n] for n in names), 3)
+            b = round(sum(best["old"][n] for n in names), 3)
+            sets_out[s] = {
+                "new_seconds": a,
+                "old_seconds": b,
+                "ratio_new_over_old": round(a / b, 4) if b else None,
+                "n_queries": len(names),
+            }
+        record = {
+            "protocol": "same-session alternating passes, best-of-N per query",
+            "old_ref": ref,
+            "old_sha": sha,
+            "passes": n_passes,
+            "sf_dir": sf_dir,
+            "sets": sets_out,
+            "pass_sums": pass_sums,
+            "skipped_queries": skipped,
+            "per_query": {
+                n: {
+                    "new": round(best["new"][n], 3),
+                    "old": round(best["old"][n], 3),
+                }
+                for n in runnable
+            },
+            "session": ab_conf,
+        }
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
+        print(json.dumps({
+            "ab": {s: v["ratio_new_over_old"] for s, v in sets_out.items()},
+            "record": out_path,
+        }))
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+
+
+def _cli() -> None:
+    args = sys.argv[1:]
+
+    def _take(flag: str, default: str | None = None) -> str | None:
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 >= len(args):
+                raise SystemExit(f"{flag} requires a value")
+            v = args[i + 1]
+            del args[i : i + 2]
+            return v
+        return default
+
+    ref = _take("--ab")
+    out = _take("--ab-out", "ABDRIFT.json")
+    n_passes = int(_take("--ab-passes", "3"))
+    sets = _take("--ab-sets", "stable27,stable33,stable37,stable155,stable190")
+    if ref:
+        ab_main(ref, out, n_passes, [s for s in sets.split(",") if s])
+    else:
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _cli()
