@@ -244,6 +244,7 @@ def _ensure_loaded() -> None:
             wave75,
             wave76,
             wave77,
+            wave78,
         )
 
         _LOADED = True

@@ -345,3 +345,96 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)").alias("hamming"),
     ).filter(F.col("hamming") <= _AHASH_MAXH)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_codec_roundtrip — the REAL-codec decode path, oracle-paired
+# (r9 VERDICT #3): every prior multimodal entry decodes fake printable-
+# ASCII payloads; this one synthesizes a genuine PNG and a genuine
+# 16-bit PCM WAV per document inside the mapInPandas pass (stdlib
+# struct+zlib — bytes a real decoder accepts) and decodes them with the
+# real parsers (ops/multimodal.py png_decode: signature + IHDR + chunk
+# CRC; wav_meta: RIFF chunk walk). The emitted dimensions/meta derive
+# from doc_id and text length by construction, so DuckDB replays them
+# arithmetically — a differential check that the DECODERS, not just the
+# plumbing, read the formats correctly (a wrong-endian IHDR parse or a
+# misplaced fmt offset flips every row).
+#
+# Scale shape: ONE mapInPandas pass, one output row per document, no
+# shuffle — encode and decode never leave the executor, payload bytes
+# never ship anywhere.
+# ---------------------------------------------------------------------------
+
+
+def codec_roundtrip_frame(docs: DataFrame) -> DataFrame:
+    """Frame core of multimodal_codec_roundtrip (scaling-probe entry)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..ops import multimodal as M
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("png_width", T.IntegerType()),
+            T.StructField("png_height", T.IntegerType()),
+            T.StructField("wav_sample_rate", T.IntegerType()),
+            T.StructField("wav_n_samples", T.IntegerType()),
+            T.StructField("wav_n_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rid, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text or ""
+                png = M.make_png(1 + rid % 16, 1 + len(t) % 16)
+                feat = M.png_decode(png)  # raises on any malformed byte
+                n_samp = 1 + len(t) % 256
+                meta = M.wav_meta(M.make_wav(n_samp))
+                rows.append(
+                    (
+                        rid,
+                        feat["width"],
+                        feat["height"],
+                        meta["sample_rate"],
+                        meta["n_samples"],
+                        meta["n_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "png_width", "png_height",
+                    "wav_sample_rate", "wav_n_samples", "wav_n_bytes",
+                ],
+            )
+
+    return (
+        docs.select("doc_id", "text").mapInPandas(run, out_schema).orderBy("doc_id")
+    )
+
+
+@query(
+    "multimodal_codec_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS INTEGER) AS png_width,
+           CAST(1 + length(text) % 16 AS INTEGER) AS png_height,
+           CAST(8000 AS INTEGER) AS wav_sample_rate,
+           CAST(1 + length(text) % 256 AS INTEGER) AS wav_n_samples,
+           CAST(44 + 2 * (1 + length(text) % 256) AS BIGINT) AS wav_n_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec roundtrip: per document, synthesize a genuine PNG
+    (dims derived from doc_id/text length) and a genuine PCM WAV, then
+    decode both with the real stdlib parsers (PNG signature/IHDR/CRC;
+    WAV RIFF chunk walk) inside one mapInPandas pass. The oracle
+    replays the derived dimensions and the exact WAV byte size
+    (44-byte header + 2 bytes/sample) arithmetically — a wrong parse
+    anywhere flips rows."""
+    return codec_roundtrip_frame(table(spark, sf_dir, "documents"))

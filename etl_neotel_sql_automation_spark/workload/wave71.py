@@ -131,6 +131,15 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
         )
         .select("cap_a", "cap_b")
     )
+    return chapman_frame(dup)
+
+
+def chapman_frame(dup: DataFrame) -> DataFrame:
+    """The shared capture-recapture estimator layer: fold a frame of
+    exact-verified duplicate pairs carrying (cap_a, cap_b) occasion
+    flags into the 1-row Lincoln-Petersen / Chapman readout. Exact
+    integer floor-div throughout (all operands non-negative). Reused by
+    the pHash (wave73) and embedding-LSH (wave78) ladders."""
     t = dup.agg(
         F.count("*").cast("bigint").alias("n_caught"),
         F.coalesce(F.sum("cap_a"), F.lit(0)).cast("bigint").alias("n1"),
@@ -159,6 +168,24 @@ def capture_recapture_frame(docs: DataFrame) -> DataFrame:
             " AS BIGINT)"
         ).alias("coverage_ppm"),
     )
+
+
+# DuckDB twin of chapman_frame's SELECT, over an `agg` CTE carrying
+# (n_caught, n1, n2, m_both) — shared by the wave71/wave78 oracles.
+CHAPMAN_SQL_TAIL = """
+    SELECT n_caught, n1, n2, m_both,
+           CAST(CASE WHEN m_both > 0 THEN (n1 * n2) // m_both END
+                AS BIGINT) AS petersen_est,
+           CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT)
+             AS chapman_est,
+           CAST(greatest((n1 + 1) * (n2 + 1) // (m_both + 1) - 1
+                - n_caught, 0) AS BIGINT) AS est_missed,
+           CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (m_both + 1) - 1 > 0
+                THEN (1000000 * n_caught)
+                     // ((n1 + 1) * (n2 + 1) // (m_both + 1) - 1)
+                ELSE 1000000 END AS BIGINT) AS coverage_ppm
+    FROM agg
+    """
 
 
 def _cr_oracle(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3) -> str:
@@ -233,18 +260,7 @@ def _cr_oracle(num_hashes: int = 32, bands: int = 8, shingle_n: int = 3) -> str:
              CAST(coalesce(sum(cap_a * cap_b), 0) AS BIGINT) AS m_both
       FROM dup
     )
-    SELECT n_caught, n1, n2, m_both,
-           CAST(CASE WHEN m_both > 0 THEN (n1 * n2) // m_both END
-                AS BIGINT) AS petersen_est,
-           CAST((n1 + 1) * (n2 + 1) // (m_both + 1) - 1 AS BIGINT)
-             AS chapman_est,
-           CAST(greatest((n1 + 1) * (n2 + 1) // (m_both + 1) - 1
-                - n_caught, 0) AS BIGINT) AS est_missed,
-           CAST(CASE WHEN (n1 + 1) * (n2 + 1) // (m_both + 1) - 1 > 0
-                THEN (1000000 * n_caught)
-                     // ((n1 + 1) * (n2 + 1) // (m_both + 1) - 1)
-                ELSE 1000000 END AS BIGINT) AS coverage_ppm
-    FROM agg
+    {CHAPMAN_SQL_TAIL}
     """
 
 

@@ -1,0 +1,85 @@
+"""Real-codec decode path (r9 VERDICT #3): the multimodal family's
+decode gate gets POSITIVE end-to-end coverage, not only the
+Pillow-absent gate test.
+
+- PNG/WAV bytes are synthesized in-test with the stdlib encoders
+  (ops/multimodal.py make_png / make_wav — genuine formats: correct
+  signatures, chunk CRCs, RIFF layout) and decoded with the real
+  parsers (png_decode / wav_meta) both locally and through the full
+  mapInPandas plumbing (extract_features with decoder=png_decode).
+- Where Pillow IS available, pil_decode is run end-to-end on the same
+  synthesized PNGs (importorskip — green in any Pillow-bearing env,
+  skipped here).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_neotel_sql_automation_spark.ops import multimodal as M
+
+
+def test_png_roundtrip_local():
+    for w, h in [(1, 1), (7, 3), (640, 2), (16, 16)]:
+        png = M.make_png(w, h)
+        feat = M.png_decode(png)
+        assert (feat["width"], feat["height"]) == (w, h)
+        assert feat["n_bytes"] == len(png)
+
+
+def test_png_decode_rejects_poison():
+    with pytest.raises(ValueError, match="signature"):
+        M.png_decode(b"not a png at all")
+    png = bytearray(M.make_png(4, 4))
+    png[18] ^= 0xFF  # corrupt a width byte -> IHDR CRC must fail
+    with pytest.raises(ValueError, match="CRC"):
+        M.png_decode(bytes(png))
+
+
+def test_wav_roundtrip_local():
+    for n, rate, ch in [(1, 8000, 1), (255, 16000, 2), (1000, 44100, 1)]:
+        wav = M.make_wav(n, sample_rate=rate, n_channels=ch)
+        meta = M.wav_meta(wav)
+        assert meta["n_samples"] == n
+        assert meta["sample_rate"] == rate
+        assert meta["n_channels"] == ch
+        assert meta["bits_per_sample"] == 16
+        assert meta["n_bytes"] == len(wav)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.wav_meta(b"\x00" * 64)
+
+
+def test_png_decode_through_map_in_pandas(spark):
+    """The decode gate end-to-end: real PNG bytes through the real
+    mapInPandas plumbing with the real parser as ``decoder=``."""
+    rows = [(i, M.make_png(1 + i % 5, 2 + i % 7)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    out = {
+        r.doc_id: r
+        for r in M.extract_features(df, decoder=M.png_decode).collect()
+    }
+    assert len(out) == 20
+    for i in range(20):
+        assert (out[i].width, out[i].height) == (1 + i % 5, 2 + i % 7)
+        assert out[i].n_bytes == len(rows[i][1])
+
+
+def test_pil_decode_positive_when_available():
+    """Green wherever Pillow exists; skipped (not masked) where absent.
+    The absent case is covered by test_ops.test_multimodal_pil_decode_gated."""
+    pytest.importorskip("PIL")
+    png = M.make_png(12, 34)
+    feat = M.pil_decode(png)
+    assert (feat["width"], feat["height"]) == (12, 34)
+
+
+def test_codec_roundtrip_query(spark):
+    from etl_neotel_sql_automation_spark.workload import queries
+
+    out = queries()["multimodal_codec_roundtrip"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    for r in out[:50]:
+        assert r.png_width == 1 + r.doc_id % 16
+        assert r.wav_n_bytes == 44 + 2 * r.wav_n_samples
