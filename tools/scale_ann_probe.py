@@ -27,6 +27,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -69,6 +71,14 @@ def planes_for(n: int) -> int:
     return max(4, int(math.log2(max(n, 2))) - 4)
 
 
+def _emb_cr(df: DataFrame) -> DataFrame:
+    from etl_neotel_sql_automation_spark.workload.wave78 import (
+        emb_capture_recapture_frame,
+    )
+
+    return emb_capture_recapture_frame(df)
+
+
 def ops_for(scale: int):
     n = BASE_VECS * scale
     return {
@@ -81,6 +91,10 @@ def ops_for(scale: int):
         "sq8_topk10q": lambda df: S.sq8_topk(
             df, df.filter(F.col("vec_id") < 10), k=5
         ),
+        # r10: the wave-78 Chapman coverage audit over the 16-table
+        # hyperplane index — candidates + bounded cosine verification +
+        # 1-row estimator; should track lsh_near_dup's growth
+        "emb_capture_recapture": _emb_cr,
     }
 
 
@@ -105,6 +119,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
+        record("ann", {"scale": scale, **times})
         print(
             json.dumps(
                 {
@@ -149,6 +164,17 @@ def main() -> None:
             t2 = time.perf_counter()
             if t2 - t0 < best_tot:
                 best_tot, best_c = t2 - t0, t1 - t0
+        record(
+            "ann",
+            {
+                "scale": scale,
+                "ivf_pq_sampled_local": {
+                    "construct": round(best_c, 2),
+                    "exec": round(best_tot - best_c, 2),
+                    "total": round(best_tot, 2),
+                },
+            },
+        )
         print(
             json.dumps(
                 {

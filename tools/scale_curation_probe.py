@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.ops import similarity as S
 from etl_neotel_sql_automation_spark.session import get_spark
 from pyspark.sql import functions as F
@@ -95,6 +97,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
+        record("curation", {"scale": scale, **times})
         print(
             json.dumps(
                 {

@@ -25,6 +25,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -99,6 +101,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
+        record("dedup", {"scale": scale, **times})
         print(json.dumps({"scale": scale, "docs": BASE_DOCS * scale, **times}))
 
     if len(results) > 1:

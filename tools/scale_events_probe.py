@@ -24,6 +24,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.ops.asof import session_stats
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.final_wave import funnel_frame
@@ -91,6 +93,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
+        record("events", {"scale": scale, **times})
         print(json.dumps({"scale": scale, "rows": BASE_ROWS * scale, **times}))
 
     if len(results) > 1:

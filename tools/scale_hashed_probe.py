@@ -32,6 +32,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from pyspark.sql import functions as F
 
 from etl_neotel_sql_automation_spark.session import get_spark
@@ -109,6 +111,7 @@ def main() -> None:
         fp_row = bloom_fp_frame(docs, bits=bloom_bits).collect()[0]
         times["bloom_fp_meter"] = round(time.perf_counter() - t0, 2)
         results[scale] = times
+        record("hashed", {"scale": scale, **times})
         print(
             json.dumps(
                 {

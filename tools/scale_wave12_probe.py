@@ -32,6 +32,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,6 +139,7 @@ def main() -> None:
         res["zorder_layout"] = run(
             f"zorder_layout {n}x", zorder_layout_frame(orders)
         )
+        record("wave12", res)
         print(json.dumps(res), flush=True)
 
 

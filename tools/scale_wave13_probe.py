@@ -28,6 +28,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -103,6 +105,7 @@ def main() -> None:
         res["ngram_coverage"] = run(
             f"ngram_coverage {n}x", ngram_coverage_frame(docs)
         )
+        record("wave13", res)
         print(json.dumps(res), flush=True)
 
 

@@ -19,6 +19,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame
@@ -66,6 +68,7 @@ def main() -> None:
             f"interarrival {n}x", interarrival_quartiles_frame(orders)
         )
         res["dedup_impact"] = run(f"dedup_impact {n}x", dedup_impact_frame(docs))
+        record("wave15", res)
         print(json.dumps(res), flush=True)
 
 

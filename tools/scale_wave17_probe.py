@@ -23,6 +23,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -340,6 +342,7 @@ def main() -> None:
             f"rank_metrics {n}x", rank_metrics_frame(emb)
         )
         res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        record("wave17", res)
         print(json.dumps(res), flush=True)
 
 

@@ -17,6 +17,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from pyspark.sql import functions as F
 
 from etl_neotel_sql_automation_spark.session import get_spark
@@ -226,6 +228,7 @@ def main() -> None:
             / 100.0,
         )
         res["abc_xyz"] = run(f"abc_xyz {n}x", abc_xyz_frame(li2))
+        record("wave31", res)
         print(json.dumps(res), flush=True)
 
 

@@ -16,6 +16,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.wave31 import (
     pr_curve_frame,
@@ -49,6 +51,7 @@ def main() -> None:
         res["pr_curve_sampled"] = run(
             f"pr_curve_sampled {n}x", pr_curve_sampled_frame(emb)
         )
+        record("wave31b", res)
         print(json.dumps(res), flush=True)
     spark.stop()
 

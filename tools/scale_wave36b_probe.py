@@ -15,6 +15,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.wave36 import (
     hilbert_layout_deployed_frame,
@@ -46,6 +48,7 @@ def main() -> None:
             r["layout"]: [r["n_files"], r["files_scanned"]]
             for r in hilbert_layout_deployed_frame(orders).collect()
         }
+        record("wave36b", res)
         print(json.dumps(res), flush=True)
     spark.stop()
 

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.wave41 import (
     experiment_pipeline_frame,
@@ -112,6 +114,7 @@ def main() -> None:
                     f"reconcile {n}x",
                     reconcile_hierarchy_frame(orders, cust, nation, region),
                 )
+            record("wave41", res)
             print(json.dumps(res), flush=True)
         spark.stop()
 

@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from etl_neotel_sql_automation_spark.session import get_spark
 from etl_neotel_sql_automation_spark.workload.wave50 import anova_frame
 from etl_neotel_sql_automation_spark.workload.wave51 import roc_auc_frame
@@ -216,6 +218,7 @@ def main() -> None:
                         )
                     ),
                 )
+            record("wave50", res)
             print(json.dumps(res), flush=True)
         spark.stop()
 

@@ -22,6 +22,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,6 +108,7 @@ def main() -> None:
         cell = max(1, int(CELL / (n ** 0.5)))
         res["grid_knn"] = run(f"grid_knn {n}x (cell {cell})",
                               grid_nearest(pts, tgt, cell))
+        record("wave6", res)
         print(json.dumps(res), flush=True)
 
 

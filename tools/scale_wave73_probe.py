@@ -14,6 +14,8 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+from tools.scaling_record import record  # noqa: E402
+
 from pyspark.sql import functions as F
 
 from etl_neotel_sql_automation_spark.session import get_spark
@@ -149,6 +151,7 @@ def main() -> None:
                 res["closeness_bfs"] = run(
                     f"closeness_bfs {n}x", lambda: closeness_bfs_frame(edges)
                 )
+            record("wave73", res)
             print(json.dumps(res), flush=True)
         spark.stop()
 

@@ -20,6 +20,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,6 +89,7 @@ def main() -> None:
         )
         res["link_predict"] = run(f"link_predict {n}x", link_predict_frame(pairs))
         res["epoch_shuffle"] = run(f"epoch_shuffle {n}x", epoch_shuffle_frame(docs))
+        record("wave7", res)
         print(json.dumps(res), flush=True)
 
 

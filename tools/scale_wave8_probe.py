@@ -22,6 +22,8 @@ import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+
+from tools.scaling_record import record  # noqa: E402
 sys.path.insert(0, "/root/repo/tools")
 
 from pyspark.sql import DataFrame, SparkSession
@@ -119,6 +121,7 @@ def main() -> None:
         )
         res["t_closeness"] = run(f"t_closeness {n}x", t_closeness_frame(custs))
         res["kneser_ney"] = run(f"kneser_ney {n}x", kneser_ney_frame(bigrams))
+        record("wave8", res)
         print(json.dumps(res), flush=True)
 
 
