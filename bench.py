@@ -329,7 +329,13 @@ ADDITIONS_R9 = [
     "graph_closeness_bfs",
     "orders_pareto_front",
 ]
-HEADLINE = STABLE_155 + ADDITIONS_R8 + ADDITIONS_R9
+# Round-10 additions: the real-codec roundtrip and the embedding-LSH
+# coverage audit (r9 VERDICT #3/#4)
+ADDITIONS_R10 = [
+    "multimodal_codec_roundtrip",
+    "dedup_embedding_capture_recapture",
+]
+HEADLINE = STABLE_155 + ADDITIONS_R8 + ADDITIONS_R9 + ADDITIONS_R10
 
 # Frozen-set sums reported per round (name -> query list).
 FROZEN_SETS = {
@@ -337,8 +343,10 @@ FROZEN_SETS = {
     "stable33": STABLE_33,
     "stable37": STABLE_37,
     "stable155": STABLE_155,
-    # the full r8 headline, frozen at r9 open to baseline r10
+    # the full r8 headline, frozen at r9 open
     "stable190": STABLE_155 + ADDITIONS_R8,
+    # the full r9 headline, frozen at r10 open to baseline r11
+    "stable203": STABLE_155 + ADDITIONS_R8 + ADDITIONS_R9,
 }
 
 # Queries that run Spark jobs DURING plan construction (quantizer

@@ -20,8 +20,12 @@ import os
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# keys that describe the probe point rather than time a leg
-_META_KEYS = {"family", "scale", "docs", "rows", "vectors", "n", "edges"}
+# keys that describe the probe point (row counts, knob values) rather
+# than time a leg — matches every count-valued res key across tools/
+_META_KEYS = {
+    "family", "scale", "docs", "rows", "vectors", "n", "edges",
+    "orders", "events", "lineitem", "lsh_planes", "phash_quality_mod",
+}
 
 
 def record(family: str, res: dict) -> None:
