@@ -215,6 +215,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
+        # e feeds deg, de and n_edges — checkpoint or the lineitem
+        # self-join recomputes per consumer (the wave71 candidate-frame
+        # lesson; r10 registry probe flagged this entry at 12 s / sf0.1)
+        .localCheckpoint()
     )
     deg = (
         e.select(F.col("u").alias("node"))
@@ -234,6 +238,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
         )
+        # de feeds BOTH wedge sides and the closing join (3 consumers)
+        .localCheckpoint()
     )
     wa, wb = de.alias("wa"), de.alias("wb")
     wedge = wa.join(wb, F.col("wa.t") == F.col("wb.s")).select(
