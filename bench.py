@@ -372,6 +372,9 @@ CONSTRUCT_SPLIT = {
     "multimodal_phash_quality",
     "multimodal_phash_capture_recapture",
     "multimodal_phash_threshold_sweep",
+    # r10: the wave-78 audit checkpoints its banded candidate frame at
+    # construct (the wave71 lesson)
+    "dedup_embedding_capture_recapture",
 }
 
 
@@ -585,31 +588,42 @@ def main() -> None:
 # ---------------------------------------------------------------------------
 
 
+_PKG = "etl_neotel_sql_automation_spark"
+
+
+def _grab_modules() -> dict:
+    return {k: v for k, v in sys.modules.items() if k.startswith(_PKG)}
+
+
+def _set_modules(mods: dict) -> None:
+    for k in list(sys.modules):
+        if k.startswith(_PKG):
+            del sys.modules[k]
+    sys.modules.update(mods)
+
+
 def _load_queries_from(repo_root: str):
-    """Import the workload registry from another checkout of this repo
-    and return its queries() dict. The package is imported fresh with
-    ``repo_root`` first on sys.path, then sys.modules is restored, so
-    the current checkout's modules are untouched; the returned
-    callables keep their own module globals alive by reference."""
-    saved = {
-        k: v
-        for k, v in list(sys.modules.items())
-        if k.startswith("etl_neotel_sql_automation_spark")
-    }
-    for k in saved:
-        del sys.modules[k]
+    """Import the workload registry from another checkout of this repo.
+    Returns (queries_dict, modules_dict): the module set must be
+    swapped back INTO sys.modules (with ``repo_root`` first on
+    sys.path) whenever those callables run — many workload functions
+    import ops/streaming modules at CALL time, and those imports
+    resolve through sys.modules/sys.path, not through the function's
+    closure. Running old-side queries without the swap silently
+    executes NEW code for every late import, which corrupts exactly
+    the code-attribution an A/B exists to provide."""
+    saved = _grab_modules()
+    _set_modules({})
     sys.path.insert(0, repo_root)
     try:
         import etl_neotel_sql_automation_spark.workload as wl_other
 
         qs = dict(wl_other.queries())
+        mods = _grab_modules()
     finally:
         sys.path.remove(repo_root)
-        for k in list(sys.modules):
-            if k.startswith("etl_neotel_sql_automation_spark"):
-                del sys.modules[k]
-        sys.modules.update(saved)
-    return qs
+        _set_modules(saved)
+    return qs, mods
 
 
 def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> None:
@@ -628,8 +642,10 @@ def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> Non
             check=True, capture_output=True,
         )
     try:
-        old_qs = _load_queries_from(wt)
+        old_qs, old_mods = _load_queries_from(wt)
         new_qs = dict(workload.queries())
+        new_mods = _grab_modules()
+        side_env = {"new": (repo, new_mods), "old": (wt, old_mods)}
         wanted = []
         for s in set_names:
             for n in FROZEN_SETS[s]:
@@ -651,17 +667,30 @@ def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> Non
             if p % 2:
                 sides.reverse()
             for side, qmap in sides:
-                tot = 0.0
-                for name in runnable:
-                    t0 = time.perf_counter()
-                    qmap[name](spark, sf_dir).write.mode("overwrite").format(
-                        "noop"
-                    ).save()
-                    dt = time.perf_counter() - t0
-                    tot += dt
-                    if dt < best[side][name]:
-                        best[side][name] = dt
-                pass_sums[side].append(round(tot, 3))
+                # swap in the side's module set + checkout path so
+                # CALL-TIME imports inside query functions resolve to
+                # the side's own code (see _load_queries_from)
+                root, mods = side_env[side]
+                _set_modules(mods)
+                sys.path.insert(0, root)
+                try:
+                    tot = 0.0
+                    for name in runnable:
+                        t0 = time.perf_counter()
+                        qmap[name](spark, sf_dir).write.mode("overwrite").format(
+                            "noop"
+                        ).save()
+                        dt = time.perf_counter() - t0
+                        tot += dt
+                        if dt < best[side][name]:
+                            best[side][name] = dt
+                    pass_sums[side].append(round(tot, 3))
+                finally:
+                    # keep any modules the side lazily imported so the
+                    # next swap-in reuses them instead of re-importing
+                    side_env[side] = (root, _grab_modules())
+                    sys.path.remove(root)
+            _set_modules(side_env["new"][1])
         ab_conf = _session_conf(spark)
         spark.stop()
 

@@ -113,6 +113,8 @@ def png_decode(payload: bytes) -> dict:
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG: bad signature")
+    if len(payload) < 33:  # sig + IHDR chunk (8 + 4+4+13+4)
+        raise ValueError("not a PNG: truncated before IHDR")
     (length,) = struct.unpack(">I", payload[8:12])
     typ = payload[12:16]
     if typ != b"IHDR" or length != 13:
@@ -175,6 +177,8 @@ def wav_meta(payload: bytes) -> dict:
         typ = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if typ == b"fmt ":
+            if pos + 24 > len(payload):
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack("<HHIIHH", payload[pos + 8 : pos + 24])
         elif typ == b"data":
             data_len = ln

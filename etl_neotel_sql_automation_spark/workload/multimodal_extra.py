@@ -421,10 +421,12 @@ def codec_roundtrip_frame(docs: DataFrame) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(1 + doc_id % 16 AS INTEGER) AS png_width,
-           CAST(1 + length(text) % 16 AS INTEGER) AS png_height,
+           CAST(1 + length(coalesce(text, '')) % 16 AS INTEGER) AS png_height,
            CAST(8000 AS INTEGER) AS wav_sample_rate,
-           CAST(1 + length(text) % 256 AS INTEGER) AS wav_n_samples,
-           CAST(44 + 2 * (1 + length(text) % 256) AS BIGINT) AS wav_n_bytes
+           CAST(1 + length(coalesce(text, '')) % 256 AS INTEGER)
+             AS wav_n_samples,
+           CAST(44 + 2 * (1 + length(coalesce(text, '')) % 256) AS BIGINT)
+             AS wav_n_bytes
     FROM documents
     ORDER BY doc_id
     """,

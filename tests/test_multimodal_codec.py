@@ -34,6 +34,15 @@ def test_png_decode_rejects_poison():
     png[18] ^= 0xFF  # corrupt a width byte -> IHDR CRC must fail
     with pytest.raises(ValueError, match="CRC"):
         M.png_decode(bytes(png))
+    # truncated payloads must raise the DOCUMENTED ValueError, never a
+    # bare struct.error (the except-ValueError caller contract)
+    with pytest.raises(ValueError, match="truncated"):
+        M.png_decode(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError, match="truncated"):
+        M.png_decode(M.make_png(4, 4)[:20])
+    with pytest.raises(ValueError, match="truncated"):
+        wav = M.make_wav(10)
+        M.wav_meta(wav[:12] + b"fmt " + wav[16:20])
 
 
 def test_wav_roundtrip_local():

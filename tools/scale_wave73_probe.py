@@ -139,7 +139,11 @@ def main() -> None:
                 raw = orders.select(
                     F.pmod(F.xxhash64(F.lit("c"), "o_orderkey"),
                            F.lit(max(150_000 * n // 15, 5))).alias("a"),
-                    (100000
+                    # the shared workload offset (GRAPH_SUPP_OFFSET):
+                    # at the 100x leg customer ids reach 1M, so the old
+                    # 100000 offset collided the keyspaces (self-loops,
+                    # merged nodes — the r9 ADVICE bug class)
+                    (1_000_000_000
                      + F.pmod(F.xxhash64(F.lit("s"), "o_orderkey"),
                               F.lit(max(150_000 * n // 150, 5)))).alias("b"),
                 ).distinct()

@@ -25,6 +25,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _META_KEYS = {
     "family", "scale", "docs", "rows", "vectors", "n", "edges",
     "orders", "events", "lineitem", "lsh_planes", "phash_quality_mod",
+    "vecs", "lines", "custs", "pairs",
 }
 
 
