@@ -43,11 +43,19 @@ _PLANES = 4
 _SPLIT_T = 8  # tables 0-7 = occasion A, 8-15 = occasion B
 
 
-def emb_capture_recapture_frame(emb: DataFrame) -> DataFrame:
+def emb_capture_recapture_frame(
+    emb: DataFrame, planes_per_table: int = _PLANES
+) -> DataFrame:
     """Frame core of dedup_embedding_capture_recapture (scaling-probe
-    entry)."""
+    entry). ``planes_per_table`` is the same 100 TB knob as
+    lsh_near_dup_pairs': bucket count (2^planes) must scale with the
+    corpus or buckets go quadratic — the ann probe's 10x leg measured
+    262 s at 50k random vectors under the fixed 4-plane default vs
+    seconds with the scaled planes the near-dup ladder itself uses.
+    The registered query keeps the default so the oracle's inlined
+    sign literals match."""
     banded = S.multi_table_buckets(
-        S._fan_out(emb), tables=_TABLES, planes_per_table=_PLANES
+        S._fan_out(emb), tables=_TABLES, planes_per_table=planes_per_table
     ).select("id", "t", "bucket")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

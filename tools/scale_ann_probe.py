@@ -71,12 +71,12 @@ def planes_for(n: int) -> int:
     return max(4, int(math.log2(max(n, 2))) - 4)
 
 
-def _emb_cr(df: DataFrame) -> DataFrame:
+def _emb_cr(df: DataFrame, planes: int) -> DataFrame:
     from etl_neotel_sql_automation_spark.workload.wave78 import (
         emb_capture_recapture_frame,
     )
 
-    return emb_capture_recapture_frame(df)
+    return emb_capture_recapture_frame(df, planes_per_table=planes)
 
 
 def ops_for(scale: int):
@@ -93,8 +93,10 @@ def ops_for(scale: int):
         ),
         # r10: the wave-78 Chapman coverage audit over the 16-table
         # hyperplane index — candidates + bounded cosine verification +
-        # 1-row estimator; should track lsh_near_dup's growth
-        "emb_capture_recapture": _emb_cr,
+        # 1-row estimator; rides the SAME planes-scale knob as
+        # lsh_near_dup (fixed 4-plane buckets measured 262 s at the 10x
+        # leg — the quadratic fat-bucket mode the knob exists to avoid)
+        "emb_capture_recapture": lambda df: _emb_cr(df, planes_for(n)),
     }
 
 
