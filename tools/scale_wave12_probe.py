@@ -104,6 +104,10 @@ def synth_documents(spark: SparkSession, n_docs: int) -> DataFrame:
         F.concat(
             F.lit("src"), F.pmod(F.xxhash64(F.lit("g"), "doc_id"), F.lit(20))
         ).alias("source"),
+        # the real documents table carries n_chars; consumers like
+        # conformal_bounds_frame read it (the wave41 probe leg failed
+        # without it)
+        F.length(F.concat_ws(" ", "text", suffix)).cast("long").alias("n_chars"),
     )
 
 
