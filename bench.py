@@ -662,7 +662,16 @@ def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> Non
         best = {"new": dict.fromkeys(runnable, float("inf")),
                 "old": dict.fromkeys(runnable, float("inf"))}
         pass_sums: dict[str, list[float]] = {"new": [], "old": []}
-        for p in range(n_passes):
+        # Pass -1 is UNTIMED, once per side: the first execution of each
+        # query pays whole-stage codegen compilation for every plan the
+        # session hasn't seen, and that cost lands on whichever side
+        # runs first. The r10 inaugural run proved it: without the warm
+        # pass, per-pass sums fell 258.7 -> 211.5 s across the session
+        # and the side leading 2-of-3 passes read 7-15% "slower" on
+        # UNTOUCHED queries. Keep n_passes EVEN so each side leads
+        # equally (odd counts re-introduce the bias the warm pass
+        # doesn't cover).
+        for p in range(-1, n_passes):
             sides = [("new", new_qs), ("old", old_qs)]
             if p % 2:
                 sides.reverse()
@@ -682,9 +691,10 @@ def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> Non
                         ).save()
                         dt = time.perf_counter() - t0
                         tot += dt
-                        if dt < best[side][name]:
+                        if p >= 0 and dt < best[side][name]:
                             best[side][name] = dt
-                    pass_sums[side].append(round(tot, 3))
+                    if p >= 0:
+                        pass_sums[side].append(round(tot, 3))
                 finally:
                     # keep any modules the side lazily imported so the
                     # next swap-in reuses them instead of re-importing
@@ -706,7 +716,10 @@ def ab_main(ref: str, out_path: str, n_passes: int, set_names: list[str]) -> Non
                 "n_queries": len(names),
             }
         record = {
-            "protocol": "same-session alternating passes, best-of-N per query",
+            "protocol": (
+                "same-session alternating passes, best-of-N per query, "
+                "one untimed warm pass per side, alternating lead"
+            ),
             "old_ref": ref,
             "old_sha": sha,
             "passes": n_passes,
@@ -751,7 +764,7 @@ def _cli() -> None:
 
     ref = _take("--ab")
     out = _take("--ab-out", "ABDRIFT.json")
-    n_passes = int(_take("--ab-passes", "3"))
+    n_passes = int(_take("--ab-passes", "4"))
     sets = _take("--ab-sets", "stable27,stable33,stable37,stable155,stable190")
     if ref:
         ab_main(ref, out, n_passes, [s for s in sets.split(",") if s])
