@@ -375,6 +375,11 @@ CONSTRUCT_SPLIT = {
     # r10: the wave-78 audit checkpoints its banded candidate frame at
     # construct (the wave71 lesson)
     "dedup_embedding_capture_recapture",
+    # r11 (ADVICE): r10 added eager construct-time checkpoints to the
+    # triangle edge/degree frames and the BFS rounds without adding
+    # them here — the exact conflation this set exists to prevent
+    "graph_triangle_count",
+    "graph_closeness_bfs",
 }
 
 

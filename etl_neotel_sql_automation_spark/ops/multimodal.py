@@ -176,6 +176,14 @@ def wav_meta(payload: bytes) -> dict:
     while pos + 8 <= len(payload):
         typ = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(payload):
+            # declared chunk body runs past the payload — a truncated
+            # file with an intact header must raise (the png_decode
+            # poison-input contract), not report phantom samples
+            raise ValueError(
+                f"WAV chunk {typ!r} truncated: declares {ln} bytes at "
+                f"offset {pos + 8}, payload is {len(payload)}"
+            )
         if typ == b"fmt ":
             if pos + 24 > len(payload):
                 raise ValueError("WAV fmt chunk truncated")

@@ -233,20 +233,24 @@ def _collect_train_sample(
     corpus: DataFrame, id_col: str, vec_col: str, train_fraction: float | None
 ):
     """Hash-sampled vectors collected for a local fit, with a hard cap
-    guarding the driver: at 100 TB ``train_fraction`` must be sized so
-    the sample is trainer-RAM-bounded (FAISS practice: ~1e5-1e6 vectors
-    regardless of corpus size)."""
+    guarding the driver: at 100 TB the sample must be trainer-RAM-
+    bounded (FAISS practice: ~1e5-1e6 vectors regardless of corpus
+    size). When the requested sample exceeds the cap, it is NOT an
+    error (r10 ADVICE: raising made the registered queries a
+    scalability regression past SF~10) — the cap is enforced by a
+    deterministic distributed top-k on xxhash64(id): a uniform
+    exactly-``_LOCAL_TRAIN_CAP``-row subsample, reproducible across
+    runs, partitionings and appends (the hash_sample property), at the
+    cost of one TakeOrdered instead of a collect-limit. Rows also come
+    back in hash order, pinning the k-means++ seed sequence that a
+    bare limit() left to scan order."""
     rows = (
         hash_sample(corpus, id_col, train_fraction)
-        .select(_to_double(vec_col).alias("v"))
-        .limit(_LOCAL_TRAIN_CAP + 1)
+        .select(F.xxhash64(F.col(id_col)).alias("_hk"), _to_double(vec_col).alias("v"))
+        .orderBy("_hk", "v")
+        .limit(_LOCAL_TRAIN_CAP)
         .collect()
     )
-    if len(rows) > _LOCAL_TRAIN_CAP:
-        raise ValueError(
-            f"local-backend training sample exceeds {_LOCAL_TRAIN_CAP} rows; "
-            "lower train_fraction (the sample must be trainer-RAM-sized)"
-        )
     return [r.v for r in rows]
 
 

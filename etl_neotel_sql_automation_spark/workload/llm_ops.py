@@ -1099,7 +1099,15 @@ def sim_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) ANN under a derived-property
+    """THE single deliberate pyspark.ml-KMeans recall baseline — by
+    r10 VERDICT #3 decision this is the ONLY registered query allowed
+    to train a quantizer through the ml backend (its distributed-fit
+    coverage cost, ~13 s at sf0.1, is the price of keeping one
+    ml-trainer recall reference alive; every other trainer-bearing
+    query uses the capped local fit, and
+    tests/test_ml_trainer_baseline.py enforces exactly this set).
+
+    IVF (k-means coarse quantizer) ANN under a derived-property
     oracle: k-means centroids are engine-specific so the ANN rows
     cannot be hash-compared, but their quality can — the query runs
     IVF top-5 AND the exact brute-force top-5 over the same 10 query
@@ -1178,8 +1186,10 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Trainer: full-corpus TRAINING DATA (this is the recall baseline —
     no sample) through the capped LOCAL fit (_kmeans_local; the corpus
-    is below _LOCAL_TRAIN_CAP at every test SF, and the cap raises
-    loudly past it). The previous full pyspark.ml fit spent ~25 s at
+    is below _LOCAL_TRAIN_CAP at every test SF, and past it the cap
+    deterministically downsamples to the trainer-RAM bound, so the
+    query keeps running at any SF). The previous full pyspark.ml fit
+    spent ~25 s at
     sf0.1 on 8 codebooks × 20 tiny per-iteration jobs over 2k vectors
     — pure scheduler overhead, no statistical benefit (r9 VERDICT #1).
     ADC scan and exact re-rank stay full-corpus and distributed."""

@@ -45,6 +45,19 @@ def test_png_decode_rejects_poison():
         M.wav_meta(wav[:12] + b"fmt " + wav[16:20])
 
 
+def test_wav_meta_rejects_truncated_data_chunk():
+    """A truncated WAV with an intact header must raise, not report
+    phantom samples from the declared-but-absent data bytes (r10
+    ADVICE: the chunk walk previously trusted the declared length)."""
+    wav = M.make_wav(100)
+    with pytest.raises(ValueError, match="truncated"):
+        M.wav_meta(wav[:-50])
+    # truncation INSIDE the chunk header (fewer than 8 bytes left) is
+    # also a walk exit, not a crash: fmt/data then read as missing
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        M.wav_meta(wav[:14])
+
+
 def test_wav_roundtrip_local():
     for n, rate, ch in [(1, 8000, 1), (255, 16000, 2), (1000, 44100, 1)]:
         wav = M.make_wav(n, sample_rate=rate, n_channels=ch)

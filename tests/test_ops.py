@@ -673,18 +673,30 @@ def test_local_kmeans_deterministic_and_complete():
 
 
 def test_local_train_sample_cap_guard(spark):
-    """train_backend='local' must refuse a sample larger than the
-    trainer cap instead of silently collecting it to the driver."""
-    import pytest as _pytest
-
+    """train_backend='local' never collects more than the trainer cap:
+    an over-cap sample is downsampled to EXACTLY the cap by a
+    deterministic hash-order top-k (r10 ADVICE: raising here made the
+    registered local-backend queries stop working past SF~10), and the
+    result is reproducible across partitionings."""
     big = spark.range(300_000).select(
-        F.col("id").alias("vec_id"), F.array(F.lit(1.0)).alias("embedding")
+        F.col("id").alias("vec_id"),
+        F.array((F.col("id") % 97).cast("double")).alias("embedding"),
     )
     old = S._LOCAL_TRAIN_CAP
     try:
         S._LOCAL_TRAIN_CAP = 1000
-        with _pytest.raises(ValueError, match="lower train_fraction"):
-            S._collect_train_sample(big, "vec_id", "embedding", 0.5)
+        a = S._collect_train_sample(big, "vec_id", "embedding", 0.5)
+        assert len(a) == 1000
+        b = S._collect_train_sample(
+            big.repartition(7, "vec_id"), "vec_id", "embedding", 0.5
+        )
+        assert a == b  # partitioning-independent, order included
+        # under the cap: every sampled row comes back, no truncation
+        small = spark.range(500).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("double")).alias("embedding"),
+        )
+        assert len(S._collect_train_sample(small, "vec_id", "embedding", None)) == 500
     finally:
         S._LOCAL_TRAIN_CAP = old
 

@@ -42,6 +42,31 @@ def test_every_heavy_query_has_probe_row():
     assert not thin, f"heavy queries probed at fewer than 2 scales: {thin}"
 
 
+def test_record_contract_rejects_non_timings(tmp_path, monkeypatch):
+    """r10 ADVICE: the legs dict is an explicit timings-only contract —
+    a count or knob passed as a leg raises instead of silently landing
+    in the regression-tripwire file as seconds."""
+    import pytest
+
+    from tools import scaling_record as SR
+
+    monkeypatch.setattr(SR, "_ROOT", str(tmp_path))
+    SR.record("t", 10, {"q": 1.5, "split": {"construct": 0.5, "exec": 1.0}})
+    data = _load(tmp_path / "SCALING_t.json")
+    assert data == {
+        "q": {"10": 1.5},
+        "split.construct": {"10": 0.5},
+        "split.exec": {"10": 1.0},
+    }
+    # merge-update: a second scale refreshes its column only
+    SR.record("t", 1, {"q": 0.2})
+    assert _load(tmp_path / "SCALING_t.json")["q"] == {"1": 0.2, "10": 1.5}
+    with pytest.raises(TypeError, match="timings only"):
+        SR.record("t", 1, {"knob": "planes=8"})
+    with pytest.raises(TypeError, match="timings only"):
+        SR.record("t", 1, {"split": {"rows": [1, 2]}})
+
+
 def test_scaling_json_shape():
     for path in glob.glob(os.path.join(REPO, "SCALING_*.json")):
         data = _load(path)

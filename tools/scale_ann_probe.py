@@ -121,7 +121,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
-        record("ann", {"scale": scale, **times})
+        record("ann", scale, times)
         print(
             json.dumps(
                 {
@@ -168,8 +168,8 @@ def main() -> None:
                 best_tot, best_c = t2 - t0, t1 - t0
         record(
             "ann",
+            scale,
             {
-                "scale": scale,
                 "ivf_pq_sampled_local": {
                     "construct": round(best_c, 2),
                     "exec": round(best_tot - best_c, 2),

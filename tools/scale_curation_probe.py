@@ -97,7 +97,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
-        record("curation", {"scale": scale, **times})
+        record("curation", scale, times)
         print(
             json.dumps(
                 {

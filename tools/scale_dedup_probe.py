@@ -101,7 +101,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
-        record("dedup", {"scale": scale, **times})
+        record("dedup", scale, times)
         print(json.dumps({"scale": scale, "docs": BASE_DOCS * scale, **times}))
 
     if len(results) > 1:

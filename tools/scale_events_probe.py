@@ -93,7 +93,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name] = round(best, 2)
         results[scale] = times
-        record("events", {"scale": scale, **times})
+        record("events", scale, times)
         print(json.dumps({"scale": scale, "rows": BASE_ROWS * scale, **times}))
 
     if len(results) > 1:

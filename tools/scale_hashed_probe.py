@@ -111,7 +111,7 @@ def main() -> None:
         fp_row = bloom_fp_frame(docs, bits=bloom_bits).collect()[0]
         times["bloom_fp_meter"] = round(time.perf_counter() - t0, 2)
         results[scale] = times
-        record("hashed", {"scale": scale, **times})
+        record("hashed", scale, times)
         print(
             json.dumps(
                 {

@@ -53,14 +53,19 @@ def main() -> None:
         "sum(l_quantity)"
     ).collect()
     for sf_dir, scale in SF_SCALES.items():
-        res: dict[str, float] = {"scale": scale}
+        # one untimed warm query per SF (r10 VERDICT #4): without it
+        # the first timed entry absorbs the SF's codegen/scan warm-up
+        # and the record inverts (dedup_canonical_docs read 6.5 s at
+        # 1x vs 5.5 s at 10x in the r10 file)
+        qs[names[0]](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        legs: dict[str, float] = {}
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            res[name] = round(time.perf_counter() - t0, 2)
-            print(f"  {name} @ {scale}x: {res[name]}s", flush=True)
-        record("registry", res)
-        print(json.dumps(res), flush=True)
+            legs[name] = round(time.perf_counter() - t0, 2)
+            print(f"  {name} @ {scale}x: {legs[name]}s", flush=True)
+        record("registry", scale, legs)
+        print(json.dumps({"scale": scale, **legs}), flush=True)
     spark.stop()
 
 

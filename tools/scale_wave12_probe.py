@@ -131,20 +131,21 @@ def main() -> None:
         orders = synth_orders(spark, BASE_ORDERS * n, BASE_CUSTS * n)
         li = synth_lineitem(spark, BASE_LINES * n)
         docs = synth_documents(spark, BASE_DOCS * n)
+        legs: dict = {}
         res = {"scale": n, "orders": BASE_ORDERS * n, "lines": BASE_LINES * n,
                "docs": BASE_DOCS * n}
-        res["psi_drift"] = run(f"psi_drift {n}x", psi_drift_frame(orders))
-        res["bootstrap_ci"] = run(f"bootstrap_ci {n}x", bootstrap_ci_frame(orders))
-        res["cohens_kappa"] = run(f"cohens_kappa {n}x", cohens_kappa_frame(li))
-        res["calibration"] = run(
+        legs["psi_drift"] = run(f"psi_drift {n}x", psi_drift_frame(orders))
+        legs["bootstrap_ci"] = run(f"bootstrap_ci {n}x", bootstrap_ci_frame(orders))
+        legs["cohens_kappa"] = run(f"cohens_kappa {n}x", cohens_kappa_frame(li))
+        legs["calibration"] = run(
             f"calibration {n}x", calibration_bins_frame(docs)
         )
-        res["info_gain"] = run(f"info_gain {n}x", info_gain_frame(docs))
-        res["zorder_layout"] = run(
+        legs["info_gain"] = run(f"info_gain {n}x", info_gain_frame(docs))
+        legs["zorder_layout"] = run(
             f"zorder_layout {n}x", zorder_layout_frame(orders)
         )
-        record("wave12", res)
-        print(json.dumps(res), flush=True)
+        record("wave12", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

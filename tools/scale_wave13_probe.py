@@ -89,24 +89,25 @@ def main() -> None:
         ka = synth_keys(spark, BASE_ORDERS * n, BASE_ORDERS * n, "a")
         kb = synth_keys(spark, BASE_LINES * n, BASE_ORDERS * n, "b")
         docs = synth_documents(spark, BASE_DOCS * n)
+        legs: dict = {}
         res = {"scale": n, "orders": BASE_ORDERS * n, "lines": BASE_LINES * n,
                "docs": BASE_DOCS * n}
-        res["wasserstein"] = run(f"wasserstein {n}x", wasserstein_frame(orders))
-        res["ks_drift"] = run(f"ks_drift {n}x", ks_drift_frame(orders))
-        res["mann_whitney"] = run(
+        legs["wasserstein"] = run(f"wasserstein {n}x", wasserstein_frame(orders))
+        legs["ks_drift"] = run(f"ks_drift {n}x", ks_drift_frame(orders))
+        legs["mann_whitney"] = run(
             f"mann_whitney {n}x", mann_whitney_frame(orders_p)
         )
-        res["join_size"] = run(
+        legs["join_size"] = run(
             f"join_size {n}x", join_size_estimate_frame(ka, kb)
         )
-        res["lexical_diversity"] = run(
+        legs["lexical_diversity"] = run(
             f"lexical_diversity {n}x", lexical_diversity_frame(docs)
         )
-        res["ngram_coverage"] = run(
+        legs["ngram_coverage"] = run(
             f"ngram_coverage {n}x", ngram_coverage_frame(docs)
         )
-        record("wave13", res)
-        print(json.dumps(res), flush=True)
+        record("wave13", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

@@ -59,17 +59,18 @@ def main() -> None:
     for n in scales:
         orders = synth_orders(spark, BASE_ORDERS * n, BASE_CUSTS * n)
         docs = synth_documents(spark, BASE_DOCS * n)
+        legs: dict = {}
         res = {"scale": n, "orders": BASE_ORDERS * n, "docs": BASE_DOCS * n}
-        res["oov_rate"] = run(f"oov_rate {n}x", oov_rate_frame(docs))
-        res["sequential_gaps"] = run(
+        legs["oov_rate"] = run(f"oov_rate {n}x", oov_rate_frame(docs))
+        legs["sequential_gaps"] = run(
             f"sequential_gaps {n}x", sequential_gaps_frame(orders)
         )
-        res["interarrival"] = run(
+        legs["interarrival"] = run(
             f"interarrival {n}x", interarrival_quartiles_frame(orders)
         )
-        res["dedup_impact"] = run(f"dedup_impact {n}x", dedup_impact_frame(docs))
-        record("wave15", res)
-        print(json.dumps(res), flush=True)
+        legs["dedup_impact"] = run(f"dedup_impact {n}x", dedup_impact_frame(docs))
+        record("wave15", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

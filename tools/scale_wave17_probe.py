@@ -171,20 +171,21 @@ def main() -> None:
         supp = synth_keyed_nation(
             spark, BASE_SUPPS * n, "s_suppkey", "s_nationkey"
         )
+        legs: dict = {}
         res = {"scale": n, "orders": BASE_ORDERS * n, "lines": BASE_LINES * n,
                "docs": BASE_DOCS * n}
-        res["water_filling"] = run(
+        legs["water_filling"] = run(
             f"water_filling {n}x", water_filling_frame(docs)
         )
-        res["rfm_migration"] = run(
+        legs["rfm_migration"] = run(
             f"rfm_migration {n}x", rfm_migration_frame(orders)
         )
-        res["spearman"] = run(f"spearman {n}x", spearman_frame(li))
-        res["kruskal"] = run(f"kruskal {n}x", kruskal_wallis_frame(orders))
-        res["modularity"] = run(
+        legs["spearman"] = run(f"spearman {n}x", spearman_frame(li))
+        legs["kruskal"] = run(f"kruskal {n}x", kruskal_wallis_frame(orders))
+        legs["modularity"] = run(
             f"modularity {n}x", modularity_frame(orders, li, cust, supp, nation)
         )
-        res["coding_length"] = run(
+        legs["coding_length"] = run(
             f"coding_length {n}x", coding_length_frame(docs)
         )
         # wave-18 legs: the orphan audit over the 4 heavy edges the
@@ -197,7 +198,7 @@ def main() -> None:
         )
         nation_fk = nation.withColumn("n_regionkey", F.lit(0).cast("int"))
         region = spark.range(1).selectExpr("CAST(id AS INT) AS r_regionkey")
-        res["orphans"] = run(
+        legs["orphans"] = run(
             f"orphans {n}x",
             referential_orphans_frame(
                 {
@@ -224,20 +225,20 @@ def main() -> None:
             .cast("array<float>")
             .alias("embedding"),
         )
-        res["anisotropy"] = run(f"anisotropy {n}x", anisotropy_frame(emb))
-        res["holt"] = run(f"holt {n}x", holt_linear_frame(orders))
+        legs["anisotropy"] = run(f"anisotropy {n}x", anisotropy_frame(emb))
+        legs["holt"] = run(f"holt {n}x", holt_linear_frame(orders))
         # wave-19 legs
-        res["knapsack"] = run(f"knapsack {n}x", greedy_knapsack_frame(docs))
-        res["sensitivity"] = run(
+        legs["knapsack"] = run(f"knapsack {n}x", greedy_knapsack_frame(docs))
+        legs["sensitivity"] = run(
             f"sensitivity {n}x", sensitivity_audit_frame(orders)
         )
-        res["theil"] = run(
+        legs["theil"] = run(
             f"theil {n}x",
             theil_frame(
                 orders, cust.withColumn("c_name", F.lit("c"))
             ),
         )
-        res["seasonal"] = run(
+        legs["seasonal"] = run(
             f"seasonal {n}x", seasonal_decompose_frame(orders)
         )
         # wave-20 legs: events-shaped synthetic for the experimentation
@@ -263,10 +264,10 @@ def main() -> None:
                 "value"
             ),
         )
-        res["cuped"] = run(f"cuped {n}x", cuped_frame(ev))
-        res["power_mde"] = run(f"power_mde {n}x", power_mde_frame(ev))
-        res["hill"] = run(f"hill {n}x", hill_frame(orders))
-        res["best_split"] = run(f"best_split {n}x", best_split_frame(orders))
+        legs["cuped"] = run(f"cuped {n}x", cuped_frame(ev))
+        legs["power_mde"] = run(f"power_mde {n}x", power_mde_frame(ev))
+        legs["hill"] = run(f"hill {n}x", hill_frame(orders))
+        legs["best_split"] = run(f"best_split {n}x", best_split_frame(orders))
         # wave-21/22/23/24 legs: the events synthetic needs purchase
         # AND signup types for the funnel; lineitem needs flags/dates
         # for the p-chart
@@ -296,24 +297,24 @@ def main() -> None:
                 * 1_000_000
             ),
         )
-        res["dup_payments"] = run(
+        legs["dup_payments"] = run(
             f"dup_payments {n}x", duplicate_payments_frame(orders)
         )
-        res["pchart"] = run(f"pchart {n}x", pchart_frame(li_pc))
-        res["funnel_latency"] = run(
+        legs["pchart"] = run(f"pchart {n}x", pchart_frame(li_pc))
+        legs["funnel_latency"] = run(
             f"funnel_latency {n}x", funnel_latency_frame(ev2)
         )
-        res["seasonal_anomaly"] = run(
+        legs["seasonal_anomaly"] = run(
             f"seasonal_anomaly {n}x", seasonal_anomaly_frame(orders)
         )
-        res["markov"] = run(f"markov {n}x", markov_stationary_frame(ev))
-        res["binary_rerank"] = run(
+        legs["markov"] = run(f"markov {n}x", markov_stationary_frame(ev))
+        legs["binary_rerank"] = run(
             f"binary_rerank {n}x", binary_rerank_frame(emb)
         )
-        res["pareto_nbd"] = run(f"pareto_nbd {n}x", pareto_nbd_frame(orders))
+        legs["pareto_nbd"] = run(f"pareto_nbd {n}x", pareto_nbd_frame(orders))
         # wave-25/26/27/29 legs
-        res["nrr"] = run(f"nrr {n}x", nrr_frame(orders))
-        res["scorecard"] = run(
+        legs["nrr"] = run(f"nrr {n}x", nrr_frame(orders))
+        legs["scorecard"] = run(
             f"scorecard {n}x",
             scorecard_frame(
                 li_pc.withColumn(
@@ -323,27 +324,27 @@ def main() -> None:
                 )
             ),
         )
-        res["stickiness"] = run(f"stickiness {n}x", stickiness_frame(ev))
-        res["sprt"] = run(f"sprt {n}x", sprt_frame(ev))
-        res["weekday_mix"] = run(
+        legs["stickiness"] = run(f"stickiness {n}x", stickiness_frame(ev))
+        legs["sprt"] = run(f"sprt {n}x", sprt_frame(ev))
+        legs["weekday_mix"] = run(
             f"weekday_mix {n}x", weekday_concentration_frame(orders)
         )
-        res["contrastive"] = run(
+        legs["contrastive"] = run(
             f"contrastive {n}x", contrastive_pairs_frame(docs)
         )
-        res["rolling_median"] = run(
+        legs["rolling_median"] = run(
             f"rolling_median {n}x", rolling_median_frame(orders)
         )
-        res["pvm"] = run(f"pvm {n}x", pvm_frame(orders))
-        res["mlm_masking"] = run(f"mlm_masking {n}x", mlm_masking_frame(docs))
+        legs["pvm"] = run(f"pvm {n}x", pvm_frame(orders))
+        legs["mlm_masking"] = run(f"mlm_masking {n}x", mlm_masking_frame(docs))
         # wave-31 legs: metric layers over the rerank path (the added
         # work vs binary_rerank is one 50-row join + a 10-row window)
-        res["rank_metrics"] = run(
+        legs["rank_metrics"] = run(
             f"rank_metrics {n}x", rank_metrics_frame(emb)
         )
-        res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
-        record("wave17", res)
-        print(json.dumps(res), flush=True)
+        legs["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        record("wave17", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

@@ -164,44 +164,45 @@ def main() -> None:
     )
     for n in scales:
         emb = synth_emb(spark, 60_000 * n)
+        legs: dict = {}
         res = {"scale": n, "vecs": 60_000 * n}
-        res["rank_metrics"] = run(
+        legs["rank_metrics"] = run(
             f"rank_metrics {n}x", rank_metrics_frame(emb)
         )
-        res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
-        res["rank_metrics_sampled"] = run(
+        legs["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        legs["rank_metrics_sampled"] = run(
             f"rank_metrics_sampled {n}x", rank_metrics_sampled_frame(emb)
         )
-        res["pr_curve_sampled"] = run(
+        legs["pr_curve_sampled"] = run(
             f"pr_curve_sampled {n}x", pr_curve_sampled_frame(emb)
         )
         docs = synth_documents(spark, 5_000 * n).localCheckpoint()
         res["docs"] = 5_000 * n
-        res["brier"] = run(f"brier {n}x", brier_decomposition_frame(docs))
-        res["charset"] = run(f"charset {n}x", charset_profile_frame(docs))
+        legs["brier"] = run(f"brier {n}x", brier_decomposition_frame(docs))
+        legs["charset"] = run(f"charset {n}x", charset_profile_frame(docs))
         li = synth_li_sparse(spark, 600_000 * n)
-        res["croston"] = run(f"croston {n}x", croston_frame(li))
+        legs["croston"] = run(f"croston {n}x", croston_frame(li))
         ev = synth_events(spark, 200_000 * n)
-        res["markov_attr"] = run(
+        legs["markov_attr"] = run(
             f"markov_attr {n}x", markov_attribution_frame(ev)
         )
-        res["jl_distortion"] = run(
+        legs["jl_distortion"] = run(
             f"jl_distortion {n}x", jl_distortion_frame(emb)
         )
         orders = synth_orders_like(spark, 60_000 * n)
-        res["hilbert_layout"] = run(
+        legs["hilbert_layout"] = run(
             f"hilbert_layout {n}x", hilbert_layout_frame(orders)
         )
-        res["gate_sweep"] = run(f"gate_sweep {n}x", gate_sweep_frame(docs))
-        res["length_buckets"] = run(
+        legs["gate_sweep"] = run(f"gate_sweep {n}x", gate_sweep_frame(docs))
+        legs["length_buckets"] = run(
             f"length_buckets {n}x", length_bucket_frame(docs)
         )
-        res["holt_winters"] = run(
+        legs["holt_winters"] = run(
             f"holt_winters {n}x", holt_winters_frame(orders)
         )
-        res["fertility"] = run(f"fertility {n}x", fertility_frame(docs))
-        res["ses_sweep"] = run(f"ses_sweep {n}x", ses_sweep_frame(orders))
-        res["gen_ladder"] = run(
+        legs["fertility"] = run(f"fertility {n}x", fertility_frame(docs))
+        legs["ses_sweep"] = run(f"ses_sweep {n}x", ses_sweep_frame(orders))
+        legs["gen_ladder"] = run(
             f"gen_ladder {n}x", generalization_ladder_frame(orders)
         )
         orders_p = orders.withColumn(
@@ -219,7 +220,7 @@ def main() -> None:
             F.pmod(F.xxhash64(F.lit("tp"), "o_orderkey"), F.lit(5_000_000))
             / 100.0,
         )
-        res["shapley"] = run(
+        legs["shapley"] = run(
             f"shapley {n}x", shapley_airport_frame(orders_p)
         )
         li2 = synth_li_sparse(spark, 600_000 * n).withColumn(
@@ -227,9 +228,9 @@ def main() -> None:
             F.pmod(F.xxhash64(F.lit("xp"), "l_partkey"), F.lit(1_000_000))
             / 100.0,
         )
-        res["abc_xyz"] = run(f"abc_xyz {n}x", abc_xyz_frame(li2))
-        record("wave31", res)
-        print(json.dumps(res), flush=True)
+        legs["abc_xyz"] = run(f"abc_xyz {n}x", abc_xyz_frame(li2))
+        record("wave31", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

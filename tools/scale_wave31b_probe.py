@@ -40,19 +40,20 @@ def main() -> None:
     )
     for n in scales:
         emb = synth_emb(spark, 60_000 * n)
+        legs: dict = {}
         res = {"scale": n, "vecs": 60_000 * n}
-        res["rank_metrics"] = run(
+        legs["rank_metrics"] = run(
             f"rank_metrics {n}x", rank_metrics_frame(emb)
         )
-        res["rank_metrics_sampled"] = run(
+        legs["rank_metrics_sampled"] = run(
             f"rank_metrics_sampled {n}x", rank_metrics_sampled_frame(emb)
         )
-        res["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
-        res["pr_curve_sampled"] = run(
+        legs["pr_curve"] = run(f"pr_curve {n}x", pr_curve_frame(emb))
+        legs["pr_curve_sampled"] = run(
             f"pr_curve_sampled {n}x", pr_curve_sampled_frame(emb)
         )
-        record("wave31b", res)
-        print(json.dumps(res), flush=True)
+        record("wave31b", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
     spark.stop()
 
 

@@ -37,19 +37,20 @@ def main() -> None:
     )
     for n in scales:
         orders = synth_orders_like(spark, 60_000 * n).localCheckpoint()
+        legs: dict = {}
         res = {"scale": n, "rows": 60_000 * n}
-        res["simulation"] = run(
+        legs["simulation"] = run(
             f"layout_sim {n}x", hilbert_layout_frame(orders)
         )
-        res["deployed"] = run(
+        legs["deployed"] = run(
             f"layout_deployed {n}x", hilbert_layout_deployed_frame(orders)
         )
         res["ladder"] = {
             r["layout"]: [r["n_files"], r["files_scanned"]]
             for r in hilbert_layout_deployed_frame(orders).collect()
         }
-        record("wave36b", res)
-        print(json.dumps(res), flush=True)
+        record("wave36b", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
     spark.stop()
 
 

@@ -83,26 +83,27 @@ def main() -> None:
             shuffle_partitions=32,
         )
         for n in scales:
+            legs: dict = {}
             res = {"family": family, "scale": n}
             if family == "events":
                 ev = synth_events(spark, 200_000 * n).localCheckpoint()
                 res["events"] = 200_000 * n
-                res["experiment_e2e"] = run(
+                legs["experiment_e2e"] = run(
                     f"experiment_e2e {n}x", experiment_pipeline_frame(ev)
                 )
-                res["srm"] = run(f"srm {n}x", srm_frame(ev))
-                res["did"] = run(f"did {n}x", did_frame(ev))
+                legs["srm"] = run(f"srm {n}x", srm_frame(ev))
+                legs["did"] = run(f"did {n}x", did_frame(ev))
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
-                res["split_leakage"] = run(
+                legs["split_leakage"] = run(
                     f"split_leakage {n}x", split_leakage_frame(docs)
                 )
-                res["threshold_sweep"] = run(
+                legs["threshold_sweep"] = run(
                     f"threshold_sweep {n}x",
                     dedup_threshold_sweep_frame(docs),
                 )
-                res["conformal"] = run(
+                legs["conformal"] = run(
                     f"conformal {n}x", conformal_bounds_frame(docs)
                 )
             else:
@@ -110,12 +111,12 @@ def main() -> None:
                     spark, 60_000 * n
                 )
                 res["orders"] = 60_000 * n
-                res["reconcile"] = run(
+                legs["reconcile"] = run(
                     f"reconcile {n}x",
                     reconcile_hierarchy_frame(orders, cust, nation, region),
                 )
-            record("wave41", res)
-            print(json.dumps(res), flush=True)
+            record("wave41", res["scale"], legs)
+            print(json.dumps({**res, **legs}), flush=True)
         spark.stop()
 
 

@@ -114,43 +114,44 @@ def main() -> None:
             shuffle_partitions=32,
         )
         for n in scales:
+            legs: dict = {}
             res = {"family": family, "scale": n}
             if family == "events":
                 ev = synth_events(spark, 200_000 * n).localCheckpoint()
                 res["events"] = 200_000 * n
-                res["anova_f"] = run(f"anova_f {n}x", lambda: anova_frame(ev))
-                res["qini"] = run(f"qini {n}x", lambda: qini_frame(ev))
-                res["tukey"] = run(f"tukey {n}x", lambda: tukey_frame(ev))
-                res["permutation"] = run(
+                legs["anova_f"] = run(f"anova_f {n}x", lambda: anova_frame(ev))
+                legs["qini"] = run(f"qini {n}x", lambda: qini_frame(ev))
+                legs["tukey"] = run(f"tukey {n}x", lambda: tukey_frame(ev))
+                legs["permutation"] = run(
                     f"permutation {n}x", lambda: permutation_test_frame(ev)
                 )
-                res["ips"] = run(f"ips {n}x", lambda: ips_frame(ev))
-                res["cluster_se"] = run(
+                legs["ips"] = run(f"ips {n}x", lambda: ips_frame(ev))
+                legs["cluster_se"] = run(
                     f"cluster_se {n}x", lambda: cluster_se_frame(ev)
                 )
-                res["event_study"] = run(
+                legs["event_study"] = run(
                     f"event_study {n}x", lambda: event_study_frame(ev)
                 )
-                res["bh_fdr"] = run(
+                legs["bh_fdr"] = run(
                     f"bh_fdr {n}x", lambda: bh_fdr_frame(ev)
                 )
-                res["neyman"] = run(
+                legs["neyman"] = run(
                     f"neyman {n}x", lambda: neyman_frame(ev)
                 )
             elif family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
                 res["docs"] = 5_000 * n
-                res["roc_auc"] = run(f"roc_auc {n}x", lambda: roc_auc_frame(docs))
-                res["isotonic"] = run(
+                legs["roc_auc"] = run(f"roc_auc {n}x", lambda: roc_auc_frame(docs))
+                legs["isotonic"] = run(
                     f"isotonic {n}x", lambda: isotonic_frame(docs)
                 )
-                res["heaps"] = run(f"heaps {n}x", lambda: heaps_frame(docs))
-                res["dispersion"] = run(
+                legs["heaps"] = run(f"heaps {n}x", lambda: heaps_frame(docs))
+                legs["dispersion"] = run(
                     f"dispersion {n}x", lambda: dispersion_frame(docs)
                 )
                 # heaviest leg: ~96 s at 100x on a dedicated run —
                 # give it its own invocation when sweeping all scales
-                res["capture_recapture"] = run(
+                legs["capture_recapture"] = run(
                     f"capture_recapture {n}x",
                     lambda: capture_recapture_frame(docs),
                 )
@@ -158,12 +159,12 @@ def main() -> None:
                 orders, cust, nation = synth_corr_star(spark, 60_000 * n)
                 orders = orders.localCheckpoint()
                 res["orders"] = 60_000 * n
-                res["cross_corr"] = run(
+                legs["cross_corr"] = run(
                     f"cross_corr {n}x",
                     lambda: cross_corr_frame(orders, cust, nation),
                 )
-                res["pacf"] = run(f"pacf {n}x", lambda: pacf_frame(orders))
-                res["littles"] = run(
+                legs["pacf"] = run(f"pacf {n}x", lambda: pacf_frame(orders))
+                legs["littles"] = run(
                     f"littles {n}x",
                     lambda: littles_frame(
                         orders.select(
@@ -184,7 +185,7 @@ def main() -> None:
                         ),
                     ),
                 )
-                res["energy"] = run(
+                legs["energy"] = run(
                     f"energy {n}x",
                     lambda: energy_distance_frame(
                         orders.withColumn(
@@ -203,11 +204,11 @@ def main() -> None:
             else:
                 li = synth_lineitem(spark, 240_000 * n).localCheckpoint()
                 res["lineitem"] = 240_000 * n
-                res["ols"] = run(f"ols {n}x", lambda: ols_frame(li))
-                res["elasticity"] = run(
+                legs["ols"] = run(f"ols {n}x", lambda: ols_frame(li))
+                legs["elasticity"] = run(
                     f"elasticity {n}x", lambda: elasticity_frame(li)
                 )
-                res["within"] = run(
+                legs["within"] = run(
                     f"within {n}x",
                     lambda: within_frame(
                         li.withColumn(
@@ -218,8 +219,8 @@ def main() -> None:
                         )
                     ),
                 )
-            record("wave50", res)
-            print(json.dumps(res), flush=True)
+            record("wave50", res["scale"], legs)
+            print(json.dumps({**res, **legs}), flush=True)
         spark.stop()
 
 

@@ -93,23 +93,24 @@ def main() -> None:
         pts = synth_points(spark, BASE_CUSTS * n, "p", "pid")
         tgt = synth_points(spark, BASE_SUPPS * n, "t", "tid")
         edges = synth_edges(spark, BASE_EDGES * n, BASE_CUSTS * n, BASE_SUPPS * n)
+        legs: dict = {}
         res = {"scale": n, "docs": BASE_DOCS * n}
-        res["jaccard_prefix"] = run(
+        legs["jaccard_prefix"] = run(
             f"jaccard_prefix {n}x",
             jaccard_prefix_pairs(docs, block_col=None, num=1, den=2, gram_n=3),
         )
-        res["sparse_cosine"] = run(
+        legs["sparse_cosine"] = run(
             f"sparse_cosine {n}x", sparse_cosine_topk(docs)
         )
-        res["kcore"] = run(f"kcore {n}x", kcore_peel(edges, k=48, rounds=3))
+        legs["kcore"] = run(f"kcore {n}x", kcore_peel(edges, k=48, rounds=3))
         # the deploy knob ops/geo.py documents: cell ~ 1/sqrt(target
         # density) keeps occupancy constant — a FIXED cell with both
         # sides scaling is O(N*M) (measured: 0.8 -> 20.1 s at 10x)
         cell = max(1, int(CELL / (n ** 0.5)))
-        res["grid_knn"] = run(f"grid_knn {n}x (cell {cell})",
+        legs["grid_knn"] = run(f"grid_knn {n}x (cell {cell})",
                               grid_nearest(pts, tgt, cell))
-        record("wave6", res)
-        print(json.dumps(res), flush=True)
+        record("wave6", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

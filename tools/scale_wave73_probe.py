@@ -77,6 +77,7 @@ def main() -> None:
             shuffle_partitions=32,
         )
         for n in scales:
+            legs: dict = {}
             res = {"family": family, "scale": n}
             if family == "docs":
                 docs = synth_documents(spark, 5_000 * n).localCheckpoint()
@@ -84,37 +85,37 @@ def main() -> None:
                 # deploy recipe: mod scales with the corpus so the
                 # sampled ground-truth join stays CONSTANT-sized
                 res["phash_quality_mod"] = 2 * n
-                res["phash_quality"] = run(
+                legs["phash_quality"] = run(
                     f"phash_quality {n}x",
                     lambda: phash_quality_frame(docs, mod=2 * n),
                 )
-                res["phash_capture_recapture"] = run(
+                legs["phash_capture_recapture"] = run(
                     f"phash_cr {n}x",
                     lambda: phash_capture_recapture_frame(docs),
                 )
-                res["dim_profile"] = run(
+                legs["dim_profile"] = run(
                     f"dim_profile {n}x", lambda: dim_profile_frame(docs)
                 )
-                res["byte_entropy"] = run(
+                legs["byte_entropy"] = run(
                     f"byte_entropy {n}x", lambda: byte_entropy_frame(docs)
                 )
-                res["clipping_rate"] = run(
+                legs["clipping_rate"] = run(
                     f"clipping_rate {n}x", lambda: clipping_rate_frame(docs)
                 )
-                res["silence_runs"] = run(
+                legs["silence_runs"] = run(
                     f"silence_runs {n}x", lambda: silence_runs_frame(docs)
                 )
-                res["doc_perplexity"] = run(
+                legs["doc_perplexity"] = run(
                     f"doc_perplexity {n}x", lambda: doc_perplexity_frame(docs)
                 )
             else:
                 orders = synth_orders(spark, 150_000 * n).localCheckpoint()
                 res["orders"] = 150_000 * n
-                res["weighted_reservoir"] = run(
+                legs["weighted_reservoir"] = run(
                     f"weighted_reservoir {n}x",
                     lambda: weighted_reservoir_frame(orders),
                 )
-                res["median_of_means"] = run(
+                legs["median_of_means"] = run(
                     f"median_of_means {n}x",
                     lambda: median_of_means_frame(orders),
                 )
@@ -126,10 +127,10 @@ def main() -> None:
                         " CAST(o_orderkey % 2400 AS INT))"
                     ).alias("o_orderdate"),
                 )
-                res["pareto_front"] = run(
+                legs["pareto_front"] = run(
                     f"pareto_front {n}x", lambda: pareto_front_frame(dated)
                 )
-                res["spectral_peaks"] = run(
+                legs["spectral_peaks"] = run(
                     f"spectral_peaks {n}x",
                     lambda: spectral_peaks_frame(dated),
                 )
@@ -152,11 +153,11 @@ def main() -> None:
                 ).union(
                     raw.select(F.col("b").alias("src"), F.col("a").alias("dst"))
                 ).localCheckpoint()
-                res["closeness_bfs"] = run(
+                legs["closeness_bfs"] = run(
                     f"closeness_bfs {n}x", lambda: closeness_bfs_frame(edges)
                 )
-            record("wave73", res)
-            print(json.dumps(res), flush=True)
+            record("wave73", res["scale"], legs)
+            print(json.dumps({**res, **legs}), flush=True)
         spark.stop()
 
 

@@ -82,15 +82,16 @@ def main() -> None:
     for n in scales:
         docs = synth_sourced_docs(spark, BASE_DOCS * n)
         pairs = synth_pairs(spark, BASE_PAIRS * n, BASE_CUSTS * n, BASE_SUPPS * n)
+        legs: dict = {}
         res = {"scale": n, "docs": BASE_DOCS * n, "pairs": BASE_PAIRS * n}
-        res["inverted_index"] = run(f"inverted_index {n}x", inverted_index_frame(docs))
-        res["quantile_normalize"] = run(
+        legs["inverted_index"] = run(f"inverted_index {n}x", inverted_index_frame(docs))
+        legs["quantile_normalize"] = run(
             f"quantile_normalize {n}x", quantile_normalize_frame(docs)
         )
-        res["link_predict"] = run(f"link_predict {n}x", link_predict_frame(pairs))
-        res["epoch_shuffle"] = run(f"epoch_shuffle {n}x", epoch_shuffle_frame(docs))
-        record("wave7", res)
-        print(json.dumps(res), flush=True)
+        legs["link_predict"] = run(f"link_predict {n}x", link_predict_frame(pairs))
+        legs["epoch_shuffle"] = run(f"epoch_shuffle {n}x", epoch_shuffle_frame(docs))
+        record("wave7", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

@@ -114,15 +114,16 @@ def main() -> None:
         lots, dem = synth_lots_dem(spark, BASE_LINES * n, BASE_PARTS * n)
         custs = synth_customers(spark, BASE_CUSTS * n)
         bigrams = synth_bigrams(spark, BASE_DOCS * n)
+        legs: dict = {}
         res = {"scale": n, "lines": BASE_LINES * n, "custs": BASE_CUSTS * n,
                "docs": BASE_DOCS * n}
-        res["fifo_allocation"] = run(
+        legs["fifo_allocation"] = run(
             f"fifo_allocation {n}x", fifo_allocation_frame(lots, dem)
         )
-        res["t_closeness"] = run(f"t_closeness {n}x", t_closeness_frame(custs))
-        res["kneser_ney"] = run(f"kneser_ney {n}x", kneser_ney_frame(bigrams))
-        record("wave8", res)
-        print(json.dumps(res), flush=True)
+        legs["t_closeness"] = run(f"t_closeness {n}x", t_closeness_frame(custs))
+        legs["kneser_ney"] = run(f"kneser_ney {n}x", kneser_ney_frame(bigrams))
+        record("wave8", res["scale"], legs)
+        print(json.dumps({**res, **legs}), flush=True)
 
 
 if __name__ == "__main__":

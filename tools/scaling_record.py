@@ -9,6 +9,14 @@ re-run at one scale refreshes that scale's column and leaves the
 others — the same append-don't-clobber policy as the bench frozen
 sets.
 
+Contract (r10 ADVICE — inverted from the old denylist): callers pass
+ONLY timings in ``legs``; probe-point metadata (row counts, knob
+values) stays in the probe's printed JSON line. A denylist of meta
+keys meant any future count-valued result key was silently recorded
+as a timing leg; with the explicit legs dict that mistake is
+impossible, and a non-numeric leg value raises instead of polluting
+the regression-tripwire data.
+
 ``tests/test_scaling_records.py`` asserts closure: every registered
 heavy-family query resolves to at least one recorded probe leg.
 """
@@ -20,32 +28,34 @@ import os
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# keys that describe the probe point (row counts, knob values) rather
-# than time a leg — matches every count-valued res key across tools/
-_META_KEYS = {
-    "family", "scale", "docs", "rows", "vectors", "n", "edges",
-    "orders", "events", "lineitem", "lsh_planes", "phash_quality_mod",
-    "vecs", "lines", "custs", "pairs",
-}
 
+def record(family: str, scale, legs: dict) -> None:
+    """Fold one probe point into SCALING_<family>.json.
 
-def record(family: str, res: dict) -> None:
-    """Fold one per-scale result dict (the same dict the probe prints)
-    into SCALING_<family>.json. Numeric values outside _META_KEYS are
-    legs; nested dicts of numerics (construct/exec splits) flatten to
-    ``leg.sub`` entries."""
-    scale = str(res.get("scale", "1"))
-    legs: dict[str, float] = {}
-    for k, v in res.items():
-        if k in _META_KEYS:
-            continue
+    ``legs`` maps leg name -> seconds, or -> a nested dict of
+    stage -> seconds (construct/exec splits), flattened to
+    ``leg.stage``. Anything else raises — timings only, by contract.
+    """
+    flat: dict[str, float] = {}
+    for k, v in legs.items():
         if isinstance(v, (int, float)) and not isinstance(v, bool):
-            legs[k] = float(v)
+            flat[k] = float(v)
         elif isinstance(v, dict):
             for sub, sv in v.items():
                 if isinstance(sv, (int, float)) and not isinstance(sv, bool):
-                    legs[f"{k}.{sub}"] = float(sv)
-    if not legs:
+                    flat[f"{k}.{sub}"] = float(sv)
+                else:
+                    raise TypeError(
+                        f"scaling leg {k}.{sub} is {type(sv).__name__}, "
+                        "not seconds — legs hold timings only"
+                    )
+        else:
+            raise TypeError(
+                f"scaling leg {k} is {type(v).__name__}, not seconds — "
+                "legs hold timings only (put counts/knobs in the "
+                "printed JSON line, not record())"
+            )
+    if not flat:
         return
     path = os.path.join(_ROOT, f"SCALING_{family}.json")
     data: dict = {}
@@ -55,7 +65,7 @@ def record(family: str, res: dict) -> None:
                 data = json.load(f)
         except (OSError, json.JSONDecodeError):
             data = {}
-    for leg, sec in legs.items():
-        data.setdefault(leg, {})[scale] = round(sec, 2)
+    for leg, sec in flat.items():
+        data.setdefault(leg, {})[str(scale)] = round(sec, 2)
     with open(path, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)
