@@ -380,6 +380,13 @@ CONSTRUCT_SPLIT = {
     # them here — the exact conflation this set exists to prevent
     "graph_triangle_count",
     "graph_closeness_bfs",
+    # r11: the cluster family's prefix-filtered candidate frame is
+    # localCheckpointed at construct (materialize=True), and the CC
+    # fixpoint rounds were already construct-time jobs
+    "dedup_token_jaccard",
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "dedup_cluster_size_histogram",
 }
 
 

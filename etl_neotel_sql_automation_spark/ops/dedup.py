@@ -426,6 +426,7 @@ def jaccard_prefix_pairs(
     num: int = 1,
     den: int = 2,
     gram_n: int = 1,
+    materialize: bool = False,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard threshold join (AllPairs / PPJoin
     family, Chaudhuri et al. 2006 / Xiao et al. 2008) — the set-
@@ -504,16 +505,23 @@ def jaccard_prefix_pairs(
         )
     )
     # prefix length = sz - ceil(t*sz) + 1, ceil exact in integers.
-    # The self-join below consumes pref twice; the recompute is the
-    # better local trade — a localCheckpoint here measured SLOWER
-    # (8.3 s vs 5.5 s at sf0.1: the two alias subtrees recompute in
-    # parallel on idle cores, while a checkpoint serializes the
-    # pipeline and adds a materialization job). At cluster scale with
+    # The self-join below consumes pref twice; which side of the
+    # recompute-vs-materialize trade wins is SHAPE-DEPENDENT, so it is
+    # a knob: for the 3-gram shingle domain (dedup_jaccard_prefix) a
+    # localCheckpoint measured SLOWER (8.3 s vs 5.5 s at sf0.1 — the
+    # two alias subtrees recompute in parallel on idle cores while a
+    # checkpoint serializes the pipeline), but for the unigram
+    # source-blocked domain the cluster family rides (r10 VERDICT #1)
+    # the checkpoint measured ~2x FASTER (6.0 s vs 3.2 s warm at
+    # sf0.1: the df-join + double-window subtree is the dominant cost
+    # there and is worth materializing once). At cluster scale with
     # busy executors, checkpoint() the prefix frame instead.
     pref = pos.filter(
         F.col("rn")
         <= F.col("sz") - F.expr(f"({num} * sz + {den - 1}) div {den}") + 1
     )
+    if materialize:
+        pref = pref.localCheckpoint()
     a, b = pref.alias("a"), pref.alias("b")
     # positional filter (PPJoin): Jaccard >= t needs overlap
     # o = ceil(t*(|A|+|B|)/(1+t)); a match at prefix positions (i, j)

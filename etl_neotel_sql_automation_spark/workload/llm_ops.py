@@ -126,10 +126,26 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON id_a = sa.id
     JOIN sizes sb ON id_b = sb.id
+    WHERE n_inter * 2 >= (sa.sz + sb.sz - n_inter)
     """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.token_jaccard_pairs(table(spark, sf_dir, "documents"))
+    """Source-blocked exact token Jaccard at threshold 1/2 via the
+    prefix-filtered (AllPairs/PPJoin) candidate path — r10 VERDICT #1:
+    the old form enumerated EVERY overlapping pair inside a source
+    block through an exact token-postings self-join, and a source
+    block grows with the corpus, so head-token candidates grew
+    quadratically at 100x. Prefix filtering bounds candidates by the
+    threshold structure itself (pairs must share a RARE token inside
+    both prefixes, plus positional + length pruning), and the lemma
+    has no false negatives, so the output provably equals the brute
+    thresholded join the oracle runs. The unthresholded all-pairs
+    listing remains available as ops.dedup.token_jaccard_pairs for
+    bounded blocks."""
+    return D.jaccard_prefix_pairs(
+        table(spark, sf_dir, "documents"),
+        block_col="source", num=1, den=2, gram_n=1, materialize=True,
+    )
 
 
 @query(
@@ -431,11 +447,19 @@ def dedup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative min-label propagation (ops.graph), each doc labeled with
     its cluster id (min doc id) and a keeper flag. The oracle computes
     the same components with a recursive CTE — a genuinely iterative,
-    non-single-query operator differentially checked end-to-end."""
+    non-single-query operator differentially checked end-to-end.
+
+    Candidate pairs come from the prefix-filtered threshold join
+    (r10 VERDICT #1): identical output to the brute token-postings
+    join at threshold 0.5 (prefix-filtering lemma — no false
+    negatives, exact verification), but candidates stay bounded as a
+    source block grows with the corpus."""
     from ..ops import graph as G
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.token_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    pairs = D.jaccard_prefix_pairs(
+        docs, block_col="source", num=1, den=2, gram_n=1, materialize=True
+    )
     nodes = docs.select(F.col("doc_id").alias("id"))
     return G.dedup_clusters(nodes, pairs)
 
@@ -489,11 +513,16 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the arbitrary min-id keeper — "among near-dups, keep the
     best copy", the policy production training-data pipelines deploy.
     Differentially checked end-to-end against a recursive-CTE + argmax
-    oracle."""
+    oracle. Candidate pairs ride the prefix-filtered threshold join
+    (r10 VERDICT #1) — provably the same pairs as the brute
+    token-postings join at 0.5, without its quadratic-in-block
+    candidate growth."""
     from ..ops import graph as G
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.token_jaccard_pairs(docs).filter(F.col("jaccard") >= 0.5)
+    pairs = D.jaccard_prefix_pairs(
+        docs, block_col="source", num=1, den=2, gram_n=1, materialize=True
+    )
     nodes = docs.select(
         F.col("doc_id").alias("id"), F.length("text").cast("int").alias("n_chars")
     )
