@@ -649,7 +649,8 @@ def test_ann_probe_corpus_plants_are_found(spark):
         assert all(pairs[p] >= 0.9 for p in found)
     finally:
         emb.unpersist()
-    assert planes_for(2000) == 6 and planes_for(200_000) == 13
+    # round-of-log2 schedule (r10 VERDICT #2): occupancy band ~12..25
+    assert planes_for(2000) == 7 and planes_for(200_000) == 14
 
 
 def test_local_kmeans_deterministic_and_complete():

@@ -63,12 +63,84 @@ def synth_embeddings(spark: SparkSession, n: int, seed: int = 13) -> DataFrame:
 
 def planes_for(n: int) -> int:
     """The documented deploy knob: bucket count scales with the corpus
-    so OCCUPANCY stays ~constant (~25 vectors/bucket -> candidate pairs
-    linear in n; fat buckets are the quadratic failure mode). Floored
-    at the local-fixture default of 4. Recall for the planted
+    so OCCUPANCY stays ~constant — candidate pairs per table are
+    ~B*(n/B)^2/2 = n^2/2B, linear in n only when B grows with n; fat
+    buckets are the quadratic failure mode. ROUND (not floor) of log2:
+    power-of-2 buckets can only grow 8x or 16x per 10x decade, and
+    flooring let occupancy swing up to ~32 before the next doubling —
+    the r10 100x leg (172 s) was exactly that: floor gave B=8192 at
+    200k vectors (occupancy ~24, 37.7M candidate occurrences, wall
+    ~11x the 10x leg, r11 diagnosis in SCALING_ann_counts.json).
+    Rounding keeps occupancy in a ~12..25 band, so each decade's
+    candidate growth stays within ~2x of linear on either side.
+    Floored at the local-fixture default of 4. Recall for the planted
     cosine~0.999 dups stays ~1.0 under 16 tables even at 17 planes
-    (1-(1-0.986^17)^16); threshold-0.9 pairs hold ~0.9 at 13."""
-    return max(4, int(math.log2(max(n, 2))) - 4)
+    (1-(1-0.986^17)^16); threshold-0.9 pairs hold ~0.86 at 14."""
+    return max(4, round(math.log2(max(n, 2))) - 4)
+
+
+def lsh_counts(df: DataFrame, planes: int) -> dict:
+    """UNTIMED per-leg diagnosis counts (r10 VERDICT #2): bucket
+    occupancy and candidate-pair volume of the multi-table hyperplane
+    index at this leg's planes knob — the numbers that say whether a
+    superlinear wall decade is candidate-bound (occupancy grew) or
+    fixed-overhead amortization. cand_occurrences = sum over (t,
+    bucket) of n*(n-1)/2 (the bucket self-join's row count before pair
+    dedup); cand_pairs = distinct candidate pairs (what exact-cosine
+    verification actually scores). Excluded from every timing leg,
+    recorded in SCALING_ann_counts.json."""
+    banded = S.multi_table_buckets(
+        df, "vec_id", "embedding", 16, planes, 42, DIM
+    ).select("id", "t", "bucket")
+    occ = banded.groupBy("t", "bucket").agg(F.count("*").alias("n"))
+    row = occ.agg(
+        F.count("*").alias("n_buckets_occupied"),
+        F.max("n").alias("max_occ"),
+        F.round(F.avg("n"), 2).alias("mean_occ"),
+        F.sum((F.col("n") * (F.col("n") - 1)) / 2).cast("long").alias("cand_occurrences"),
+    ).collect()[0]
+    a, b = banded.alias("a"), banded.alias("b")
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    return {
+        "planes": planes,
+        "n_buckets_occupied": int(row.n_buckets_occupied),
+        "max_occ": int(row.max_occ),
+        "mean_occ": float(row.mean_occ),
+        "cand_occurrences": int(row.cand_occurrences),
+        "cand_pairs": int(n_pairs),
+    }
+
+
+def record_counts(scale: int, counts: dict) -> None:
+    """Merge-update SCALING_ann_counts.json ({scale: counts}) — kept
+    OUT of SCALING_ann.json, whose legs are timings-only by the
+    scaling_record contract."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_ann_counts.json",
+    )
+    data = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            data = {}
+    data[str(scale)] = counts
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
 
 
 def _emb_cr(df: DataFrame, planes: int) -> DataFrame:
@@ -122,6 +194,9 @@ def main() -> None:
             times[name] = round(best, 2)
         results[scale] = times
         record("ann", scale, times)
+        # untimed diagnosis pass AFTER the timed legs (r10 VERDICT #2)
+        counts = lsh_counts(emb, planes_for(BASE_VECS * scale))
+        record_counts(scale, counts)
         print(
             json.dumps(
                 {
@@ -129,6 +204,7 @@ def main() -> None:
                     "vectors": BASE_VECS * scale,
                     "lsh_planes": planes_for(BASE_VECS * scale),
                     **times,
+                    **{f"count_{k}": v for k, v in counts.items() if k != "planes"},
                 }
             )
         )
