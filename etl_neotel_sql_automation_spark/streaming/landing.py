@@ -188,14 +188,35 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-def stream_stream_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_stream_signup_purchase(
+    spark: SparkSession, sf_dir: str, state_partitions: int = 8
+) -> DataFrame:
     """Stream-stream inner join: each signup event joined to the same
     user's purchase events within the following hour. Both sides carry
     watermarks and the join condition is time-bounded, so Spark can
     expire join state (unbounded stream-stream joins would hold state
     forever — the watermark + range predicate IS the 100 TB design).
     availableNow -> finite; result must equal the batch theta-join
-    oracle."""
+    oracle.
+
+    ``state_partitions`` pins spark.sql.shuffle.partitions for this
+    query's lifetime (r10 VERDICT #6): a stream-stream join opens FOUR
+    state stores per partition (two sides x two join-state stores),
+    each paying checkpoint-dir setup + a commit per batch — a fixed
+    cost blind to data volume, and the session's 32 cost ~7 s for one
+    100k-row availableNow batch vs ~2.3 s at 8 (measured warm at
+    sf0.1). State partitioning is frozen into the checkpoint at first
+    start anyway, so it is a per-query deploy knob, sized to sustained
+    input volume at cluster scale, not inherited from batch."""
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _stream_stream_signup_purchase(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+
+
+def _stream_stream_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = sniff_events_schema(spark, sf_dir)
 
     def src() -> DataFrame:
