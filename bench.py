@@ -516,13 +516,21 @@ def main() -> None:
     _warm(spark, qs, sf_dir)
     coverage_conf = _session_conf(spark)
     coverage: dict[str, float] = {}
+    coverage_construct: dict[str, float] = {}
     headline_set = set(HEADLINE)
     for name in qs:
         if name in headline_set:
             continue
         t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        df = qs[name](spark, sf_dir)
+        t1 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
         coverage[name] = round(time.perf_counter() - t0, 3)
+        # coverage-resident CONSTRUCT_SPLIT entries get their split
+        # recorded too (r10 ADVICE: graph_triangle_count checkpointed
+        # at construct with no split row anywhere)
+        if name in CONSTRUCT_SPLIT:
+            coverage_construct[name] = round(t1 - t0, 3)
 
     total = round(sum(times.values()), 3)
     set_sums = {
@@ -562,6 +570,9 @@ def main() -> None:
         # single-pass coverage timings for every registered query
         # outside HEADLINE — full-registry per-query record
         "coverage_pass_seconds": coverage,
+        # construct split for CONSTRUCT_SPLIT entries living in the
+        # coverage pass (single-run, like their totals)
+        "coverage_construct_seconds": coverage_construct,
         # which session produced which numbers (r9 VERDICT #2)
         "sessions": {"headline": headline_conf, "coverage": coverage_conf},
     }
