@@ -162,14 +162,27 @@ def pagerank_int(
     nothing), matching the unrolled oracle exactly. The driver loop
     only orchestrates; ``localCheckpoint`` truncates lineage per round.
     """
-    sym = edges.select(src_col, dst_col)
+    # materialize the edge list ONCE (the connected_components lesson,
+    # r11): every iteration's eager checkpoint is an action, and an
+    # expression-backed edge frame (orders x lineitem + distinct for
+    # the purchase graph) would otherwise recompute its whole tree per
+    # round — measured 9.2 -> ~4 s for graph_pagerank at sf0.1. nodes
+    # and deg are each consumed every round too; both are O(nodes)
+    # after the edge materialization, so checkpointing them costs
+    # nothing and saves a per-round union/distinct + groupBy rebuild.
+    sym = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     nodes = (
         sym.select(F.col(src_col).alias("id"))
         .union(sym.select(F.col(dst_col).alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()  # one scalar; drives exact integer literals
-    deg = sym.groupBy(src_col).agg(F.count("*").alias("out_deg"))
+    deg = (
+        sym.groupBy(src_col)
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
     base = int(15 * scale) // (100 * n_nodes)
     ranks = nodes.select("id", F.lit(scale // n_nodes).cast("long").alias("rank"))
     ranks = ranks.localCheckpoint(eager=True)
@@ -222,21 +235,25 @@ def label_propagation(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-    sym = sym.distinct()
+    # materialized once: each round's eager checkpoint re-executes the
+    # edge tree otherwise (the connected_components lesson, r11 —
+    # measured 7.4 -> ~4 s for graph_label_propagation at sf0.1)
+    sym = sym.distinct().localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     labels = labels.localCheckpoint(eager=True)
-    w = Window.partitionBy("id").orderBy(F.desc("votes"), F.asc("label"))
     for _ in range(iters):
         votes = (
             sym.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count("*").alias("votes"))
         )
-        winner = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("label").alias("new_label"))
-        )
+        # per-node argmax as a combinable max(struct) aggregate instead
+        # of a row_number window (r11): max votes, ties to the SMALLEST
+        # label == max of (votes, -label) — same deterministic winner,
+        # but partial aggregation replaces the per-partition sort
+        winner = votes.groupBy("id").agg(
+            F.max(F.struct(F.col("votes"), (-F.col("label")).alias("nl"))).alias("m")
+        ).select("id", (-F.col("m.nl")).alias("new_label"))
         labels = (
             labels.join(winner, "id", "left")
             .select("id", F.coalesce("new_label", "label").alias("label"))
@@ -263,6 +280,9 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
     flips the survivor joins to broadcasts as rounds progress; no
     all-pairs work anywhere.
     """
+    # left LAZY deliberately (r11): an eager edge checkpoint measured
+    # SLOWER (2.19 -> 2.45 s best-of-3 at sf0.1) — exchange reuse
+    # dedupes the repeated edge scans in the one-action unrolled plan
     surv = edges.select(F.col("src").alias("id")).distinct()
     deg = None
     for _ in range(rounds):

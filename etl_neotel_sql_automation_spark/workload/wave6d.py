@@ -87,6 +87,12 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays exact integers (see module comment); the normalizer is a
     1-row aggregate broadcast — construction-bounded. Fifth graph
     modality: mutual reinforcement vs PageRank's random walk."""
+    # left LAZY deliberately (r11): a checkpointed variant (raw + each
+    # a0/h0 eager) measured SLOWER (2.35 -> 2.74 s best-of-3 at sf0.1)
+    # — Spark's exchange reuse already dedupes the repeated raw/a0/h0
+    # subtrees in the one-action plan, and eager checkpoints serialize
+    # a pipeline that otherwise overlaps on idle cores (the
+    # jaccard_prefix_pairs materialize-knob lesson)
     raw = _purchase_edges(spark, sf_dir)
     hub = raw.select("c").distinct().select("c", F.lit(_HITS_SCALE).alias("hub"))
     auth = None
@@ -190,7 +196,12 @@ def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rounds; at 100 TB each round is the pagerank shuffle pair
     and the seed set rides a hash join (never a broadcast hint — AQE
     sizes it)."""
-    raw = _purchase_edges(spark, sf_dir)
+    # materialize the purchase-pair frame once (r11, the
+    # connected_components lesson): raw feeds edges/nodes/deg AND the
+    # bought anti-join side, and every PPR round's eager checkpoint is
+    # an action that would otherwise re-run the orders x lineitem
+    # distinct join per round — measured 11.4 -> ~4 s at sf0.1
+    raw = _purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     cust = table(spark, sf_dir, "customer")
     # a SMALL cohort (every 50th AUTOMOBILE customer): with the whole
     # segment as seeds, every supplier is already bought by someone in
@@ -205,11 +216,21 @@ def graph_ppr_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw2 = raw.select("c", (F.lit(_SUPP_OFFSET) + F.col("s")).alias("s"))
     edges = raw2.select(F.col("c").alias("src"), F.col("s").alias("dst")).union(
         raw2.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    ).localCheckpoint(eager=True)
+    # nodes/deg/seed_mark are consumed by every round's rank rebuild;
+    # all three are O(nodes) after the edge materialization
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
     )
-    nodes = edges.select(F.col("src").alias("id")).distinct()
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("out_deg"))
+        .localCheckpoint(eager=True)
+    )
     ns = seeds.agg(F.count("*").alias("n"))
-    seed_mark = seeds.select("id", F.lit(1).alias("is_seed"))
+    seed_mark = seeds.select("id", F.lit(1).alias("is_seed")).localCheckpoint(
+        eager=True
+    )
     rank = (
         nodes.join(seed_mark, "id", "left")
         .crossJoin(F.broadcast(ns))
