@@ -1327,19 +1327,52 @@ def agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fraction — measured 25 -> 11 s at sf0.1 (the entry was the most
     # expensive thing in every bench sweep; r9 VERDICT #2's warm-up
     # theory explained only part of it)
-    return (
-        li.groupBy("l_returnflag")
+    #
+    # r12 (guide §2.3/§2.4, r11 VERDICT #3): the single mixed
+    # distinct + percentile aggregate was STILL the most expensive
+    # coverage entry because countDistinct forces the Expand/two-level
+    # distinct plan and every percentile buffer rides through it —
+    # measured 13.9 s for the combined form vs 2.6 s for the SUM of
+    # its aggregates in isolation (tools/probe_agg_approx.py). Split
+    # into three combinable passes joined on the 3-row group key:
+    #   base  — count + HLL + GK sketch on raw rows (one hash agg, no
+    #           Expand; the sketches are fed the same row stream, so
+    #           their estimates are bit-identical to the old plan's);
+    #   ed    — exact distinct as groupBy(flag, okey) -> count, the
+    #           two-level form that partial-aggregates map-side;
+    #   exact — exact percentiles from the combinable (flag, price,
+    #           freq) pre-agg through percentile's frequency argument
+    #           (identical interpolation semantics to repeated values).
+    # Output equality to the old form verified row-for-row at sf0.1
+    # and by the unchanged DuckDB oracle at all SFs. Measured
+    # 13.9 -> 1.46 s warm at sf0.1; at 100 TB three column-pruned
+    # scans of (flag, okey/price) beat one scan that doubles every
+    # row through the Expand and serializes percentile maps through
+    # the distinct shuffle.
+    base = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.approx_count_distinct("l_orderkey").alias("ad"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95))").alias("ap"),
+    )
+    ed = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.lit(1))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("ed"))
+    )
+    exact = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count("*").alias("freq"))
+        .groupBy("l_returnflag")
         .agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("l_orderkey").alias("ad"),
-            F.countDistinct("l_orderkey").alias("ed"),
             F.expr(
-                "approx_percentile(l_extendedprice, array(0.5, 0.95))"
-            ).alias("ap"),
-            F.expr(
-                "percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99))"
-            ).alias("e"),
+                "percentile(l_extendedprice, array(0.45, 0.55, 0.90, 0.99), freq)"
+            ).alias("e")
         )
+    )
+    return (
+        base.join(ed, "l_returnflag")
+        .join(exact, "l_returnflag")
         .select(
             "l_returnflag",
             "n",
@@ -1471,10 +1504,14 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream join (signups x purchases within 1
     hour) run as a real streaming query; must equal the batch
-    theta-join — see streaming.landing.stream_stream_signup_purchase."""
+    theta-join — see streaming.landing.stream_stream_signup_purchase.
+    state_partitions=8 is the MEASURED local-mode state-store optimum
+    for one availableNow batch at sf0.1 (r10 VERDICT #6 / r11 VERDICT
+    #4): pinned HERE at the bench-facing call site, not in the op's
+    default, so cluster deployments size it to sustained volume."""
     from ..streaming.landing import stream_stream_signup_purchase
 
-    return stream_stream_signup_purchase(spark, sf_dir)
+    return stream_stream_signup_purchase(spark, sf_dir, state_partitions=8)
 
 
 @query(
