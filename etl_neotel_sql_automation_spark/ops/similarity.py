@@ -656,11 +656,29 @@ def cosine_near_dup_pairs(
     :func:`hyperplane_lsh_buckets` first (bucket equi-join), with this
     exact scoring applied only inside buckets.
     """
-    a = _fan_out(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # double-cast and norm factored to ONCE per row on each side (the
+    # brute_force_topk lesson, r12): inside cosine() they re-evaluated
+    # per PAIR — 2 array casts + 2 norm folds x O(N) per row on an
+    # all-pairs join. Arithmetic is bit-identical: same sequential fold
+    # order over the same doubles, and IEEE multiply/divide are exact
+    # given the same operands, so the round-6 sims are unchanged.
+    a = (
+        _fan_out(df)
+        .select(F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("va"))
+        .withColumn("na", norm(F.col("va")))
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -869,14 +887,24 @@ def lsh_near_dup_pairs_indexed(spark, table: str, threshold: float = 0.35) -> Da
     leaves this session's cached file listing stale, and reads would
     silently miss the appended files."""
     spark.catalog.refreshTable(table)
-    b = spark.table(table)
+    # cast+norm once per index row before the self-join (the
+    # brute_force_topk factoring; bit-identical — see
+    # cosine_near_dup_pairs): an index row meets every bucket-mate, so
+    # hoisting divides the cast + norm-fold work by bucket occupancy.
+    b = spark.table(table).withColumn("vd", _to_double(F.col("vec"))).withColumn(
+        "nrm", norm(F.col("vd"))
+    )
     a, c = b.alias("a"), b.alias("b")
     scored = (
         a.join(c, (F.col("a.tb") == F.col("b.tb")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("sim"),
+            F.round(
+                dot(F.col("a.vd"), F.col("b.vd"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
@@ -916,12 +944,27 @@ def lsh_near_dup_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    ea = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    eb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # cast+norm once per vector row, not per candidate pair (the
+    # brute_force_topk factoring; bit-identical — see
+    # cosine_near_dup_pairs): a vector joins into MANY candidate pairs,
+    # so hoisting its cast and norm fold above the join divides that
+    # work by its pair multiplicity.
+    ea = df.select(
+        F.col(id_col).alias("id_a"), _to_double(F.col(vec_col)).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    eb = df.select(
+        F.col(id_col).alias("id_b"), _to_double(F.col(vec_col)).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", F.round(cosine("va", "vb"), 6).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -1018,16 +1061,39 @@ def lsh_topk(
     """ANN top-k: hyperplane-LSH bucket equi-join, then exact re-rank
     inside the bucket. Recall < 1.0 by construction; bucket join replaces
     the cross join, which is the move that survives 100 TB."""
-    cb = hyperplane_lsh_buckets(_fan_out(corpus), id_col, vec_col, planes).select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), "bucket"
+    # cast+norm once per row on each side of the bucket join (the
+    # brute_force_topk factoring; bit-identical — see
+    # cosine_near_dup_pairs), not per (query, candidate) pair.
+    cb = (
+        hyperplane_lsh_buckets(_fan_out(corpus), id_col, vec_col, planes)
+        .select(
+            F.col(id_col).alias("n_id"),
+            _to_double(F.col(vec_col)).alias("n_vec"),
+            "bucket",
+        )
+        .withColumn("n_norm", norm(F.col("n_vec")))
     )
-    qb = hyperplane_lsh_buckets(queries, id_col, vec_col, planes).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    qb = (
+        hyperplane_lsh_buckets(queries, id_col, vec_col, planes)
+        .select(
+            F.col(id_col).alias("q_id"),
+            _to_double(F.col(vec_col)).alias("q_vec"),
+            "bucket",
+        )
+        .withColumn("q_norm", norm(F.col("q_vec")))
     )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine("q_vec", "n_vec"), 6).alias("sim"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("sim"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
     return (
@@ -1059,7 +1125,14 @@ def semantic_prune(
     DuckDB replay of clustering + verdicts.
     """
     b = hyperplane_lsh_buckets(_fan_out(df), id_col, vec_col, planes, seed, dim)
-    a, c = b.alias("a"), b.alias("c")
+    # cast+norm once per vector row before the bucket self-join (the
+    # brute_force_topk factoring; bit-identical — see
+    # cosine_near_dup_pairs): a vector meets every bucket-mate, so
+    # hoisting divides the cast + norm-fold work by bucket occupancy.
+    bf = b.select(
+        id_col, "bucket", _to_double(F.col(vec_col)).alias("vd")
+    ).withColumn("nrm", norm(F.col("vd")))
+    a, c = bf.alias("a"), bf.alias("c")
     pruned = (
         a.join(
             c,
@@ -1067,7 +1140,11 @@ def semantic_prune(
             & (F.col(f"c.{id_col}") < F.col(f"a.{id_col}")),
         )
         .filter(
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 6)
+            F.round(
+                dot(F.col("a.vd"), F.col("c.vd"))
+                / (F.col("a.nrm") * F.col("c.nrm")),
+                6,
+            )
             >= threshold
         )
         .select(F.col(f"a.{id_col}").alias(id_col))
@@ -1102,7 +1179,12 @@ def knn_graph(
     (workload/curation.py) with a bit-exact oracle.
     """
     b = hyperplane_lsh_buckets(_fan_out(df), id_col, vec_col, planes, seed, dim)
-    a, c = b.alias("a"), b.alias("c")
+    # cast+norm once per vector row before the bucket self-join — the
+    # same bit-identical factoring as semantic_prune above.
+    bf = b.select(
+        id_col, "bucket", _to_double(F.col(vec_col)).alias("vd")
+    ).withColumn("nrm", norm(F.col("vd")))
+    a, c = bf.alias("a"), bf.alias("c")
     scored = a.join(
         c,
         (F.col("a.bucket") == F.col("c.bucket"))
@@ -1110,7 +1192,10 @@ def knn_graph(
     ).select(
         F.col(f"a.{id_col}").alias("src_id"),
         F.col(f"c.{id_col}").alias("n_id"),
-        F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"c.{vec_col}")), 6).alias("sim"),
+        F.round(
+            dot(F.col("a.vd"), F.col("c.vd")) / (F.col("a.nrm") * F.col("c.nrm")),
+            6,
+        ).alias("sim"),
     )
     w = W.partitionBy("src_id").orderBy(F.desc("sim"), "n_id")
     return (

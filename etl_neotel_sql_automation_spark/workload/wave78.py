@@ -79,12 +79,26 @@ def emb_capture_recapture_frame(
         # wave71 lesson)
         .localCheckpoint()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # cast+norm once per vector row, not per candidate pair (the
+    # brute_force_topk factoring, bit-identical — see
+    # ops.similarity.cosine_near_dup_pairs)
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"),
+        S._to_double(F.col("embedding")).alias("va"),
+    ).withColumn("na", S.norm(F.col("va")))
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        S._to_double(F.col("embedding")).alias("vb"),
+    ).withColumn("nb", S.norm(F.col("vb")))
     dup = (
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
-        .filter(F.round(cosine("va", "vb"), 6) >= _THRESHOLD)
+        .filter(
+            F.round(
+                S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+            )
+            >= _THRESHOLD
+        )
         .select("cap_a", "cap_b")
     )
     return chapman_frame(dup)
