@@ -220,6 +220,27 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # lesson; r10 registry probe flagged this entry at 12 s / sf0.1)
         .localCheckpoint()
     )
+    # r12 (guide §3): every join in this query after the edge build is
+    # a join against a frame bounded by the edge/node count — the
+    # degree tables (nodes <= 2 x edges) and the oriented edge list
+    # itself. When the edge list fits a broadcast relation, hint them
+    # ALL: degree attachment, wedge enumeration and closure then
+    # pipeline over scans with no exchange (before: deg shuffled into
+    # e twice + de shuffled twice + the full wedge set shuffled for
+    # the closure, the dominant exchange). The decision is
+    # SCALE-ADAPTIVE, not a pinned hint: e has exactly n_edges rows
+    # (2 longs each), counted for free off the checkpoint, and past
+    # the threshold everything stays sort-merge where AQE skew
+    # splitting (on by default) handles hot oriented-degree
+    # partitions. 20M rows ~ 320 MB of key data — comfortably under
+    # the 8 GB / 512M-row broadcast cap, sized for executor memory,
+    # not local[32].
+    n_edge_rows = e.count()
+    broadcast_de = n_edge_rows <= 20_000_000
+
+    def _maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_de else df
+
     deg = (
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
@@ -232,8 +253,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
     de = (
-        e.join(du, "u")
-        .join(dv, "v")
+        e.join(_maybe_b(du), "u")
+        .join(_maybe_b(dv), "v")
         .select(
             F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
@@ -242,16 +263,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     wa, wb = de.alias("wa"), de.alias("wb")
-    wedge = wa.join(wb, F.col("wa.t") == F.col("wb.s")).select(
+    wedge = wa.join(_maybe_b(wb), F.col("wa.t") == F.col("wb.s")).select(
         F.col("wa.s").alias("x"), F.col("wa.t").alias("y"), F.col("wb.t").alias("z")
     )
     closing = de.select(F.col("s").alias("x"), F.col("t").alias("z"))
-    tri = wedge.join(closing, ["x", "z"]).agg(F.count("*").alias("n_triangles"))
+    tri = wedge.join(_maybe_b(closing), ["x", "z"]).agg(
+        F.count("*").alias("n_triangles")
+    )
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
     )
-    n_edges = e.agg(F.count("*").alias("n_edges"))
+    # n_edges was already computed driver-side off the checkpointed e
+    # (the broadcast decision); same value, one less job
+    n_edges = spark.range(1).select(
+        F.lit(n_edge_rows).cast("long").alias("n_edges")
+    )
     return (
         stats.crossJoin(F.broadcast(n_edges))
         .crossJoin(F.broadcast(tri))

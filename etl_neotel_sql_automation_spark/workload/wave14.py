@@ -103,18 +103,30 @@ def diag_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def join_size_estimate_frame(a: DataFrame, b: DataFrame) -> DataFrame:
     """Frame core of diag_join_size_estimate over two single-column
-    key frames named ``k`` (scaling-probe entry point)."""
+    key frames named ``k`` (scaling-probe entry point).
+
+    r12 (guide §2.3/§4.1): the CMS rows are built from the PER-KEY
+    count frame, not the raw rows — a bucket count is a sum of its
+    keys' multiplicities, so summing ``n`` over distinct keys is
+    bit-identical to counting raw exploded rows, while the d md5
+    bucket evaluations run once per DISTINCT key instead of once per
+    row (4x fewer hashes on lineitem), and the per-key frames are the
+    SAME aggregation the exact side needs, so each input is scanned
+    and aggregated once (exchange reuse dedupes the subtree)."""
     rs = F.explode(F.array(*[F.lit(i) for i in range(_JSE_D)])).alias("r")
 
-    def sketch(df: DataFrame) -> DataFrame:
+    ca = a.groupBy("k").agg(F.count("*").cast("bigint").alias("n"))
+    cb = b.groupBy("k").agg(F.count("*").cast("bigint").alias("n"))
+
+    def sketch(kc: DataFrame) -> DataFrame:
         return (
-            df.select("k", rs)
-            .select("r", _jse_bucket(F.col("k"), F.col("r")).alias("b"))
+            kc.select("k", "n", rs)
+            .select("r", _jse_bucket(F.col("k"), F.col("r")).alias("b"), "n")
             .groupBy("r", "b")
-            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
         )
 
-    ska, skb = sketch(a), sketch(b)
+    ska, skb = sketch(ca), sketch(cb)
     ip = (
         ska.alias("x")
         .join(skb.alias("y"), ["r", "b"])
@@ -122,8 +134,6 @@ def join_size_estimate_frame(a: DataFrame, b: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("x.cnt") * F.col("y.cnt")).cast("bigint").alias("est"))
     )
     est = ip.agg(F.min("est").cast("bigint").alias("est_rows"))
-    ca = a.groupBy("k").agg(F.count("*").cast("bigint").alias("n"))
-    cb = b.groupBy("k").agg(F.count("*").cast("bigint").alias("n"))
     exact = (
         ca.join(cb, "k")
         .agg(
