@@ -486,6 +486,17 @@ def jaccard_prefix_pairs(
     # (no false negatives), hash collisions only ADD candidates that
     # exact verification removes, and the df-order stays one global
     # total order. The string itself never reaches a shuffle.
+    # r12 MEASURED AND DECLINED (guide §1): deriving sz from
+    # F.size(set_expr) instead of the count(*)-over-id window looked
+    # like a free Window-pass deletion, but it regressed the 3-gram
+    # shingle domain 1.71x in a same-session A/B (3.39 -> 5.81 s,
+    # dedup_jaccard_prefix) and was flat on the unigram domain (0.99,
+    # dedup_token_jaccard): naming the set array forces it to
+    # MATERIALIZE as a row value (plus an InferFiltersFromGenerate
+    # size()>0 re-evaluation at the scan), where the bare
+    # explode(set_expr) form streams the generator output and the
+    # second window rides the rn window's existing exchange+sort.
+    # The two-window form stays.
     tok = _fan_out(df).select(
         F.col(id_col).alias("id"),
         blk.alias("blk"),

@@ -60,6 +60,11 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("neigh_min"))
         )
+        # the convergence flag rides the SAME projection (new label =
+        # least(old, neigh_min), so "changed" === neigh_min < old) and
+        # the count runs on the materialized checkpoint — r12, guide
+        # §2.4: the old separate new-vs-old join re-shuffled both label
+        # frames every round just to count inequalities
         new_labels = (
             labels.join(neigh, "id", "left")
             .select(
@@ -67,16 +72,14 @@ def connected_components(
                 F.least(
                     "component", F.coalesce("neigh_min", "component")
                 ).alias("component"),
+                (F.coalesce("neigh_min", "component") < F.col("component")).alias(
+                    "chg"
+                ),
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.select("id", "component")
         logger.info("connected_components iter %d: %d labels changed", it, changed)
         if changed == 0:
             break
@@ -226,6 +229,13 @@ def label_propagation(
 
     ``edges`` are taken as undirected (symmetrized here). Returns
     (id, label) after ``iters`` rounds.
+
+    REQUIRES NUMERIC (integral) node ids: the argmax is computed as
+    ``max(struct(votes, -label))`` (r11), whose negation trick needs a
+    numeric label — string ids would raise/cast under ANSI instead of
+    ordering lexicographically the way the old row_number window did.
+    All in-repo callers pass longs; cast or re-key before calling with
+    anything else (r11 ADVICE).
 
     Scale: per round, one equi-join of edges to the label table and one
     (dst, label) combinable count + per-node argmax window — the
