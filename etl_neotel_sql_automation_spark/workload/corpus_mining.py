@@ -1568,10 +1568,13 @@ def streaming_contam_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (see that docstring): a REAL streaming run (availableNow) of the
     stream-static contamination semi-join, checked against the batch
     distinct-contaminated-docs oracle. The streaming twin of
-    decontaminate_span_stats' doc set."""
+    decontaminate_span_stats' doc set. state_partitions=8 pins the
+    stateful dropDuplicates' state-store count at the measured
+    local-mode optimum for one availableNow batch — pinned at this
+    bench-facing call site, not in the op's default (r11 VERDICT #7)."""
     from ..streaming.landing import stream_contamination_guard
 
-    return stream_contamination_guard(spark, sf_dir)
+    return stream_contamination_guard(spark, sf_dir, state_partitions=8)
 
 
 @query("streaming_contam_guard_bloom", oracle=_CONTAM_GUARD_ORACLE)
@@ -1584,10 +1587,14 @@ def streaming_contam_guard_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs against the SAME exact-join oracle as both the plain
     streaming guard and the batch prefilter — the scale optimization
     is differentially proven, not asserted, in the streaming plan
-    too."""
+    too. state_partitions=8 pins the stateful dropDuplicates'
+    state-store count at the measured local-mode optimum for one
+    availableNow batch (the stream_stream_signup_purchase rationale) —
+    pinned at this bench-facing call site, not in the op's default
+    (r11 VERDICT #4/#7)."""
     from ..streaming.landing import stream_contamination_guard_bloom
 
-    return stream_contamination_guard_bloom(spark, sf_dir)
+    return stream_contamination_guard_bloom(spark, sf_dir, state_partitions=8)
 
 
 @query(
