@@ -57,11 +57,16 @@ def ab_main(ref: str, names: list[str], passes: int, sf_dir: str) -> None:
         capture_output=True, text=True, check=True,
     ).stdout.strip()
     wt = f"/tmp/opt_ab_{sha[:12]}"
-    if not os.path.isdir(wt):
+    # only remove the worktree in finally if THIS invocation created it
+    # (r11 ADVICE: force-removing a pre-existing one deletes state a
+    # concurrent/interrupted run may expect)
+    created_wt = not os.path.isdir(wt)
+    if created_wt:
         subprocess.run(
             ["git", "-C", repo, "worktree", "add", "--detach", wt, sha],
             check=True, capture_output=True,
         )
+    spark = None
     try:
         old_qs, old_mods = B._load_queries_from(wt)
         new_qs = dict(workload.queries())
@@ -109,10 +114,19 @@ def ab_main(ref: str, names: list[str], passes: int, sf_dir: str) -> None:
             out["_skipped"] = skipped
         print(json.dumps(out))
     finally:
-        subprocess.run(
-            ["git", "-C", repo, "worktree", "remove", "--force", wt],
-            capture_output=True,
-        )
+        # stop the session BEFORE removing the worktree (r11 ADVICE: an
+        # exception mid-A/B used to leak the Spark session), and only
+        # remove the worktree this invocation created
+        if spark is not None:
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 - already-stopped session
+                pass
+        if created_wt:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True,
+            )
 
 
 def main() -> None:
@@ -129,14 +143,23 @@ def main() -> None:
     plans_dir = take("--plans-dir")
     tag = take("--tag", "before")
     ab_ref = take("--ab-ref")
-    passes = int(take("--passes", "3"))
+    passes_arg = take("--passes")
     sf_dir = take("--sf-dir", os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     names = args
     if not names:
         raise SystemExit("no query names given")
     if ab_ref:
+        # A/B passes default to an EVEN count (r11 ADVICE): the
+        # alternating protocol's lead-order debiasing needs each side
+        # to lead equally often; an odd count re-introduces the bias
+        # bench.py --ab documents. Odd explicit counts are rounded up.
+        passes = int(passes_arg) if passes_arg else 4
+        if passes % 2:
+            passes += 1
+            print(f"# --ab-ref with odd passes re-biases lead order; using {passes}")
         ab_main(ab_ref, names, passes, sf_dir)
         return
+    passes = int(passes_arg) if passes_arg else 3
 
     spark = get_spark(app_name="opt-probe")
     qs = dict(workload.queries())
