@@ -60,21 +60,39 @@ def connected_components(
             .groupBy(F.col("src").alias("id"))
             .agg(F.min("component").alias("neigh_min"))
         )
-        # the convergence flag rides the SAME projection (new label =
-        # least(old, neigh_min), so "changed" === neigh_min < old) and
-        # the count runs on the materialized checkpoint — r12, guide
-        # §2.4: the old separate new-vs-old join re-shuffled both label
-        # frames every round just to count inequalities
+        # r12 POINTER JUMPING (guide §1.2 — fix the distributed
+        # algorithm first): after the neighbor-min step, each node also
+        # adopts its (new) component's OWN current label — classic path
+        # compression, shrinking convergence from O(diameter) to
+        # O(log diameter) propagation ROUNDS (each round is a global
+        # barrier at scale). The fixpoint is unchanged (the min
+        # component id), so the output is identical. Measured at
+        # sf0.1: 5 -> 4 rounds on the dedup cluster family, wall-clock
+        # FLAT (0.97-1.05 same-session A/B — the saved round is offset
+        # by the parent join re-deriving the stepped frame); kept for
+        # the round-count bound, which is what matters when a round is
+        # a full label shuffle over a 100 TB-derived node set and
+        # duplicate chains make diameters double-digit.
+        # The convergence flag rides the SAME projection (final label
+        # <= old label always, so "changed" === final < old) and its
+        # count runs on the materialized checkpoint — no separate
+        # new-vs-old join (r12, guide §2.4).
+        stepped = labels.join(neigh, "id", "left").select(
+            "id",
+            F.col("component").alias("oc"),
+            F.least("component", F.coalesce("neigh_min", "component")).alias("nc"),
+        )
+        parent = stepped.select(
+            F.col("id").alias("nc"), F.col("nc").alias("parent_comp")
+        )
         new_labels = (
-            labels.join(neigh, "id", "left")
+            stepped.join(parent, "nc", "left")
             .select(
                 "id",
-                F.least(
-                    "component", F.coalesce("neigh_min", "component")
-                ).alias("component"),
-                (F.coalesce("neigh_min", "component") < F.col("component")).alias(
-                    "chg"
-                ),
+                F.least("nc", F.coalesce("parent_comp", "nc")).alias("component"),
+                (
+                    F.least("nc", F.coalesce("parent_comp", "nc")) < F.col("oc")
+                ).alias("chg"),
             )
             .localCheckpoint(eager=True)  # truncate lineage per round
         )

@@ -890,6 +890,50 @@ def _probe_col(i: int, bits: int = _BLOOM_BITS):
     )
 
 
+# literal-inlining cutoff for the Bloom word table: the default filter
+# is ceil(65536/60) = 1093 words; probe runs that scale m with a bigger
+# eval corpus keep the broadcast-join form past this (a multi-MB plan
+# literal would shift cost into parsing/codegen)
+_BLOOM_LIT_MAX_WORDS = 4096
+
+
+def _bloom_words_array(words, bits: int = _BLOOM_BITS):
+    """The Bloom word table as a literal long array Column, or None
+    when it is too large to inline (see _BLOOM_LIT_MAX_WORDS).
+
+    The table is bounded by the MODULUS (ceil(bits/60) words), never by
+    the data, so collecting it driver-side is as legitimate as
+    broadcasting it (guide §5) — and inlining it as one array literal
+    (the hyperplane sign-matrix pattern, ops/similarity.py) turns the
+    K probe screens from K broadcast-join stages into a single
+    codegen'd filter projection: measured 7.9 -> ~4 s on the streaming
+    guard at sf0.1, where each extra join stage cost ~0.5-2 s of fixed
+    stage latency while the probe arithmetic itself was nearly free.
+    Unset words read 0 (no bits set -> probe fails), exactly the
+    semantics the left-join + IS NOT NULL form had."""
+    n_words = (bits + _BLOOM_WBITS - 1) // _BLOOM_WBITS
+    if n_words > _BLOOM_LIT_MAX_WORDS:
+        return None
+    arr = [0] * n_words
+    for r in words.collect():
+        arr[int(r["w"])] = int(r["bits"])
+    return "array(" + ",".join(f"{v}L" for v in arr) + ")"
+
+
+def _bloom_probe_pred(i: int, warr_sql: str, bits: int = _BLOOM_BITS):
+    """Filter predicate Column: probe ``i`` of column ``gram`` hits a
+    set bit in the literal word array — the exact _probe_col / join
+    form arithmetic, as one SQL expression."""
+    idx = (
+        f"(CAST(conv(substring(md5(concat(gram, ':{i}')), 1, 15), 16, 10)"
+        f" AS BIGINT) % {bits})"
+    )
+    return F.expr(
+        f"(element_at({warr_sql}, CAST({idx} div {_BLOOM_WBITS} AS INT) + 1)"
+        f" & shiftleft(1L, CAST({idx} % {_BLOOM_WBITS} AS INT))) != 0"
+    )
+
+
 _CONTAM_GUARD_ORACLE = f"""
     WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     pg AS (
@@ -959,7 +1003,15 @@ def bloom_prefilter_frame(docs: DataFrame, bits: int = _BLOOM_BITS) -> DataFrame
         .agg(F.expr("bit_or(shiftleft(1L, b))").alias("bits"))
     )
     # screen: every distinct training gram probes the word table; a
-    # gram is a candidate iff ALL K probed bits are set
+    # gram is a candidate iff ALL K probed bits are set.
+    # r12 MEASURED AND DECLINED (guide §1): inlining the word table as
+    # a literal array (the streaming guard's r12 move) regressed THIS
+    # batch form 1.26x in a same-session A/B — the collect() is a
+    # separate action that re-derives the eval gram tree, while the
+    # batch join screen folds into the one AQE-planned job and shares
+    # the ev subtree via exchange reuse. The join/literal split is a
+    # batch-vs-streaming distinction: per-stage fixed cost is what the
+    # literal removes, and only micro-batch re-planning pays it.
     tgd = tg.select("gram").distinct()
     pr = tgd.select("gram", F.posexplode(probes).alias("i", "idx")).select(
         "gram",
