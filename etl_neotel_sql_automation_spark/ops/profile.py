@@ -39,18 +39,16 @@ def profile_table(
     ordering — numeric columns compare numerically, then render).
     """
     names = list(cols) if cols is not None else list(df.columns)
-    distinct = (
-        F.approx_count_distinct if approx else F.countDistinct
-    )
     aggs = []
     for c in names:
         aggs += [
             F.count(F.col(c)).alias(f"__nn_{c}"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"__nu_{c}"),
-            distinct(F.col(c)).alias(f"__nd_{c}"),
             F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
+        if approx:
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"__nd_{c}"))
     one = df.agg(*aggs)
     rows = F.array(
         *[
@@ -58,14 +56,51 @@ def profile_table(
                 F.lit(c).alias("column"),
                 F.col(f"__nn_{c}").alias("non_null_count"),
                 F.col(f"__nu_{c}").alias("null_count"),
-                F.col(f"__nd_{c}").alias("distinct_count"),
+                *(
+                    [F.col(f"__nd_{c}").alias("distinct_count")]
+                    if approx
+                    else []
+                ),
                 F.col(f"__mn_{c}").alias("min_value"),
                 F.col(f"__mx_{c}").alias("max_value"),
             )
             for c in names
         ]
     )
-    return one.select(F.explode(rows).alias("p")).select("p.*")
+    base = one.select(F.explode(rows).alias("p")).select("p.*")
+    if approx:
+        return base
+    # r12 (guide §2.3): N countDistinct aggregates in ONE groupBy plan
+    # through Expand — every row duplicated N+1 ways and the min/max/
+    # count buffers dragged through the two-level distinct aggregation
+    # (the agg_approx_stats disease; measured 4.3 s on the 9-column
+    # orders profile vs 1.2 s split). The exact path now runs the
+    # plain aggregates in one pass and each column's exact distinct as
+    # its own column-pruned two-level aggregation (groupBy(value) ->
+    # count, null group filtered to match countDistinct), unioned and
+    # joined back on the column name. At scale each per-column pass
+    # scans ONE column of a columnar file — the same bytes the Expand
+    # row would have carried — and the production default (approx=True,
+    # fixed-size HLL sketches, zero distinct shuffle) is unchanged.
+    ds = None
+    for c in names:
+        d = (
+            df.select(F.col(c).alias("v"))
+            .where(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.lit(1))
+            .agg(F.count("*").alias("distinct_count"))
+            .select(F.lit(c).alias("column"), "distinct_count")
+        )
+        ds = d if ds is None else ds.unionAll(d)
+    return base.join(ds, "column").select(
+        "column",
+        "non_null_count",
+        "null_count",
+        "distinct_count",
+        "min_value",
+        "max_value",
+    )
 
 
 def schema_drift(old, new) -> dict[str, list]:

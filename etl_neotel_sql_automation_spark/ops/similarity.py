@@ -150,10 +150,27 @@ def ivf_topk(
 
     cb = nearest_centroids(_fan_out(corpus), "n_id", 1)  # corpus: home cell only
     qb = nearest_centroids(queries, "q_id", n_probe)     # queries: probe n cells
+    # cast+norm once per row on each side of the cell join (the
+    # brute_force_topk factoring; bit-identical — see
+    # cosine_near_dup_pairs), not per (query, candidate) pair
+    cb = cb.select(
+        "n_id", "cid", _to_double(F.col("n_id_vec")).alias("n_vec")
+    ).withColumn("n_norm", norm(F.col("n_vec")))
+    qb = qb.select(
+        "q_id", "cid", _to_double(F.col("q_id_vec")).alias("q_vec")
+    ).withColumn("q_norm", norm(F.col("q_vec")))
     scored = (
         cb.join(F.broadcast(qb), "cid")
         .filter(F.col("q_id") != F.col("n_id"))
-        .select("q_id", "n_id", F.round(cosine("q_id_vec", "n_id_vec"), 6).alias("sim"))
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                dot(F.col("q_vec"), F.col("n_vec"))
+                / (F.col("q_norm") * F.col("n_norm")),
+                6,
+            ).alias("sim"),
+        )
         .dropDuplicates(["q_id", "n_id"])
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), "n_id")
